@@ -1,0 +1,168 @@
+"""Text scalar functions (SURVEY §2.B "Scalar functions" / "Text analysis").
+
+Tokenization reproduces the reference's mapper exactly
+(``MapRedWord2Vec.scala:101-102``):
+
+* lowercase the line (A2),
+* split on Java ``\\W+`` — ASCII word chars, so post-lowercase tokens
+  are drawn from ``[a-z0-9_]`` (A3),
+* keep only tokens that are non-empty and all-letters, i.e. pure
+  ``[a-z]+`` (A4).
+
+Java's ``\\W`` is ASCII-only by default and Spark SQL regexes are Java
+regexes, so ``split(col, '\\\\W+')`` in Spark matches the reference
+byte-for-byte; external oracles using RE2/POSIX ``\\W`` (also ASCII)
+agree.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` —
+no Python UDFs — so the whole path stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java/RE2 ASCII non-word-char run — the reference's split regex (M:102).
+SPLIT_REGEX = r"\W+"
+# Net effect of the reference's isLetter filter after ASCII split (M:102).
+WORD_REGEX = r"^[a-z]+$"
+
+# Fixed English stopword list. Kept deliberately small and frozen so the
+# same list can be inlined into oracle SQL; order matters nowhere.
+STOPWORDS: tuple[str, ...] = (
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "if", "in", "into", "is", "it", "no", "not", "of", "on", "or",
+    "such", "that", "the", "their", "then", "there", "these", "they",
+    "this", "to", "was", "will", "with",
+)
+
+
+def tokens_expr(text_col: str | Column) -> Column:
+    """line → array of reference-semantics word tokens (A2+A3+A4).
+
+    Implemented as array ops (split → filter) rather than
+    explode-then-filter so callers that need per-document arrays
+    (n-grams, fingerprints, Word2Vec input) avoid a premature explode.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    split = F.split(F.lower(col), SPLIT_REGEX)
+    return F.filter(split, lambda w: w.rlike(WORD_REGEX))
+
+
+def explode_words(df: DataFrame, text_col: str, out_col: str = "word") -> DataFrame:
+    """One row per reference-semantics token of ``text_col``."""
+    return df.select(
+        *df.columns, F.explode(tokens_expr(text_col)).alias(out_col)
+    )
+
+
+def remove_stopwords(tokens: Column) -> Column:
+    """Drop STOPWORDS from a token array (stays JVM-side)."""
+    lit_stops = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.filter(tokens, lambda w: ~F.array_contains(lit_stops, w))
+
+
+def ngrams_expr(tokens: Column, n: int = 2, sep: str = " ") -> Column:
+    """Word n-grams from a token array via higher-order functions.
+
+    ``transform(sequence(0, size-n), i -> concat_ws(sep, slice(...)))``
+    — pure Catalyst expressions, no UDF, no shuffle.
+    """
+    size = F.size(tokens)
+    idx = F.sequence(F.lit(0), size - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(sep, F.slice(tokens, i + 1, n)))
+    return F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def whitespace_token_count(text_col: Column) -> Column:
+    """Token count by whitespace split (cheap GPT-ish proxy #1)."""
+    trimmed = F.trim(text_col)
+    return F.when(trimmed == "", F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """Token count with a BPE-ish regex: words, digit runs, and
+    single non-space punctuation each count as one token — a
+    deterministic, oracle-able approximation of a cl100k tokenizer's
+    pre-tokenizer split.
+    """
+    return F.size(
+        F.regexp_extract_all(F.lower(text_col), F.lit(r"([a-z]+|[0-9]|[^a-z0-9\s])"), 1)
+    )
+
+
+def quality_score_expr(text_col: Column) -> Column:
+    """Heuristic document quality in [0,1]: penalize very short docs,
+    high punctuation density, and low stopword ratio (LLM-corpus
+    quality-filter heuristics, computed entirely JVM-side).
+    """
+    n_chars = F.length(text_col)
+    words = tokens_expr(text_col)
+    n_words = F.size(words)
+    n_stop = F.size(remove_stopwords(words))
+    stop_ratio = F.when(n_words > 0, (n_words - n_stop) / n_words).otherwise(F.lit(0.0))
+    punct = F.length(F.regexp_replace(text_col, r"[a-zA-Z0-9\s]", ""))
+    punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(1.0))
+    length_term = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    score = 0.4 * length_term + 0.3 * (1.0 - punct_ratio) + 0.3 * F.least(
+        stop_ratio * 4.0, F.lit(1.0)
+    )
+    return F.round(score, 6)
+
+
+def lang_id_expr(text_col: Column) -> Column:
+    """Tiny deterministic language-ID heuristic.
+
+    Scores the token set against per-language marker words and picks
+    the argmax (ties → 'und'). Real systems use char n-gram models;
+    this keeps the same *shape* (score-per-language, argmax) while
+    staying a pure Catalyst expression, so it is oracle-checkable.
+    """
+    markers = {
+        "en": ("the", "and", "of", "is", "was"),
+        "es": ("el", "la", "de", "que", "los"),
+        "fr": ("le", "la", "les", "des", "est"),
+        "de": ("der", "die", "und", "das", "ist"),
+    }
+    words = tokens_expr(text_col)
+    scores = []
+    for lang, ms in markers.items():
+        lit_ms = F.array(*[F.lit(m) for m in ms])
+        score = F.size(F.filter(words, lambda w: F.array_contains(lit_ms, w)))
+        scores.append((lang, score))
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # Reverse order => earlier languages win ties after the fold.
+    for lang, score in reversed(scores):
+        result = F.when((best_score > 0) & (score == best_score), F.lit(lang)).otherwise(result)
+    return result
+
+
+FINGERPRINT_MOD = 1_000_000_007
+FINGERPRINT_BASE = 31
+
+
+def fingerprint_expr(tokens: Column) -> Column:
+    """Order-sensitive rolling-hash document fingerprint.
+
+    Polynomial hash over per-token hashes, folded left with
+    ``aggregate`` (a Catalyst higher-order function — sequential,
+    deterministic). Token hash = polynomial char hash mod 1e9+7, so
+    every intermediate fits in int64 without overflow and the same
+    arithmetic is expressible in ANSI SQL for the oracle.
+    """
+    def char_hash(word: Column) -> Column:
+        codes = F.transform(F.split(word, ""), lambda c: F.ascii(c))
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+        )
+
+    token_hashes = F.transform(tokens, char_hash)
+    return F.aggregate(
+        token_hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FINGERPRINT_BASE + h) % FINGERPRINT_MOD,
+    )

@@ -1,0 +1,202 @@
+"""Text-analysis queries over the ``documents`` table.
+
+These carry the reference's core semantics (tokenize → filter → count,
+``MapRedWord2Vec.scala:101-112``) onto the driver's synthetic corpus,
+plus the LLM-pipeline text operators (n-grams, stopwords, token
+counting, quality scoring, language ID, fingerprinting).
+
+Oracle notes: Java regex (Spark) and RE2 (DuckDB) both treat ``\\W``
+as ASCII ``[^0-9A-Za-z_]``, so tokenization matches exactly.
+DuckDB lists are 1-indexed; Spark arrays 0-indexed — oracle SQL is
+written accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.functions.text import (
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint_expr,
+    lang_id_expr,
+    ngrams_expr,
+    quality_score_expr,
+    remove_stopwords,
+    tokens_expr,
+    whitespace_token_count,
+)
+from mapreduce_word2vec_spark.plans.catalog import register
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+_SQL_TOKENS = r"""list_filter(regexp_split_to_array(lower(text), '\W+'), w -> regexp_matches(w, '^[a-z]+$'))"""
+_SQL_STOPSET = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "doc_wordcount",
+    oracle=f"""
+    SELECT word, count(*) AS count
+    FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+    GROUP BY word
+    """,
+)
+def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's one query (A1-A5+A13) over ``documents``:
+    word frequencies with exact M:102 tokenizer semantics."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens_expr("text")).alias("word"))
+    return words.groupBy("word").agg(F.count("*").alias("count"))
+
+
+@register(
+    "doc_ngrams",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKENS} AS ws FROM documents)
+    SELECT gram, count(*) AS n
+    FROM (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      FROM toks
+    )
+    GROUP BY gram
+    """,
+)
+def doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts via higher-order functions (no UDF, one shuffle)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(ngrams_expr(tokens_expr("text"), 2)).alias("gram"))
+    return grams.groupBy("gram").agg(F.count("*").alias("n"))
+
+
+@register(
+    "doc_stopwords",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents)
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS BIGINT) AS n_content
+    FROM toks
+    """,
+)
+def doc_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword filtering: total vs content tokens per document."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(remove_stopwords(toks)).cast("long").alias("n_content"),
+    )
+
+
+@register(
+    "doc_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text), '([a-z]+|[0-9]|[^a-z0-9\s])')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_SQL_TOKENS} AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS n_stop,
+             n_chars, n_punct
+      FROM t
+    )
+    SELECT doc_id,
+           round(
+             0.4 * least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+             + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
+             + 0.3 * least((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0),
+           6) AS quality
+    FROM m
+    """,
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score (length / punctuation / stopword mix)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+_LANG_MARKERS_SQL = {
+    "en": "('the', 'and', 'of', 'is', 'was')",
+    "es": "('el', 'la', 'de', 'que', 'los')",
+    "fr": "('le', 'la', 'les', 'des', 'est')",
+    "de": "('der', 'die', 'und', 'das', 'ist')",
+}
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(list_filter(ws, w -> w IN {_LANG_MARKERS_SQL["en"]})) AS s_en,
+             len(list_filter(ws, w -> w IN {_LANG_MARKERS_SQL["es"]})) AS s_es,
+             len(list_filter(ws, w -> w IN {_LANG_MARKERS_SQL["fr"]})) AS s_fr,
+             len(list_filter(ws, w -> w IN {_LANG_MARKERS_SQL["de"]})) AS s_de
+      FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                ELSE 'de' END AS lang_pred
+    FROM s
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (argmax of per-language scores)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(ws, w ->
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                              list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                 (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+      FROM t
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM h
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_expr(tokens_expr("text")).alias("fingerprint")
+    )

@@ -1,0 +1,91 @@
+"""Sources (SURVEY §2.B "Sources" row).
+
+The reference's only source is a text-file scan
+(``MapRedWord2Vec.scala:271,275`` — ``TextInputFormat`` over a
+directory of ``.txt`` files, one record per line). Spark-first
+equivalent: ``spark.read.text``; the byte-offset key is never used by
+the reference logic (``MapRedWord2Vec.scala:99-118``) so it has no
+column here. ``input_file_name()`` recovers per-file lineage, which is
+what the reference's "one model per split" parity mode partitions by.
+
+Parquet / CSV / JSON scans are the engine's native columnar sources;
+Catalyst pushes filters and prunes columns into them (verify with
+``df.explain`` → ``PushedFilters`` / ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_text_corpus(spark: SparkSession, path: str, with_file: bool = False) -> DataFrame:
+    """Text scan: one row per line (reference A1).
+
+    ``with_file=True`` adds the source file path — the reference's unit
+    of parallelism (one mapper per split ≈ per file) for parity mode.
+    """
+    df = spark.read.text(path)
+    if with_file:
+        df = df.withColumn("file", F.input_file_name())
+    return df
+
+
+def read_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    if columns:
+        df = df.select(*columns)
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | str | None = None,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    reader = spark.read.options(header=header, **options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        # Schema inference is a convenience for interactive use only —
+        # it costs an extra full scan; production callers pass a schema.
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: T.StructType | str | None = None, **options
+) -> DataFrame:
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Load one of the driver's synthetic tables (TESTDATA.md)."""
+    if table not in TESTDATA_TABLES:
+        raise ValueError(f"unknown table {table!r}; expected one of {TESTDATA_TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for spark.sql use."""
+    for table in TESTDATA_TABLES:
+        read_testdata(spark, sf_dir, table).createOrReplaceTempView(table)
