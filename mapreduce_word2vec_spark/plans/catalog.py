@@ -51,7 +51,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = Query(name, fn, oracle, (fn.__doc__ or "").strip())
+
+        def wrapped(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
+            # Ship this package to executor Python workers so queries
+            # using pandas UDFs work from any driver cwd/deployment.
+            from mapreduce_word2vec_spark.runtime import ensure_workers_can_import
+
+            ensure_workers_can_import(spark)
+            return _fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        _REGISTRY[name] = Query(name, wrapped, oracle, (fn.__doc__ or "").strip())
         return fn
 
     return deco

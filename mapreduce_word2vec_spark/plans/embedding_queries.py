@@ -1,1 +1,130 @@
-"""Placeholder — filled in during the round-1 build."""
+"""Embedding-op queries (reference A7/A8/A14 lineage).
+
+``emb_label_mean`` is the oracle-checkable form of the reference's
+reducer aggregation (element-wise unweighted vector mean,
+``MapRedWord2Vec.scala:196-229``) over the synthetic ``embeddings``
+table. The Word2Vec-model queries are model-dependent (◇ in SURVEY
+§2.B) — the driver records rows-only checks; vector *values* are
+covered by property tests instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.plans.catalog import register
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+
+@register(
+    "emb_label_mean",
+    oracle="""
+    WITH u AS (
+      -- parallel unnests zip: (position, value) pairs per row
+      SELECT label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    ), m AS (
+      SELECT label, i, avg(v) AS mv FROM u GROUP BY label, i
+    )
+    SELECT label, list(mv ORDER BY i) AS mean_embedding
+    FROM m GROUP BY label
+    """,
+)
+def emb_label_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise unweighted vector mean per label (A14 semantics):
+    posexplode → per-position avg → ordered re-assembly. All partial
+    aggregation, no UDF — survives any vectors-per-key cardinality."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    per = pos.groupBy("label", "pos").agg(F.avg("v").alias("mv"))
+    return (
+        per.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select(
+            "label", F.transform("pv", lambda s: s.getField("mv")).alias("mean_embedding")
+        )
+    )
+
+
+@register(
+    "emb_norm_stats",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           count(*) AS n,
+           round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM n GROUP BY label
+    """,
+)
+def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-norm distribution per label — exercises the higher-order
+    vector functions against the oracle."""
+    from mapreduce_word2vec_spark.functions.vectors import norm_expr
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", norm_expr("embedding").alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+@register("w2v_vocabulary")
+def w2v_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary + vector dimensionality of a global Word2Vec model
+    trained on ``documents`` (A7). Vector values are run-dependent →
+    no oracle (rows-only); dims/vocab are seed-stable."""
+    from mapreduce_word2vec_spark.operators.word2vec import (
+        sentences_df,
+        train_word2vec,
+        word_vectors,
+    )
+    from mapreduce_word2vec_spark.session import EngineConfig
+
+    docs = read_testdata(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    model = train_word2vec(sentences_df(docs), EngineConfig(layer_size=32))
+    return word_vectors(model).select(
+        "word", F.size("vector").cast("int").alias("dim")
+    )
+
+
+@register("ref_pipeline_documents")
+def ref_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline (SURVEY §2.C) with ``documents``
+    text standing in for the Gutenberg corpus: (word, token, count,
+    dim). Vector values are model-dependent → returns the shape-stable
+    projection; full-value checks live in the E2E tests."""
+    from mapreduce_word2vec_spark.functions.tokens import first_token_id
+    from mapreduce_word2vec_spark.operators.word2vec import (
+        sentences_df,
+        train_word2vec,
+        word_vectors,
+    )
+    from mapreduce_word2vec_spark.operators.wordcount import word_counts
+    from mapreduce_word2vec_spark.session import EngineConfig
+
+    docs = read_testdata(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    counts = word_counts(docs)
+    model = train_word2vec(sentences_df(docs), EngineConfig(layer_size=32))
+    vectors = word_vectors(model)
+    return (
+        counts.join(F.broadcast(vectors), "word", "inner")
+        .withColumn("token", first_token_id(F.col("word")))
+        .select("word", "token", "count", F.size("vector").cast("int").alias("dim"))
+    )

@@ -32,13 +32,17 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 def write_reference_csv(df: DataFrame, path: str, sort: bool = True) -> None:
     """Reference output parity (A17+A18).
 
-    The reference's single default reducer makes its output globally
-    sorted lexicographically by key (MR sort-based shuffle; no custom
-    comparator in ``MapRedWord2Vec.scala:245-284``). ``sort=True``
-    reproduces that. At 100 TB a global sort is one range-partitioned
-    shuffle (Spark samples ranges) — acceptable as an opt-in parity
-    feature, not a default.
+    Expects the single-column frame from ``format_reference_output``
+    (one ``word,token,count,[...]`` line per row) and writes raw text —
+    NOT the csv writer, which would quote lines containing the
+    separator. The reference's single default reducer makes its output
+    globally sorted lexicographically by key (MR sort-based shuffle;
+    no custom comparator in ``MapRedWord2Vec.scala:245-284``);
+    ``sort=True`` reproduces that with a range-partitioned sort, so
+    concatenating part files in filename order yields the reference's
+    global order. Opt-in parity feature — a global sort at 100 TB is
+    one extra exchange.
     """
-    if sort and "word" in df.columns:
-        df = df.orderBy("word")
-    df.write.mode("overwrite").option("header", False).csv(path)
+    if sort:
+        df = df.orderBy(df.columns[0])
+    df.write.mode("overwrite").text(path)
