@@ -1,1 +1,109 @@
-"""Placeholder — filled in during the round-1 build."""
+"""Similarity-search queries over ``embeddings`` (SURVEY §2.B
+"Similarity search"; the reference's missing cosine feature,
+feedback.md:5).
+
+Oracle cosine uses the same formula shape as the Spark expressions
+(sequential dot / (norm_a * norm_b) in double) and both sides round
+to 6 dp, so rank boundaries and values agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.plans.catalog import register
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len(qe) + 1), "
+    "i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+)
+_SQL_NORM_Q = "sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_SQL_NORM_C = "sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+                  {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos
+           FROM q, c WHERE query_id <> neighbor_id
+         ),
+         r AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+           FROM s
+         )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
+    """,
+)
+def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id < 10."""
+    from mapreduce_word2vec_spark.operators.similarity import knn_bruteforce
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
+@register(
+    "knn_sign_lsh",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+             + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+             + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+             + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM b WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM b),
+    s AS (
+      SELECT query_id, neighbor_id,
+             {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos
+      FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
+    """,
+)
+def knn_sign_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bucket LSH top-5: deterministic approximate variant —
+    same result contract as brute force but only within-bucket pairs."""
+    from mapreduce_word2vec_spark.operators.similarity import knn_sign_lsh
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = knn_sign_lsh(emb, emb.where(F.col("vec_id") < 10), k=5, n_bits=4)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
+@register("knn_bruteforce_blas")
+def knn_bruteforce_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS/mapInPandas top-5 — the 100 TB path. Same contract as
+    knn_bruteforce; equality is asserted by a property test (float
+    summation order differs, so no hash oracle)."""
+    from mapreduce_word2vec_spark.operators.similarity import knn_bruteforce_numpy
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    out = knn_bruteforce_numpy(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
+@register("brp_lsh_pairs")
+def brp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH self-join (Euclidean < 1.2 —
+    ~1st percentile of pairwise distance on the synthetic embeddings).
+    Random projections → rows-only check + recall property test."""
+    from mapreduce_word2vec_spark.operators.similarity import brp_lsh_neighbors
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return brp_lsh_neighbors(emb, threshold=1.2).withColumn("dist", F.round("dist", 6))
