@@ -143,6 +143,22 @@ FINGERPRINT_MOD = 1_000_000_007
 FINGERPRINT_BASE = 31
 
 
+def string_hash_expr(s: Column) -> Column:
+    """Deterministic polynomial hash of a string → [0, 1e9+7).
+
+    Folded left over character codes, so it is reproducible in any
+    engine with array-fold semantics (the cross-engine contract the
+    dedup operators rely on). Not a cryptographic or even
+    well-diffused hash — it's the *shared* hash.
+    """
+    codes = F.transform(F.split(s, ""), lambda c: F.ascii(c))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
+    )
+
+
 def fingerprint_expr(tokens: Column) -> Column:
     """Order-sensitive rolling-hash document fingerprint.
 
@@ -152,15 +168,7 @@ def fingerprint_expr(tokens: Column) -> Column:
     every intermediate fits in int64 without overflow and the same
     arithmetic is expressible in ANSI SQL for the oracle.
     """
-    def char_hash(word: Column) -> Column:
-        codes = F.transform(F.split(word, ""), lambda c: F.ascii(c))
-        return F.aggregate(
-            codes,
-            F.lit(0).cast("long"),
-            lambda acc, c: (acc * FINGERPRINT_BASE + c) % FINGERPRINT_MOD,
-        )
-
-    token_hashes = F.transform(tokens, char_hash)
+    token_hashes = F.transform(tokens, string_hash_expr)
     return F.aggregate(
         token_hashes,
         F.lit(0).cast("long"),

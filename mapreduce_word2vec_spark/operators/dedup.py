@@ -1,0 +1,275 @@
+"""Deduplication operators over document corpora (SURVEY §2.B
+"Dedup"; north-star LLM-pipeline requirement).
+
+Five families, in increasing fuzziness:
+
+* :func:`exact_dedup` — canonical row per key (deterministic: min id
+  wins, unlike ``dropDuplicates`` whose survivor is partition-order
+  dependent).
+* :func:`ngram_jaccard_pairs` — exact n-gram-shingle Jaccard via a
+  shingle-explode self-join: the ground truth the approximate
+  methods are judged against.
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash
+  with FIXED hash constants (``(a*h+b) mod p`` over the shared
+  polynomial string hash) + banded LSH. Fully deterministic →
+  oracle-able, unlike MLlib's MinHashLSH (also wrapped, in
+  :func:`mllib_minhash_pairs`, for the model-based variant).
+* :func:`simhash` / :func:`simhash_pairs` — 32-bit SimHash with
+  banded candidate generation + Hamming-distance verification.
+* embedding-cosine near-dup — reuse
+  :func:`operators.similarity.cosine_pairs` with a threshold (see
+  plans.dedup_queries).
+
+Scale notes: every method is shuffle-bounded by (shingle → doc) or
+(band-signature → doc) joins — no all-pairs stage ever materializes
+more than candidate pairs. Shingle explosion is the dominant cost;
+at 100 TB you'd add a ``distinct``-per-partition before the global
+shuffle (Catalyst's partial aggregation already does this for the
+groupBys here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.functions.text import (
+    ngrams_expr,
+    string_hash_expr,
+    tokens_expr,
+)
+
+# Fixed MinHash constants — shared verbatim with oracle SQL. p is
+# Mersenne 2^31-1; a,b drawn once (any fixed odd-ish values work).
+MINHASH_P = 2_147_483_647
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_203_077_321, 526_931_983),
+    (430_593_121, 1_827_337_813),
+    (967_874_477, 90_123_459),
+    (1_579_013_561, 1_402_817_243),
+    (238_947_151, 775_643_881),
+    (1_847_561_429, 318_971_047),
+    (684_127_339, 1_092_384_721),
+    (1_402_938_467, 1_934_857_211),
+    (871_234_603, 450_982_667),
+    (1_092_837_465, 1_238_471_909),
+    (315_672_911, 845_123_777),
+    (1_738_459_213, 92_384_755),
+    (569_834_221, 1_487_561_333),
+    (1_298_374_655, 674_839_211),
+    (748_392_157, 1_583_947_501),
+    (1_938_475_611, 234_987_163),
+)
+MINHASH_BANDS = 4  # 16 hashes → 4 bands of 4 rows each
+
+
+def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row per key group: the one with the smallest
+    ``id_col``. Deterministic alternative to ``dropDuplicates(keys)``."""
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles_expr(text_col: str | Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    return F.array_distinct(ngrams_expr(tokens_expr(text_col), n))
+
+
+def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """(id, shingle) exploded — one row per distinct shingle."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs: |A∩B| via shingle self-join,
+    |A∪B| = |A|+|B|-|A∩B|. One shuffle on shingle, one on the pair."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash signature from fixed coeffs.
+
+    min over shingles of ``(a*h(s)+b) mod p`` per hash function; all
+    arithmetic stays < 2^62 so int64 folds are exact everywhere."""
+    hashes = F.transform(shingles_expr(text_col, n), string_hash_expr)
+
+    # NB: PySpark infers higher-order-lambda arity from the Python
+    # signature, so constants must be captured via a factory, not
+    # default args (a 2nd default arg turns it into a 3-arg lambda).
+    def perm(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_P
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in MINHASH_COEFFS]
+    )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, **kw) -> DataFrame:
+    """Banded-LSH candidate pairs + estimated Jaccard.
+
+    Candidates agree on ALL rows of ≥1 band (classic b×r banding);
+    the estimate is the fraction of equal signature slots. Band join
+    keys are (band_idx, sig-slice) so the shuffle carries signatures,
+    never documents."""
+    sigs = minhash_signatures(df, **kw)
+    rows_per_band = len(MINHASH_COEFFS) // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band).alias("key"),
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(len(MINHASH_COEFFS))
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).where(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_expr(text_col: str | Column) -> Column:
+    """32-bit SimHash over token hashes, weighted by term frequency.
+
+    bit_j(doc) = 1 iff Σ_tokens (±1 per token's bit j) > 0; built from
+    per-bit conditional sums over the token-hash array — pure
+    higher-order expressions, reproducible in the oracle."""
+    hashes = F.transform(tokens_expr(text_col), string_hash_expr)
+
+    def bit_contrib(mask: int):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) > 0, 1).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for j in range(SIMHASH_BITS):
+        contrib = F.aggregate(hashes, F.lit(0).cast("long"), bit_contrib(1 << j))
+        out = out + F.when(contrib > 0, F.lit(1 << j)).otherwise(0)
+    return out
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share ≥1 of 4 8-bit
+    bands, verified with bit_count(xor) ≤ max_hamming."""
+    sh = df.select(F.col(id_col).alias("doc_id"), simhash_expr(text_col).alias("sh"))
+    bands = sh.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("sh", i * 8).bitwiseAND(F.lit(255)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
+    cand = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def mllib_minhash_pairs(
+    df: DataFrame,
+    threshold: float = 0.6,
+    num_hash_tables: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MLlib MinHashLSH over binary shingle vectors (model-based ◇
+    variant): approxSimilarityJoin at Jaccard distance ≤ 1-threshold."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col).alias("sh")).where(
+        F.size("sh") > 0
+    )
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True)
+    model = cv.fit(sh)
+    feats = model.transform(sh)
+    mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
+    mh_model = mh.fit(feats)
+    pairs = mh_model.approxSimilarityJoin(feats, feats, 1.0 - threshold, distCol="jaccard_dist")
+    return pairs.select(
+        F.col("datasetA.id").alias("id_a"),
+        F.col("datasetB.id").alias("id_b"),
+        (1 - F.col("jaccard_dist")).alias("est_jaccard"),
+    ).where(F.col("id_a") < F.col("id_b"))

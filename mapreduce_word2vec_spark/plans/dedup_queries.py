@@ -1,1 +1,222 @@
-"""Placeholder — filled in during the round-1 build."""
+"""Dedup queries over ``documents`` / ``embeddings`` (SURVEY §2.B
+"Dedup").
+
+The deterministic variants (exact, n-gram Jaccard, fixed-coefficient
+MinHash LSH, SimHash) share their hash constants with generated
+oracle SQL, so even the *approximate* dedup paths are hash-compared
+against DuckDB. Only the MLlib MinHashLSH variant is model-dependent
+(rows-only + property tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    SIMHASH_BITS,
+)
+from mapreduce_word2vec_spark.plans.catalog import register
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+_SQL_TOKENS = r"""list_filter(regexp_split_to_array(lower(text), '\W+'), w -> regexp_matches(w, '^[a-z]+$'))"""
+# Polynomial string hash shared with functions.text.string_hash_expr.
+_SQL_STRHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(ws) - 1), "
+    "i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))"
+)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: deterministic canonical row (min doc_id) per
+    (lang, source) group — full surviving row, not just the keys."""
+    from mapreduce_word2vec_spark.operators.dedup import exact_dedup
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return exact_dedup(docs, ["lang", "source"], "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard ≥ 0.6 — ground-truth near-dups."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+def _minhash_sig_sql() -> str:
+    strhash = _SQL_STRHASH.format(s="s")
+    mins = ", ".join(
+        f"list_min(list_transform(hh, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in MINHASH_COEFFS
+    )
+    return f"""
+    toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    shg AS (SELECT doc_id, {_SQL_SHINGLES} AS shingles FROM toks),
+    hsh AS (SELECT doc_id, list_transform(shingles, s -> {strhash}) AS hh FROM shg),
+    sig AS (SELECT doc_id, [{mins}] AS sig FROM hsh)
+    """
+
+
+_ROWS_PER_BAND = len(MINHASH_COEFFS) // MINHASH_BANDS
+_N_HASH = len(MINHASH_COEFFS)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_minhash_sig_sql()},
+    bands AS (
+      SELECT doc_id, sig, band,
+             sig[band * {_ROWS_PER_BAND} + 1 : band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}] AS key
+      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           list_sum(list_transform(range(1, {_N_HASH} + 1),
+                    i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / {_N_HASH}.0 AS est_jaccard
+    FROM cand
+    WHERE list_sum(list_transform(range(1, {_N_HASH} + 1),
+                   i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) / {_N_HASH}.0 >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash banding (16 hashes, 4 bands): candidate
+    pairs sharing a full band, estimated Jaccard ≥ 0.5."""
+    from mapreduce_word2vec_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _simhash_sql() -> str:
+    strhash = _SQL_STRHASH.format(s="w")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hh, "
+        f"h -> CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+    toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    hsh AS (SELECT doc_id, list_transform(ws, w -> {strhash}) AS hh FROM toks),
+    sim AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sh FROM hsh)
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sql()},
+    bands AS (
+      SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS key
+      FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash near-dups: banded candidates, Hamming ≤ 2."""
+    from mapreduce_word2vec_spark.operators.dedup import simhash_pairs
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = simhash_pairs(docs, max_hamming=2)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+_SQL_DOT_E = (
+    "list_sum(list_transform(range(1, len(ea) + 1), "
+    "i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))"
+)
+_SQL_NORM_A = "sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_SQL_NORM_B = "sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, embedding AS ea FROM embeddings),
+         b AS (SELECT vec_id, embedding AS eb FROM embeddings),
+         s AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  {_SQL_DOT_E} / ({_SQL_NORM_A} * {_SQL_NORM_B}) AS cos
+           FROM a JOIN b ON a.vec_id < b.vec_id
+         )
+    SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup pairs: cosine ≥ 0.4 (≈ top 0.1% of
+    the synthetic pair distribution)."""
+    from mapreduce_word2vec_spark.operators.similarity import cosine_pairs
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs(emb, emb).where(
+        (F.col("query_id") < F.col("neighbor_id")) & (F.col("cos") >= 0.4)
+    )
+    return pairs.select(
+        F.col("query_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        F.round("cos", 6).alias("cos"),
+    )
+
+
+@register("dedup_mllib_minhash")
+def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH near-dup pairs (est. Jaccard ≥ 0.6). Random
+    hash families → rows-only check + recall property test."""
+    from mapreduce_word2vec_spark.operators.dedup import mllib_minhash_pairs
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = mllib_minhash_pairs(docs, threshold=0.6)
+    return out.withColumn("est_jaccard", F.round("est_jaccard", 6))

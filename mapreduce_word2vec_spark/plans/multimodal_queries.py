@@ -1,1 +1,87 @@
-"""Placeholder — filled in during the round-1 build."""
+"""Multimodal-column queries (binary payload + typed metadata).
+
+The synthetic payload is the document text's UTF-8 bytes, so the
+Arrow/pandas decode path can be oracle-checked: the corpus is ASCII,
+hence byte-level results equal DuckDB's character-level recomputation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.operators.multimodal import N_HIST_BINS
+from mapreduce_word2vec_spark.plans.catalog import register
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'webp' END AS format,
+           CAST(64 + (doc_id % 5) * 32 AS INT) AS width,
+           CAST(64 + (doc_id % 7) * 16 AS INT) AS height
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload attachment + metadata projection (JVM-side:
+    encode → octet_length, struct fields)."""
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    media = attach_media_expr(docs)
+    return media.select(
+        "doc_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+_HIST_TERMS = ", ".join(
+    f"round(list_sum(list_transform(cs, c -> CASE WHEN c % {N_HIST_BINS} = {i} "
+    f"THEN 1.0 ELSE 0.0 END)) / len(cs), 6)"
+    for i in range(N_HIST_BINS)
+)
+
+
+@register(
+    "multimodal_decode",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, list_transform(split(text, ''), ch -> ascii(ch)) AS cs
+      FROM documents
+    )
+    SELECT doc_id, [{_HIST_TERMS}] AS features
+    FROM c
+    """,
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stubbed decode kernel through real mapInPandas plumbing:
+    byte histogram of the payload (ASCII corpus ⇒ equals DuckDB's
+    char-code recomputation)."""
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr, decode_media
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    feats = decode_media(attach_media_expr(docs), impl="fake")
+    return feats.select(
+        "doc_id",
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
+
+
+@register("multimodal_frames")
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling of "video" payloads → (doc, frame, hash, bytes).
+    Deterministic but byte-slicing is easier property-tested than
+    SQL-replicated → rows-only check."""
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr, sample_frames
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return sample_frames(attach_media_expr(docs), n_frames=4)
