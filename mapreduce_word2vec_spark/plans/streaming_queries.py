@@ -1,1 +1,139 @@
-"""Placeholder — filled in during the round-1 build."""
+"""Streaming-semantics queries in batch mode over ``events`` —
+the oracle-checkable half of SURVEY §2.B "Streaming" (stream-mode
+equivalents are exercised in tests/test_streaming.py with
+availableNow replays of the same fixtures and asserted equal to
+these batch results).
+
+Timestamp note: events.ts is nanosecond-precision in parquet; Spark
+reads it truncated to microseconds (see sources.readers). Queries
+therefore only emit window boundaries / second-truncated times,
+which are identical at both precisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.plans.catalog import register
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
+           event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows (batch mode of the streaming op)."""
+    from mapreduce_word2vec_spark.streaming.windows import tumbling_counts
+
+    return tumbling_counts(read_testdata(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH s AS (
+      SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP)
+               - k * INTERVAL '5 minutes' AS window_start,
+             event_type
+      FROM events CROSS JOIN (VALUES (0), (1)) AS t(k)
+    )
+    SELECT window_start, event_type, count(*) AS n
+    FROM s GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10m width, 5m slide): every event lands in two
+    windows — the oracle reproduces Spark's window assignment with two
+    shifted tumbling grids."""
+    from mapreduce_word2vec_spark.streaming.windows import sliding_counts
+
+    return sliding_counts(read_testdata(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, value, ts,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_id, value, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+           CAST(date_trunc('second', max(ts)) AS TIMESTAMP) AS session_end,
+           round(sum(value), 6) AS sum_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization, 30-minute gap (batch lag/cumsum formulation;
+    the stream-mode session_window variant is asserted equivalent in
+    tests)."""
+    from mapreduce_word2vec_spark.streaming.windows import session_counts_batch
+
+    out = session_counts_batch(read_testdata(spark, sf_dir, "events"), gap_minutes=30)
+    return out.withColumn("session_idx", F.col("session_idx").cast("long"))
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id FROM (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-keep-earliest per (user, type) — batch analogue of
+    streaming dropDuplicatesWithinWatermark."""
+    from mapreduce_word2vec_spark.streaming.windows import first_event_per_key
+
+    return first_event_per_key(read_testdata(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_cumulative",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS bucket,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket, event_type, n,
+           CAST(sum(n) OVER (PARTITION BY event_type ORDER BY bucket
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
+    FROM b
+    """,
+)
+def stream_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-type totals over 15-minute buckets — the batch
+    shape of the applyInPandasWithState running counter."""
+    from pyspark.sql import Window
+
+    e = read_testdata(spark, sf_dir, "events")
+    b = (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("bucket"), "event_type", "n")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return b.withColumn("running_total", F.sum("n").over(w))

@@ -1,0 +1,156 @@
+"""Event-time windowing over the ``events`` stream (SURVEY §2.B
+"Streaming").
+
+Each aggregation is defined ONCE as a DataFrame transformation and
+applied to either a batch frame (oracle-comparable against DuckDB)
+or a ``readStream`` frame (Structured Streaming with watermarks) —
+the Spark-first answer to "same query, batch and stream".
+
+Reference lineage: the reference has no streaming at all (SURVEY
+§2.A); these are target-engine capabilities mandated by the north
+star. Scale notes: windowed aggregations shuffle on (window, key);
+watermarks bound state; session windows use Spark's native
+``session_window`` in stream mode and an equivalent lag/gap-cumsum
+formulation in batch mode (both shapes shown below).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per
+    (window, event_type). Works unchanged on batch and stream input."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("sum_value", 6).alias("sum_value"),
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding windows (width 10m, slide 5m ⇒ each event in 2 windows)."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_counts_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: gap > ``gap_minutes`` starts a new
+    session (lag + cumulative-sum-of-boundaries — the classic batch
+    formulation; stream mode uses ``session_window`` instead).
+
+    Output keys sessions by (user, session index) with
+    second-truncated bounds so results are comparable across engines
+    regardless of sub-second timestamp precision."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = gap_minutes * 60
+    with_gap = events.withColumn(
+        "new_session",
+        (
+            F.coalesce(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
+                F.lit(gap_s + 1),
+            )
+            > gap_s
+        ).cast("int"),
+    )
+    with_id = with_gap.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_id.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_trunc("second", F.min("ts")).alias("session_start"),
+            F.date_trunc("second", F.max("ts")).alias("session_end"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Stream sessionization with Spark's native session_window
+    (merging windows + watermark state eviction)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_trunc("second", F.col("w.start")).alias("session_start"),
+            F.date_trunc("second", F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def first_event_per_key(events: DataFrame) -> DataFrame:
+    """Batch dedup: earliest event per (user, type) — deterministic
+    row_number formulation (stream mode uses
+    dropDuplicatesWithinWatermark instead)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_type", F.col("event_id").alias("first_event_id"))
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedup by event_id with bounded state."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def watermarked_tumbling(events: DataFrame, width: str = "5 minutes", delay: str = "10 minutes") -> DataFrame:
+    """Tumbling counts with a watermark: append-mode emission, late
+    rows beyond ``delay`` dropped — the canonical late-data query."""
+    return (
+        events.withWatermark("ts", delay)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+RUNNING_COUNT_SCHEMA = "event_type string, total long"
+_STATE_SCHEMA = "total long"
+
+
+def stateful_running_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: running
+    per-event_type totals across micro-batches (the engine's archetype
+    for arbitrary streaming state)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0
+        for pdf in batches:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "total": [total]})
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        RUNNING_COUNT_SCHEMA,
+        _STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,175 @@
+"""Structured Streaming tests (SURVEY §5.3 ◇: stream-mode windows).
+
+Strategy: replay the batch fixtures through readStream (availableNow
++ memory sink, synchronous via processAllAvailable) and assert the
+streaming result equals the batch result of the SAME transformation —
+plus watermark late-data and custom-state behavior that have no batch
+analogue."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+from mapreduce_word2vec_spark.streaming.windows import (
+    session_counts_stream,
+    stateful_running_counts,
+    stream_dedup,
+    tumbling_counts,
+    watermarked_tumbling,
+)
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Batch events re-written as a parquet directory readStream can
+    consume (µs timestamps, so no nanos special-casing in the stream
+    path)."""
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    read_testdata(spark, SF_SMOKE, "events").write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, sdf, name, output_mode="complete"):
+    q = (
+        sdf.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _rows(df):
+    return sorted([tuple(r) for r in df.collect()], key=repr)
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    batch = read_testdata(spark, SF_SMOKE, "events")
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(spark, tumbling_counts(stream), "t_tumbling")
+    assert _rows(got) == _rows(tumbling_counts(batch))
+
+
+def test_stream_session_window_equals_batch_sessionization(spark, events_dir):
+    """Native session_window (stream) produces the same sessions as
+    the batch lag/cumsum formulation: compare (user, start, end, n)."""
+    from mapreduce_word2vec_spark.streaming.windows import session_counts_batch
+
+    batch = read_testdata(spark, SF_SMOKE, "events")
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(spark, session_counts_stream(stream, "30 minutes"), "t_session")
+    stream_keys = _rows(
+        got.select("user_id", "session_start", "n_events", "sum_value")
+    )
+    batch_keys = _rows(
+        session_counts_batch(batch, 30).select(
+            "user_id", "session_start", "n_events", "sum_value"
+        )
+    )
+    assert stream_keys == batch_keys
+
+
+def test_watermark_drops_late_data(spark):
+    """Two micro-batches: the second contains an event 1h older than
+    the watermark → its window never appears in append output."""
+    d = tempfile.mkdtemp(prefix="late_")
+    try:
+        base = read_testdata(spark, SF_SMOKE, "events").where(F.col("event_id") < 200)
+        on_time = base.where(F.col("event_id") < 190)
+        max_ts = base.agg(F.max("ts")).collect()[0][0]
+        late = (
+            base.where(F.col("event_id") >= 190)
+            .withColumn("ts", F.expr("ts - INTERVAL 5 HOURS"))
+        )
+        on_time.coalesce(1).write.parquet(f"{d}/f0")
+        late.coalesce(1).write.parquet(f"{d}/f1")
+
+        schema = base.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f*")
+        )
+        agg = watermarked_tumbling(stream, "5 minutes", "10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_late")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql("SELECT * FROM t_late")
+        late_windows = {r["window_start"] for r in out.collect()}
+        late_min = late.agg(F.min("ts")).collect()[0][0]
+        # No emitted window may cover the shifted-late region if it
+        # arrived after the watermark passed it.
+        assert all(w > late_min or w <= max_ts for w in late_windows)
+        # Append mode only emits windows finalized by the watermark.
+        assert all(r["n"] >= 1 for r in out.collect())
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Duplicate event_ids across micro-batches are emitted once."""
+    d = tempfile.mkdtemp(prefix="dedup_")
+    try:
+        base = read_testdata(spark, SF_SMOKE, "events").where(F.col("event_id") < 50)
+        base.coalesce(1).write.parquet(f"{d}/f0")
+        base.coalesce(1).write.parquet(f"{d}/f1")  # exact duplicates
+        schema = base.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f*")
+        )
+        q = (
+            stream_dedup(stream, "10 minutes")
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_dedup")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        out = spark.sql("SELECT event_id, count(*) c FROM t_dedup GROUP BY event_id")
+        assert out.where(F.col("c") > 1).count() == 0
+        assert out.count() == 50
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_running_counts(spark, events_dir):
+    """applyInPandasWithState totals equal batch groupBy counts after
+    the full replay."""
+    batch = read_testdata(spark, SF_SMOKE, "events")
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(
+        spark, stateful_running_counts(stream), "t_state", output_mode="update"
+    )
+    # update mode may emit per micro-batch; take the max per key.
+    final = {
+        r["event_type"]: r["mx"]
+        for r in got.groupBy("event_type").agg(F.max("total").alias("mx")).collect()
+    }
+    expected = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == expected
