@@ -42,6 +42,8 @@ _QUERY_MODULES = (
     "mapreduce_word2vec_spark.plans.dedup_queries",
     "mapreduce_word2vec_spark.plans.streaming_queries",
     "mapreduce_word2vec_spark.plans.multimodal_queries",
+    "mapreduce_word2vec_spark.plans.udf_queries",
+    "mapreduce_word2vec_spark.plans.source_queries",
 )
 
 _loaded = False

@@ -128,3 +128,29 @@ def ref_pipeline_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("token", first_token_id(F.col("word")))
         .select("word", "token", "count", F.size("vector").cast("int").alias("dim"))
     )
+
+
+@register("w2v_synonyms")
+def w2v_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """findSynonyms over the trained global model: top-5 nearest words
+    to the corpus's most frequent word (A8's query form, the lookup
+    the reference's cosine feature would have powered). Model-
+    dependent values → rows-only check + metric property tests."""
+    from mapreduce_word2vec_spark.operators.word2vec import sentences_df, train_word2vec
+    from mapreduce_word2vec_spark.session import EngineConfig
+
+    docs = read_testdata(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    sentences = sentences_df(docs)
+    model = train_word2vec(sentences, EngineConfig(layer_size=32))
+    top_word = (
+        sentences.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .first()["w"]
+    )
+    return model.findSynonyms(top_word, 5).select(
+        F.lit(top_word).alias("query_word"),
+        "word",
+        F.round(F.col("similarity").cast("double"), 6).alias("similarity"),
+    )

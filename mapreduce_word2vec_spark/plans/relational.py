@@ -718,3 +718,143 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").alias("qty_o"),
         F.col("F").alias("qty_f"),
     )
+
+
+@register(
+    "join_right_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey
+    FROM supplier RIGHT JOIN nation ON s_nationkey = n_nationkey
+    """,
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER: all nations kept, suppliers where present."""
+    s = rt(spark, sf_dir, "supplier")
+    n = rt(spark, sf_dir, "nation")
+    return s.join(n, s.s_nationkey == n.n_nationkey, "right").select(
+        "n_nationkey", "n_name", "s_suppkey"
+    )
+
+
+@register(
+    "subquery_in_exists",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+    """,
+)
+def subquery_in_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN + correlated EXISTS subqueries (SQL API; Catalyst rewrites
+    both to semi-joins)."""
+    for t in ("orders", "customer", "lineitem"):
+        rt(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 48)
+        """
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 6) AS bal_vs_avg
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+    """,
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (computed once, broadcast)."""
+    rt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               round(c_acctbal - (SELECT avg(c_acctbal) FROM customer), 6) AS bal_vs_avg
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+        """
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+           round(median(l_extendedprice), 6) AS median_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`; the sketch-based approx variant is
+    agg_approx_distinct's sibling and stays rows-only)."""
+    li = rt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias("qty_quartiles"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+    )
+
+
+@register(
+    "sort_nulls_ordering",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_totalprice END AS price_or_null
+    FROM orders
+    ORDER BY price_or_null ASC NULLS FIRST, o_orderkey
+    LIMIT 50
+    """,
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULLS FIRST global sort (engines disagree on the
+    default: Spark = nulls first, DuckDB = nulls last — the operator
+    surface exposes both; the oracle pins one)."""
+    o = rt(spark, sf_dir, "orders")
+    price_or_null = F.when(F.col("o_orderstatus") == "P", None).otherwise(
+        F.col("o_totalprice")
+    )
+    return (
+        o.select(
+            "o_orderkey", "o_orderstatus", price_or_null.alias("price_or_null")
+        )
+        .orderBy(F.col("price_or_null").asc_nulls_first(), "o_orderkey")
+        .limit(50)
+    )
+
+
+@register(
+    "array_functions",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_orderkey, sum(l_quantity) AS qty
+      FROM lineitem WHERE l_orderkey < 100 GROUP BY l_returnflag, l_orderkey
+    )
+    SELECT l_returnflag,
+           list_sort(list(qty ORDER BY l_orderkey)) AS qtys_sorted,
+           len(list(qty)) AS n,
+           round(list_sum(list(qty)), 6) AS total,
+           list_contains(list(l_orderkey), 42) AS has_42,
+           list_sort(list(qty ORDER BY l_orderkey))[1:3] AS smallest3
+    FROM g GROUP BY l_returnflag
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function family: collect → sort → slice/contains/
+    aggregate (collect_list is order-nondeterministic, so everything
+    order-sensitive goes through array_sort)."""
+    li = rt(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    g = li.groupBy("l_returnflag", "l_orderkey").agg(F.sum("l_quantity").alias("qty"))
+    return g.groupBy("l_returnflag").agg(
+        F.array_sort(F.collect_list("qty")).alias("qtys_sorted"),
+        F.count("*").cast("long").alias("n"),
+        F.round(F.aggregate(F.collect_list("qty"), F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "total"
+        ),
+        F.array_contains(F.collect_list("l_orderkey"), 42).alias("has_42"),
+        F.slice(F.array_sort(F.collect_list("qty")), 1, 3).alias("smallest3"),
+    )

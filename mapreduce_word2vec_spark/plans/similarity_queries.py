@@ -107,3 +107,124 @@ def brp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_testdata(spark, sf_dir, "embeddings")
     return brp_lsh_neighbors(emb, threshold=1.2).withColumn("dist", F.round("dist", 6))
+
+
+_SQL_CENTROID = """
+    cent AS (
+      SELECT label,
+             list(avg_v ORDER BY i) AS ce
+      FROM (
+        SELECT label, i, avg(v) AS avg_v
+        FROM (
+          SELECT label,
+                 unnest(range(1, len(embedding) + 1)) AS i,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings
+        ) GROUP BY label, i
+      ) GROUP BY label
+    )
+"""
+
+
+@register(
+    "knn_ivf_probe",
+    oracle=f"""
+    WITH {_SQL_CENTROID},
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    qc AS (
+      SELECT query_id, qe, label AS probe_label,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_sum(list_transform(range(1, len(qe) + 1),
+                                 i -> CAST(qe[i] AS DOUBLE) * ce[i]))
+                        / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                           * sqrt(list_sum(list_transform(ce, x -> x * x)))) DESC,
+                        label
+             ) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce2, label FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(range(1, len(qe) + 1),
+                      i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(ce2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM qc JOIN c ON qc.probe_label = c.label
+      WHERE qc.rn = 1 AND qc.query_id <> c.neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
+    """,
+)
+def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantizer = per-label centroids (label
+    plays the cluster id — deterministic, so oracle-able, unlike a
+    trained k-means); each query probes its nearest centroid's
+    inverted list only. At scale the inverted lists are partitions
+    co-located by cluster id, so a probe touches 1/K of the corpus."""
+    from pyspark.sql import Window
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+
+    # centroids: element-wise mean per label (posexplode → avg → pack)
+    pos = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select(
+            F.col("label").alias("probe_label"),
+            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
+        )
+    )
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr("embedding").alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.desc("cent_cos"), "probe_label"
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn(
+            "cent_cos",
+            dot_expr("qe", "ce") / (F.col("qn") * norm_expr("ce")),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") == 1)
+        .select("query_id", "qe", "qn", "probe_label")
+    )
+
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce2"),
+        norm_expr("embedding").alias("cn"),
+        F.col("label").alias("probe_label"),
+    )
+    scored = (
+        c.join(F.broadcast(probed), "probe_label")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("qe", "ce2") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .withColumn("cos", F.round("cos", 6))
+    )

@@ -1,0 +1,94 @@
+"""Source/sink round-trip queries (SURVEY §2.B "Sources"/"Sinks").
+
+Each query materializes a slice of the parquet fixtures through a
+different format (CSV with explicit schema, JSON, text) into a
+session-scoped temp dir, reads it back, and aggregates — so the
+oracle (straight parquet) verifies BOTH the writer and the reader of
+that format. ``_SUCCESS`` markers are asserted in tests.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.plans.catalog import register
+from mapreduce_word2vec_spark.sources.readers import read_csv, read_json, read_testdata
+from mapreduce_word2vec_spark.sources.writers import write_csv
+
+_TMP = tempfile.mkdtemp(prefix="mw2v_sources_")
+
+
+def _roundtrip_dir(kind: str, sf_dir: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_TMP, f"{kind}_{tag}")
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT n_name, count(*) AS n_supp, round(sum(s_acctbal), 6) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → CSV (header) → read with explicit schema → join+agg.
+    Exercises the CSV writer, the schema-first CSV scan, and header
+    handling; schema-first because inference costs an extra pass."""
+    sup = read_testdata(spark, sf_dir, "supplier")
+    path = _roundtrip_dir("csv_supplier", sf_dir)
+    write_csv(sup, path, header=True)
+    back = read_csv(
+        spark,
+        path,
+        schema="s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double",
+        header=True,
+    )
+    n = read_testdata(spark, sf_dir, "nation")
+    return (
+        back.join(F.broadcast(n), back.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_supp"), F.round(F.sum("s_acctbal"), 6).alias("total_bal"))
+    )
+
+
+@register(
+    "source_json_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → JSON lines → schema-first read → project."""
+    r = read_testdata(spark, sf_dir, "region")
+    path = _roundtrip_dir("json_region", sf_dir)
+    r.write.mode("overwrite").json(path)
+    back = read_json(spark, path, schema="r_regionkey int, r_name string")
+    return back.select("r_regionkey", "r_name")
+
+
+@register(
+    "source_text_lines",
+    oracle="""
+    SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → text-file sink (one line per doc) → text scan
+    (the reference's A1 source) → line/char totals. Newline-free by
+    construction of the synthetic corpus."""
+    d = read_testdata(spark, sf_dir, "documents")
+    path = _roundtrip_dir("text_docs", sf_dir)
+    d.select(F.col("text").alias("value")).write.mode("overwrite").text(path)
+    from mapreduce_word2vec_spark.sources.readers import read_text_corpus
+
+    back = read_text_corpus(spark, path)
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("n_chars"),
+    )

@@ -200,3 +200,49 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fingerprint_expr(tokens_expr("text")).alias("fingerprint")
     )
+
+
+@register(
+    "doc_ml_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter({_SQL_TOKENS}, w -> w NOT IN ({_SQL_STOPSET})) AS ws
+      FROM documents
+    )
+    SELECT gram, count(*) AS n
+    FROM (
+      SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i + 1])) AS gram
+      FROM toks
+    )
+    GROUP BY gram
+    """,
+)
+def doc_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MLlib feature-transformer route to the same text ops
+    (SURVEY §2.B: ml.feature.{{Tokenizer, NGram, StopWordsRemover}}):
+    regex-tokenize → remove stopwords (explicit list, so the oracle
+    matches) → bigrams → counts. Same answer as the expression route
+    (doc_ngrams modulo stopword removal), different machinery."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import NGram, RegexTokenizer, StopWordsRemover
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    # RegexTokenizer lowercases by default; pattern = reference \W+,
+    # then filter the all-letters rule like A4.
+    tok = RegexTokenizer(
+        inputCol="text", outputCol="raw_tokens", pattern=r"\W+", toLowercase=True
+    )
+    stop = StopWordsRemover(
+        inputCol="clean_tokens", outputCol="content_tokens", stopWords=list(STOPWORDS)
+    )
+    ngram = NGram(n=2, inputCol="content_tokens", outputCol="grams")
+    staged = tok.transform(docs).withColumn(
+        "clean_tokens", F.filter("raw_tokens", lambda w: w.rlike("^[a-z]+$"))
+    )
+    pipe_out = Pipeline(stages=[stop, ngram]).fit(staged).transform(staged)
+    return (
+        pipe_out.select(F.explode("grams").alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,87 @@
+"""UDF-surface queries (SURVEY §2.B "UDF surface"): the three pandas
+UDF shapes beyond the scalar archetype (A10 / functions.tokens).
+
+All kernels here are deterministic arithmetic, so even the Python
+paths are oracle-comparable (ratios/z-scores are numerically stable
+enough for 6-dp rounding; raw big sums are avoided)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_word2vec_spark.plans.catalog import register
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+
+@F.pandas_udf(T.DoubleType())
+def _weighted_avg(price: pd.Series, qty: pd.Series) -> float:  # GROUPED_AGG
+    return float((price * qty).sum() / qty.sum())
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6) AS qty_weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: quantity-weighted mean price per
+    return flag (Arrow transfers one group-column batch per group)."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(_weighted_avg("l_extendedprice", "l_quantity"), 6).alias(
+            "qty_weighted_price"
+        )
+    )
+
+
+def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:  # GROUPED_MAP
+    mu = pdf["c_acctbal"].mean()
+    sd = pdf["c_acctbal"].std(ddof=1)  # ddof=1 == SQL stddev_samp
+    pdf["bal_z"] = ((pdf["c_acctbal"] - mu) / sd).round(6)
+    return pdf[["c_custkey", "c_mktsegment", "bal_z"]]
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round((c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_mktsegment))
+                 / stddev_samp(c_acctbal) OVER (PARTITION BY c_mktsegment), 6) AS bal_z
+    FROM customer
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-segment z-score of account
+    balance (each group arrives as one pandas DataFrame)."""
+    c = read_testdata(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        _zscore, schema="c_custkey long, c_mktsegment string, bal_z double"
+    )
+
+
+@register(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT p_partkey,
+           round(p_retailprice * (1.0 + 0.01 * (p_size % 10)), 6) AS adjusted_price
+    FROM part
+    """,
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (beyond the token-id archetype): vectorized
+    price adjustment — one Arrow batch per partition chunk."""
+
+    @F.pandas_udf(T.DoubleType())
+    def adjust(price: pd.Series, size: pd.Series) -> pd.Series:
+        return (price * (1.0 + 0.01 * (size % 10))).round(6)
+
+    p = read_testdata(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", adjust("p_retailprice", "p_size").alias("adjusted_price")
+    )
