@@ -63,6 +63,11 @@ def main() -> None:
     )
     qs = catalog.queries()
 
+    # Warm-up outside the timed region: JVM/codegen warm-up and the
+    # one-time parquet footer reads otherwise land entirely on the
+    # first timed query.
+    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()

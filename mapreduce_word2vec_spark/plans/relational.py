@@ -858,3 +858,37 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_contains(F.collect_list("l_orderkey"), 42).alias("has_42"),
         F.slice(F.array_sort(F.collect_list("qty")), 1, 3).alias("smallest3"),
     )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+           round(max(value), 6) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed aggregation via explicit two-phase salting (events has
+    only a handful of event_type values — the classic hot-key shape).
+    Result is bit-identical to the plain groupBy; the plan differs:
+    the first exchange spreads each hot key over 16 salt buckets."""
+    from mapreduce_word2vec_spark.operators.skew import salted_agg
+
+    e = rt(spark, sf_dir, "events")
+    out = salted_agg(
+        e,
+        ["event_type"],
+        [
+            (F.count("*"), F.sum("n"), "n"),
+            (F.sum("value"), F.sum("sum_value"), "sum_value"),
+            (F.max("value"), F.max("max_value"), "max_value"),
+        ],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    )

@@ -1,0 +1,124 @@
+"""Scale-pattern tests: partitioned writes with partition pruning,
+bucketed co-located joins, salted aggregation equivalence, and the
+Summarizer-based vector mean (MLlib fast path) vs the posexplode
+formulation."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+from tests.conftest import SF_SMOKE
+
+
+def test_partitioned_write_prunes_partitions(spark):
+    """write.partitionBy(year) → a year filter must prune at the scan
+    (PartitionFilters, not a post-scan filter over all files)."""
+    d = tempfile.mkdtemp(prefix="part_orders_")
+    try:
+        o = read_testdata(spark, SF_SMOKE, "orders").withColumn(
+            "o_year", F.year("o_orderdate")
+        )
+        o.write.mode("overwrite").partitionBy("o_year").parquet(d)
+
+        back = spark.read.parquet(d).where(F.col("o_year") == 1996)
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(o_year" in plan
+        expected = o.where(F.col("o_year") == 1996).count()
+        assert back.count() == expected
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Tables bucketed on the join key co-locate: the join plan has no
+    Exchange on either side (the 100 TB pre-partitioning strategy)."""
+    import uuid
+
+    wh = tempfile.mkdtemp(prefix="warehouse_")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    suffix = uuid.uuid4().hex[:8]
+    try:
+        o = read_testdata(spark, SF_SMOKE, "orders")
+        li = read_testdata(spark, SF_SMOKE, "lineitem")
+        t_o, t_li = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+        (o.write.bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+         .option("path", f"{wh}/{t_o}").saveAsTable(t_o))
+        (li.write.bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+         .option("path", f"{wh}/{t_li}").saveAsTable(t_li))
+
+        j = spark.table(t_li).join(
+            spark.table(t_o), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        assert j.count() == li.count()  # every lineitem has its order
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        for t in (f"b_orders_{suffix}", f"b_lineitem_{suffix}"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_salted_agg_equals_plain(spark):
+    from mapreduce_word2vec_spark.operators.skew import salted_agg
+
+    e = read_testdata(spark, SF_SMOKE, "events")
+    plain = {
+        (r["event_type"]): (r["n"], round(r["s"], 6))
+        for r in e.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in salted_agg(
+            e,
+            ["event_type"],
+            [(F.count("*"), F.sum("n"), "n"), (F.sum("value"), F.sum("sum_value"), "sum_value")],
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain(spark):
+    from mapreduce_word2vec_spark.operators.skew import salted_join
+
+    li = read_testdata(spark, SF_SMOKE, "lineitem").select("l_orderkey", "l_quantity")
+    o = read_testdata(spark, SF_SMOKE, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    salted = salted_join(li, o, "l_orderkey", "o_orderkey").count()
+    assert plain == salted
+
+
+def test_summarizer_mean_equals_posexplode_mean(spark):
+    """MLlib Summarizer.mean (single-pass vector aggregator — the
+    fast path for A14 at scale) agrees with the posexplode/avg
+    formulation used by emb_label_mean."""
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.stat import Summarizer
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    via_summarizer = {
+        r["label"]: [round(v, 9) for v in r["mean_arr"]]
+        for r in emb.select(
+            "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
+        )
+        .groupBy("label")
+        .agg(Summarizer.mean(F.col("v")).alias("m"))
+        .select("label", vector_to_array("m").alias("mean_arr"))
+        .collect()
+    }
+    from mapreduce_word2vec_spark.plans.catalog import all_queries
+
+    via_posexplode = {
+        r["label"]: [round(v, 9) for v in r["mean_embedding"]]
+        for r in all_queries()["emb_label_mean"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(via_summarizer) == set(via_posexplode)
+    for k in via_summarizer:
+        assert via_summarizer[k] == pytest.approx(via_posexplode[k], abs=1e-9)
