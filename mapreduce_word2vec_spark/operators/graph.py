@@ -1,0 +1,69 @@
+"""Iterative graph operators on DataFrames.
+
+:func:`connected_components` — min-label propagation over an edge
+list, the standard "duplicate clusters" step after near-dup pair
+generation (MinHash/SimHash/Jaccard pairs → clusters → one canonical
+doc per cluster).
+
+Spark-first shape: each iteration is one join + one aggregation, all
+Catalyst-planned; lineage is cut with ``localCheckpoint`` every few
+rounds so the plan doesn't grow with the iteration count. Converges
+in O(diameter) rounds (not O(V)) because labels propagate through
+BOTH edge directions each round.
+
+No fixed Spark primitive exists for this (GraphFrames is an external
+package), so this is the documented composition — SURVEY's category
+(b): a composition of existing DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``edges``;
+    component = min node id reachable (undirected)."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(max_iterations):
+        # neighbor minimum this round
+        msgs = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy(F.col("d").alias("node2"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(msgs, labels.node == msgs.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+                (F.coalesce("nbr_min", F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            updated = updated.localCheckpoint(eager=True)
+        n_changed = updated.where(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if n_changed == 0:
+            break
+    return labels

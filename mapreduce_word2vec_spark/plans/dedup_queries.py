@@ -220,3 +220,45 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     out = mllib_minhash_pairs(docs, threshold=0.6)
     return out.withColumn("est_jaccard", F.round("est_jaccard", 6))
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                               w -> regexp_matches(w, '^[a-z]+$')) AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    reach(s, d) AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    )
+    SELECT s AS node, least(s, min(d)) AS component
+    FROM reach GROUP BY s
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components (min-label
+    propagation, an iterative DataFrame algorithm) over the exact
+    Jaccard ≥ 0.6 near-dup pairs. The oracle recomputes components
+    with a recursive CTE — full transitive closure is fine at oracle
+    scale; the Spark side converges in O(diameter) join rounds."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.operators.graph import connected_components
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    return connected_components(pairs)

@@ -154,3 +154,28 @@ def w2v_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word",
         F.round(F.col("similarity").cast("double"), 6).alias("similarity"),
     )
+
+
+@register("doc_embedding_knn")
+def doc_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document embeddings (Word2VecModel.transform = average of word
+    vectors — the reference's A14 mean applied per document) + top-3
+    similar docs for doc_id < 5. Model-dependent → rows-only; the
+    near-dup-pairs-embed-closer property is asserted in tests."""
+    from pyspark.ml.functions import vector_to_array
+
+    from mapreduce_word2vec_spark.operators.similarity import knn_bruteforce
+    from mapreduce_word2vec_spark.operators.word2vec import train_word2vec
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+    from mapreduce_word2vec_spark.session import EngineConfig
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    sentences = docs.select(
+        "doc_id", tokens_expr("text").alias("tokens")
+    ).where(F.size("tokens") > 0)
+    model = train_word2vec(sentences, EngineConfig(layer_size=32))
+    emb = model.transform(sentences).select(
+        "doc_id", vector_to_array("features", "float64").alias("embedding")
+    )
+    out = knn_bruteforce(emb, emb.where(F.col("doc_id") < 5), k=3, id_col="doc_id")
+    return out.withColumn("cos", F.round("cos", 6))

@@ -1,0 +1,156 @@
+"""Connected components, approx-distinct error bounds, doc-embedding
+metric property, sliding-window stream mode, and foreachBatch sink."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.sources.readers import read_testdata
+from tests.conftest import SF_SMOKE
+
+
+def test_connected_components_basic(spark):
+    from mapreduce_word2vec_spark.operators.graph import connected_components
+
+    # two chains + one triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    edges = spark.createDataFrame(
+        [
+            Row(id_a=2, id_b=1),
+            Row(id_a=2, id_b=3),
+            Row(id_a=3, id_b=4),
+            Row(id_a=10, id_b=11),
+            Row(id_a=20, id_b=21),
+            Row(id_a=21, id_b=22),
+            Row(id_a=22, id_b=20),
+        ]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 stays within 5% of the exact distinct count
+    (the property check backing the rows-only agg_approx_distinct)."""
+    li = read_testdata(spark, SF_SMOKE, "lineitem")
+    rows = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) <= max(1, 0.05 * r["exact"]), dict(r.asDict())
+
+
+def test_doc_embeddings_neardups_embed_closer(spark):
+    """Planted near-dup documents (Jaccard ≥ 0.9) have higher
+    doc-embedding cosine than the average random pair."""
+    import numpy as np
+    from pyspark.ml.functions import vector_to_array
+
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.operators.word2vec import train_word2vec
+    from mapreduce_word2vec_spark.session import EngineConfig
+
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    sentences = docs.select("doc_id", tokens_expr("text").alias("tokens")).where(
+        F.size("tokens") > 0
+    )
+    model = train_word2vec(sentences, EngineConfig(layer_size=32))
+    emb = {
+        r["doc_id"]: np.array(r["e"])
+        for r in model.transform(sentences)
+        .select("doc_id", vector_to_array("features", "float64").alias("e"))
+        .collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    dups = [
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    ]
+    assert dups
+    dup_cos = np.mean([cos(emb[a], emb[b]) for a, b in dups])
+    rng = np.random.default_rng(0)
+    ids = list(emb)
+    rand_cos = np.mean(
+        [cos(emb[a], emb[b]) for a, b in zip(rng.choice(ids, 200), rng.choice(ids, 200)) if a != b]
+    )
+    # The synthetic corpus shares one ~30-word vocabulary, so ALL
+    # averaged doc vectors are nearly collinear (random-pair cosine
+    # ≈ 0.9994); near-dups must still rank strictly closer.
+    assert dup_cos > rand_cos, (dup_cos, rand_cos)
+
+
+def test_stream_sliding_equals_batch(spark):
+    from mapreduce_word2vec_spark.streaming.windows import sliding_counts
+
+    d = tempfile.mkdtemp(prefix="events_slide_")
+    try:
+        batch = read_testdata(spark, SF_SMOKE, "events")
+        batch.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(batch.schema).parquet(d)
+        q = (
+            sliding_counts(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("t_slide")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = sorted(
+            [tuple(r) for r in spark.sql("SELECT * FROM t_slide").collect()], key=repr
+        )
+        want = sorted([tuple(r) for r in sliding_counts(batch).collect()], key=repr)
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_foreach_batch_exactly_once_sink(spark):
+    """foreachBatch + idempotent overwrite-by-epoch: replaying the
+    same epoch twice leaves one copy (the exactly-once file-sink
+    pattern)."""
+    src = tempfile.mkdtemp(prefix="fb_src_")
+    out = tempfile.mkdtemp(prefix="fb_out_")
+    try:
+        base = read_testdata(spark, SF_SMOKE, "events").where(F.col("event_id") < 100)
+        base.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(base.schema).parquet(src)
+
+        def write_epoch(df, epoch_id):
+            (df.groupBy("event_type").agg(F.count("*").alias("n"))
+             .write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}"))
+
+        q = (
+            stream.writeStream.foreachBatch(write_epoch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{out}/_chk")
+            .start()
+        )
+        q.awaitTermination(60)
+        # materialize before the replay overwrites the files (DataFrames are lazy)
+        first = sorted(map(tuple, spark.read.parquet(f"{out}/epoch=0").collect()))
+        # replay epoch 0 manually — overwrite keeps it idempotent
+        write_epoch(base, 0)
+        again = spark.read.parquet(f"{out}/epoch=0")
+        assert first == sorted(map(tuple, again.collect()))
+        expected = {
+            (r["event_type"], r["n"])
+            for r in base.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+        }
+        assert {tuple(r) for r in again.collect()} == expected
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
