@@ -50,3 +50,20 @@ def first_token_id_py(word: str | None) -> int | None:
 @F.pandas_udf(T.LongType())
 def first_token_id(words: pd.Series) -> pd.Series:
     return words.map(first_token_id_py).astype("Int64")
+
+
+def fallback_token_id_expr(word) -> "F.Column":
+    """The fallback token id as a PURE Catalyst expression (no Python
+    crossing): polynomial fold over the word's character codes — for
+    ASCII words this equals :func:`first_token_id_py`'s fallback on
+    UTF-8 bytes, which makes token-id-bearing outputs oracle-able.
+    The pandas UDF above remains the A10 archetype (and upgrades to
+    real cl100k when tiktoken exists); this is the portable JVM-side
+    variant used where cross-engine determinism is required."""
+    col = F.col(word) if isinstance(word, str) else word
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * _FALLBACK_BASE + c) % _FALLBACK_MOD,
+    )

@@ -60,6 +60,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             from mapreduce_word2vec_spark.runtime import ensure_workers_can_import
 
             ensure_workers_can_import(spark)
+            # Timestamp results must be comparable against a TZ-naive
+            # oracle regardless of how the caller built its session.
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
             return _fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -892,3 +892,95 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 6).alias("sum_value"),
         F.round("max_value", 6).alias("max_value"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, every predicate
+    pushed to parquet; the canonical pushdown benchmark."""
+    li = rt(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking, top-20."""
+    c = rt(spark, sf_dir, "customer")
+    o = rt(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    li = rt(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = rt(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "scalar_misc",
+    oracle="""
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_padded,
+           trim(concat('  ', p_name, '  ')) AS name_trimmed,
+           translate(p_type, 'AEO', 'aeo') AS type_translated,
+           greatest(p_size, 25) AS size_hi,
+           least(p_size, 25) AS size_lo,
+           sign(p_retailprice - 1000.0) AS price_sign,
+           CAST(floor(p_retailprice) AS DOUBLE) AS price_trunc
+    FROM part
+    """,
+)
+def scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar family: padding/trim/translate/greatest/least/
+    sign/trunc."""
+    p = rt(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad("p_brand", 12, "*").alias("brand_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("name_trimmed"),
+        F.translate("p_type", "AEO", "aeo").alias("type_translated"),
+        F.greatest("p_size", F.lit(25)).alias("size_hi"),
+        F.least("p_size", F.lit(25)).alias("size_lo"),
+        F.signum(F.col("p_retailprice") - 1000.0).alias("price_sign"),
+        F.floor("p_retailprice").cast("double").alias("price_trunc"),
+    )

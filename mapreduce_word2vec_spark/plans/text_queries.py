@@ -246,3 +246,42 @@ def doc_ml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("gram")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "doc_ref_output",
+    oracle=f"""
+    WITH counts AS (
+      SELECT word, count(*) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+      GROUP BY word
+    )
+    SELECT word || ',' ||
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(split(word, ''), c -> CAST(ascii(c) AS BIGINT))),
+                (a, b) -> (a * 257 + b) % 100000) AS VARCHAR) || ',' ||
+           CAST(cnt AS VARCHAR) AS line
+    FROM counts
+    """,
+)
+def doc_ref_output(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's output-line construction (A11+A16,
+    ``MapRedWord2Vec.scala:170,232-235``) minus the model-dependent
+    vector part: ``word,<first-token-id>,<count>`` — with the
+    portable JVM-side token id so the whole line is oracle-able."""
+    from mapreduce_word2vec_spark.functions.tokens import fallback_token_id_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.select(
+        F.concat_ws(
+            ",",
+            F.col("word"),
+            fallback_token_id_expr("word").cast("string"),
+            F.col("cnt").cast("string"),
+        ).alias("line")
+    )
