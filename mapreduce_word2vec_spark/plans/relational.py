@@ -984,3 +984,40 @@ def scalar_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(F.col("p_retailprice") - 1000.0).alias("price_sign"),
         F.floor("p_retailprice").cast("double").alias("price_trunc"),
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus,
+             round(o_totalprice * 1.1, 6) AS o_totalprice
+      FROM orders WHERE o_orderkey < 100
+      UNION ALL
+      SELECT -1, 0, 'N', 123.456
+    ),
+    tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT * FROM (
+      SELECT t.* FROM tgt t LEFT JOIN src s USING (o_orderkey) WHERE s.o_orderkey IS NULL
+      UNION ALL
+      SELECT * FROM src
+    )
+    """,
+)
+def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE emulation (no Delta in this environment): update the
+    first 100 orders' prices and insert one new order — the
+    anti-join + union formulation MERGE INTO lowers to."""
+    from mapreduce_word2vec_spark.operators.merge import merge_upsert
+
+    o = rt(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = o.where(F.col("o_orderkey") < 100).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 6)
+    )
+    inserts = spark.createDataFrame(
+        [(-1, 0, "N", 123.456)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return merge_upsert(o, updates.unionByName(inserts), "o_orderkey")

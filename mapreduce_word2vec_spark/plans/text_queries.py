@@ -285,3 +285,123 @@ def doc_ref_output(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("string"),
         ).alias("line")
     )
+
+
+@register(
+    "doc_tfidf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS word FROM toks)
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tf GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.word,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF (smoothed idf, sklearn-style) — top-3 terms per
+    document. Pure DataFrame ops: tf = (doc, word) counts, df = word
+    document frequency, idf broadcast back onto tf. The MLlib
+    HashingTF/IDF route trades exactness for a fixed-width feature
+    space; this is the exact formulation a data pipeline wants for
+    keyword extraction."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(F.broadcast(df), "word").select(
+        "doc_id",
+        "word",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3).drop("rn")
+    )
+
+
+_BM25_TERMS = ("spark", "query", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "doc_bm25_search",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS word FROM toks)
+      WHERE word IN {str(_BM25_TERMS)}
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * ({_BM25_K1} + 1.0)
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl)) AS s
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 6) AS bm25 FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75) for a fixed term set —
+    top-10 documents. Exact relational formulation: per-(doc, term)
+    partial scores summed per doc; document-frequency and length
+    statistics broadcast."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("ws"))
+    dl = toks.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    tf = (
+        toks.select("doc_id", F.explode("ws").alias("word"))
+        .where(F.col("word").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .join(F.broadcast(dl), "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf") * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+                )
+            ).alias("s"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(10)
+    )

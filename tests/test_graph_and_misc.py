@@ -154,3 +154,82 @@ def test_foreach_batch_exactly_once_sink(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_scd2_apply(spark):
+    from mapreduce_word2vec_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            Row(k=1, seg="A", valid_from="2020-01-01", valid_to=None),
+            Row(k=1, seg="OLD", valid_from="2019-01-01", valid_to="2020-01-01"),
+            Row(k=2, seg="B", valid_from="2020-01-01", valid_to=None),
+        ]
+    ).select(
+        "k", "seg",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    updates = spark.createDataFrame([Row(k=1, seg="A2"), Row(k=2, seg="B")]).select(
+        "k", "seg"
+    )
+    out = scd2_apply(dim, updates, "k", ["seg"], batch_time="2021-06-01 00:00:00")
+    rows = sorted(
+        [(r["k"], r["seg"], str(r["valid_to"])) for r in out.collect()]
+    )
+    # k=1 changed: history row kept, old current closed at batch time,
+    # new version open; k=2 unchanged: untouched.
+    assert rows == [
+        (1, "A", "2021-06-01 00:00:00"),
+        (1, "A2", "None"),
+        (1, "OLD", "2020-01-01 00:00:00"),
+        (2, "B", "None"),
+    ]
+
+
+def test_stream_stream_join(spark):
+    """Stream-stream inner join with watermarks: click events join
+    view events of the same user within 30 minutes."""
+    d = tempfile.mkdtemp(prefix="ss_join_")
+    try:
+        base = read_testdata(spark, SF_SMOKE, "events")
+        base.write.mode("overwrite").parquet(d)
+        views = (
+            spark.readStream.schema(base.schema).parquet(d)
+            .where(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+            .withWatermark("view_ts", "1 hour")
+        )
+        clicks = (
+            spark.readStream.schema(base.schema).parquet(d)
+            .where(F.col("event_type") == "click")
+            .select("user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+            .withWatermark("click_ts", "1 hour")
+        )
+        joined = views.join(
+            clicks,
+            (views.user_id == clicks.user_id)
+            & (clicks.click_ts >= views.view_ts)
+            & (clicks.click_ts <= views.view_ts + F.expr("INTERVAL 30 MINUTES")),
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory").queryName("t_ssjoin")
+            .trigger(availableNow=True).start()
+        )
+        q.processAllAvailable(); q.stop()
+        got = spark.sql("SELECT count(*) c FROM t_ssjoin").collect()[0]["c"]
+
+        v = base.where(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("view_ts"), F.col("event_id").alias("view_id"))
+        c = base.where(F.col("event_type") == "click").select(
+            F.col("user_id").alias("u2"), F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id"))
+        want = v.join(
+            c,
+            (v.user_id == c.u2)
+            & (c.click_ts >= v.view_ts)
+            & (c.click_ts <= v.view_ts + F.expr("INTERVAL 30 MINUTES")),
+        ).count()
+        assert got == want and got > 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
