@@ -29,19 +29,31 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 HEADLINE = [
+    # relational
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "window_topk_orders",
     "sort_limit",
+    "merge_upsert",
+    # text / LLM pipeline
     "doc_wordcount",
     "doc_ngrams",
     "doc_fingerprint",
+    "doc_tfidf",
+    "doc_bm25_search",
+    # dedup
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
+    # similarity / vectors
     "knn_bruteforce",
     "knn_bruteforce_blas",
     "emb_label_mean",
+    # multimodal + streaming (batch mode)
+    "multimodal_decode",
     "stream_tumbling",
     "stream_session",
 ]

@@ -130,14 +130,17 @@ def minhash_signatures(
     min over shingles of ``(a*h(s)+b) mod p`` per hash function; all
     arithmetic stays < 2^62 so int64 folds are exact everywhere.
 
-    Physical shape: explode shingles → hash each ONCE → one hash
-    aggregation with 16 ``min`` columns. Keeping the permutations as
-    aggregate expressions (not array higher-order functions) matters:
-    HOFs run interpreted and Catalyst's project-collapsing would
-    re-evaluate the per-shingle hash per permutation — measured 40×
-    slower at sf0.1 in that formulation."""
+    Physical shape: explode shingles → hash each DISTINCT shingle
+    once (corpus-level dedup, broadcast back) → one hash aggregation
+    with 16 ``min`` columns. Two deliberate choices: (a) permutations
+    as aggregate expressions, not array HOFs — HOFs run interpreted
+    and project-collapsing re-evaluates the per-shingle hash per
+    permutation (measured 40× slower at sf0.1); (b) the char-fold
+    hash runs once per distinct string, not per occurrence — natural
+    corpora repeat shingles heavily."""
     sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles_expr(text_col, n)).alias("s"))
-    hashed = sh.select("doc_id", string_hash_expr(F.col("s")).alias("h"))
+    dim = sh.select("s").distinct().select("s", string_hash_expr(F.col("s")).alias("h"))
+    hashed = sh.join(F.broadcast(dim), "s").select("doc_id", "h")
     mins = [
         F.min((F.col("h") * a + b) % MINHASH_P).alias(f"m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
@@ -208,17 +211,23 @@ def simhash_signatures(
     term frequency: bit_j(doc) = 1 iff Σ_tokens (±1 per token's bit j)
     > 0.
 
-    Physical shape mirrors :func:`minhash_signatures`: explode tokens,
-    hash once per token, then ONE hash aggregation with 32 conditional
-    sums (codegen'd) — not per-bit array folds, which would recompute
-    every token hash 32× in the interpreted HOF path."""
+    Physical shape mirrors :func:`minhash_signatures`: per-(doc, word)
+    term frequencies, the char-fold hash computed once per DISTINCT
+    word and broadcast back, then ONE hash aggregation with 32
+    tf-weighted conditional sums (codegen'd) — not per-bit array
+    folds, which would recompute every token hash 32× in the
+    interpreted HOF path."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("w")
     )
-    hashed = toks.select("doc_id", string_hash_expr(F.col("w")).alias("h"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dim = tf.select("w").distinct().select("w", string_hash_expr(F.col("w")).alias("h"))
+    hashed = tf.join(F.broadcast(dim), "w").select("doc_id", "tf", "h")
     sums = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, 1).otherwise(-1)
+            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
         ).alias(f"b{j}")
         for j in range(SIMHASH_BITS)
     ]

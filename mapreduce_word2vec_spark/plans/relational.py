@@ -1021,3 +1021,65 @@ def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
     )
     return merge_upsert(o, updates.unionByName(inserts), "o_orderkey")
+
+
+@register(
+    "map_functions",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag,
+           CAST(cardinality(map_from_entries(list({'k': l_linestatus, 'v': qty}))) AS INT) AS n_statuses,
+           list_sort(map_keys(map_from_entries(list({'k': l_linestatus, 'v': qty})))) AS statuses,
+           map_from_entries(list({'k': l_linestatus, 'v': qty}))['O'][1] AS qty_open
+    FROM g GROUP BY l_returnflag
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map function family: build a status→qty map per return flag
+    (map_from_entries), then size / sorted keys / lookup. Raw maps
+    never appear in the output (map ordering is engine-dependent) —
+    only scalars and sorted arrays derived from them."""
+    li = rt(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("qty")
+    )
+    m = F.map_from_entries(F.collect_list(F.struct("l_linestatus", "qty")))
+    return g.groupBy("l_returnflag").agg(
+        F.size(m).alias("n_statuses"),
+        F.array_sort(F.map_keys(m)).alias("statuses"),
+        F.element_at(m, "O").alias("qty_open"),
+    )
+
+
+@register(
+    "udtf_split_priority",
+    oracle="""
+    SELECT o_orderkey, CAST(split_part(o_orderpriority, '-', 1) AS INT) AS priority_num,
+           split_part(o_orderpriority, '-', 2) AS priority_name
+    FROM orders WHERE o_orderkey < 500
+    """,
+)
+def udtf_split_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): splits '3-MEDIUM'-style priority
+    strings into (num, name) rows — the UDTF surface of the engine
+    (lateral-join shape), deterministic so fully oracle-able."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderkey bigint, priority_num int, priority_name string")
+    class SplitPriority:
+        def eval(self, key: int, prio: str):
+            num, _, name = (prio or "").partition("-")
+            yield key, (int(num) if num.isdigit() else None), name
+
+    spark.udtf.register("split_priority", SplitPriority)
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT t.o_orderkey, t.priority_num, t.priority_name
+        FROM orders, LATERAL split_priority(o_orderkey, o_orderpriority) t
+        WHERE orders.o_orderkey < 500
+        """
+    )
