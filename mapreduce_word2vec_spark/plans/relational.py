@@ -342,6 +342,49 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (SELECT event_id, ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts,
+                          event_id AS purchase_event_id,
+                          value AS purchase_value
+                   FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.ts, c.event_id, c.value,
+           p.purchase_event_id, p.purchase_value, p.ts AS ts_right
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operator Spark lacks; DuckDB `ASOF JOIN` is the
+    oracle): each click event enriched with the same user's most recent
+    prior-or-equal purchase. Union-then-window formulation — a single
+    shuffle on user_id, no inequality-join pair explosion (operators/
+    asof.py)."""
+    from mapreduce_word2vec_spark.operators.asof import asof_join
+
+    ev = rt(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+    )
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
@@ -414,6 +457,47 @@ def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey)  OVER (PARTITION BY o_custkey
+                                         ORDER BY o_totalprice, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS last_ok,
+           nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice, o_orderkey
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                   AND UNBOUNDED FOLLOWING) AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window family: ntile, percent_rank,
+    cume_dist, first/last/nth_value. last/nth use an explicit
+    UNBOUNDED FOLLOWING frame (the default frame stops at CURRENT ROW,
+    which silently gives the running last — a classic correctness
+    trap)."""
+    o = rt(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w_full).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_ok"),
     )
 
 
@@ -953,6 +1037,144 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS-correlated semi join (late shipments,
+    adapted: shipped >60 days after order) then count by priority.
+    Catalyst plans the EXISTS as a left-semi hash join on l_orderkey."""
+    o = rt(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = rt(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio over a fact-dim
+    join; part broadcast, shipdate range pushed to the scan."""
+    li = rt(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = rt(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@register(
+    "q18_large_volume",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM orders
+      JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(l_quantity) > 210) big ON o_orderkey = l_orderkey
+      JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate subquery joined back
+    to orders/customer, top-100. The aggregate runs BEFORE the join, so
+    only the tiny qualifying set joins — order matters at 100 TB."""
+    li = rt(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 210)
+    )
+    o = rt(spark, sf_dir, "orders")
+    c = rt(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q19_disjunctive",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    predicates. Catalyst extracts the common p_partkey = l_partkey
+    equi-condition so this stays a hash join (not a nested loop), with
+    the residual OR as a join filter."""
+    li = rt(spark, sf_dir, "lineitem")
+    p = rt(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    branch = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, size_hi)
+        & (F.col("l_quantity") >= q_lo)
+        & (F.col("l_quantity") <= q_hi)
+    )
+    return j.where(
+        branch("Brand#1", 5, 1, 11)
+        | branch("Brand#13", 10, 10, 20)
+        | branch("Brand#20", 15, 20, 30)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            "revenue"
+        )
     )
 
 

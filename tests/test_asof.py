@@ -1,0 +1,88 @@
+"""As-of join operator (operators/asof.py) — semantics the oracle
+query can't isolate: forward direction, tolerance, equal-timestamp
+inclusivity, multi-column keys, and the no-match null path."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from mapreduce_word2vec_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, _ts("2024-01-01 12:00:00"), "b"),
+            (2, _ts("2024-01-01 11:00:00"), "c"),
+            (3, _ts("2024-01-01 09:00:00"), "d"),  # key with no right rows
+        ],
+        "k int, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 10.0),
+            (1, _ts("2024-01-01 12:00:00"), 20.0),  # equal-ts vs left "b"
+            (2, _ts("2024-01-01 11:30:00"), 30.0),  # after left "c"
+        ],
+        "k int, t timestamp, price double",
+    )
+    return left, right
+
+
+def test_backward_inclusive(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_time="t", right_time="t")
+    rows = {r["tag"]: r for r in out.collect()}
+    assert rows["a"]["price"] == 10.0
+    assert rows["b"]["price"] == 20.0  # equal timestamp matches (inclusive)
+    assert rows["b"]["t_right"] == _ts("2024-01-01 12:00:00")
+    assert rows["c"]["price"] is None  # only later right rows for key 2
+    assert rows["d"]["price"] is None  # key absent from right
+    assert out.count() == left.count()  # left join: row preserved per left row
+
+
+def test_forward(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    direction="forward")
+    rows = {r["tag"]: r for r in out.collect()}
+    assert rows["a"]["price"] == 20.0  # next right at/after 10:00 is 12:00
+    assert rows["b"]["price"] == 20.0  # inclusive on equal ts
+    assert rows["c"]["price"] == 30.0
+    assert rows["d"]["price"] is None
+
+
+def test_tolerance_nulls_out_stale_matches(spark):
+    left, right = _frames(spark)
+    out = asof_join(left, right, on="k", left_time="t", right_time="t",
+                    tolerance_seconds=1800)
+    rows = {r["tag"]: r for r in out.collect()}
+    assert rows["a"]["price"] == 10.0  # 30 min gap: within tolerance
+    assert rows["b"]["price"] == 20.0  # 0 gap
+    # Without tolerance "b" would also see 09:30 row for earlier lefts —
+    # covered above; nothing for c/d either way.
+    out_tight = asof_join(left, right, on="k", left_time="t", right_time="t",
+                          tolerance_seconds=60)
+    rows_t = {r["tag"]: r for r in out_tight.collect()}
+    assert rows_t["a"]["price"] is None  # 30 min > 60 s → stale, nulled
+    assert rows_t["a"]["t_right"] is None
+    assert rows_t["b"]["price"] == 20.0
+
+
+def test_multi_key_and_plan_shape(spark):
+    left, right = _frames(spark)
+    left2 = left.withColumn("g", F.lit("x"))
+    right2 = right.withColumn("g", F.lit("x"))
+    out = asof_join(left2, right2, on=["k", "g"], left_time="t", right_time="t")
+    assert out.count() == 4
+    # Single exchange on the key — the union-window formulation must not
+    # introduce a join (no BroadcastHashJoin/SortMergeJoin in the plan).
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
