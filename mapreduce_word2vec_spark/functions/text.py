@@ -41,13 +41,22 @@ STOPWORDS: tuple[str, ...] = (
 def tokens_expr(text_col: str | Column) -> Column:
     """line → array of reference-semantics word tokens (A2+A3+A4).
 
-    Implemented as array ops (split → filter) rather than
-    explode-then-filter so callers that need per-document arrays
-    (n-grams, fingerprints, Word2Vec input) avoid a premature explode.
+    Implemented as regexp_replace + split, not split + per-token
+    ``rlike`` filter: a ``\\W+``-delimited chunk is ``[a-z0-9_]+``
+    post-lowercase, so erasing every chunk that contains a digit or
+    underscore (the replace) and then splitting on ``[^a-z]+`` yields
+    exactly the pure-letter tokens the reference keeps. Two regex
+    passes over the string beat one interpreted higher-order-function
+    regex per token by ~8× (measured sf0.1); equivalence is pinned by a
+    fuzz test against the split+filter formulation and a Python
+    re.ASCII reimplementation of M:101-102.
+
+    Returns per-document arrays so callers that need them (n-grams,
+    fingerprints, Word2Vec input) avoid a premature explode.
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    split = F.split(F.lower(col), SPLIT_REGEX)
-    return F.filter(split, lambda w: w.rlike(WORD_REGEX))
+    cleaned = F.regexp_replace(F.lower(col), r"[a-z0-9_]*[0-9_][a-z0-9_]*", " ")
+    return F.array_remove(F.split(cleaned, r"[^a-z]+"), "")
 
 
 def explode_words(df: DataFrame, text_col: str, out_col: str = "word") -> DataFrame:

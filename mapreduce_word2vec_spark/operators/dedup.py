@@ -75,14 +75,25 @@ def exact_dedup(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
 
 
 def shingles_expr(text_col: str | Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document.
+
+    Prefer :func:`doc_shingles` on DataFrames: this single-Column form
+    embeds the tokenizer, which ``ngrams_expr`` references n times, and
+    project-collapsing re-evaluates it per reference in the interpreted
+    HOF path. The two-step projection in :func:`doc_shingles` pins the
+    token array behind a non-cheap alias (CollapseProject keeps it),
+    so tokenization runs once per document — measured ~2× on sf0.1."""
     return F.array_distinct(ngrams_expr(tokens_expr(text_col), n))
 
 
 def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
-    """(id, shingle) exploded — one row per distinct shingle."""
-    return df.select(
-        F.col(id_col), F.explode(shingles_expr(text_col, n)).alias("shingle")
+    """(id, shingle) exploded — one row per distinct shingle.
+
+    Two projections on purpose (see :func:`shingles_expr`)."""
+    base = df.select(F.col(id_col), tokens_expr(text_col).alias("_ws"))
+    return base.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(ngrams_expr(F.col("_ws"), n))).alias("shingle"),
     )
 
 
@@ -94,23 +105,33 @@ def ngram_jaccard_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs: |A∩B| via shingle self-join,
-    |A∪B| = |A|+|B|-|A∩B|. One shuffle on shingle, one on the pair."""
+    |A∪B| = |A|+|B|-|A∩B|.
+
+    Set sizes ride along as a window count over the exploded shingles
+    and through the pair aggregation — the sizes-aggregate-plus-two-
+    joins formulation evaluates the (expensive) shingle subtree three
+    times; this one evaluates it once, and the self-join's two sides
+    are identical so AQE reuses the shingle exchange."""
     sh = doc_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sh = sh.select(
+        F.col(id_col),
+        "shingle",
+        F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b"))
     shared = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("shared"))
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
+        shared.select(
             "id_a",
             "id_b",
             (
@@ -138,7 +159,9 @@ def minhash_signatures(
     permutation (measured 40× slower at sf0.1); (b) the char-fold
     hash runs once per distinct string, not per occurrence — natural
     corpora repeat shingles heavily."""
-    sh = df.select(F.col(id_col).alias("doc_id"), F.explode(shingles_expr(text_col, n)).alias("s"))
+    sh = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col).alias("doc_id"), F.col("shingle").alias("s")
+    )
     dim = sh.select("s").distinct().select("s", string_hash_expr(F.col("s")).alias("h"))
     hashed = sh.join(F.broadcast(dim), "s").select("doc_id", "h")
     mins = [
@@ -287,8 +310,10 @@ def mllib_minhash_pairs(
     variant): approxSimilarityJoin at Jaccard distance ≤ 1-threshold."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
-    sh = df.select(F.col(id_col).alias("id"), shingles_expr(text_col).alias("sh")).where(
-        F.size("sh") > 0
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens_expr(text_col).alias("_ws"))
+        .select(F.col("id"), F.array_distinct(ngrams_expr(F.col("_ws"), 3)).alias("sh"))
+        .where(F.size("sh") > 0)
     )
     cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True)
     model = cv.fit(sh)

@@ -17,12 +17,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def merge_upsert(target: DataFrame, source: DataFrame, key: str | list[str]) -> DataFrame:
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | list[str],
+    small_source: bool = False,
+) -> DataFrame:
     """Rows of ``target`` whose key is absent from ``source``, plus
     every row of ``source`` (update-else-insert; source wins).
-    Requires identical schemas (use ``unionByName`` semantics)."""
+    Requires identical schemas (use ``unionByName`` semantics).
+
+    ``small_source=True`` broadcasts the distinct source keys so the
+    anti-join never shuffles the (huge) target — the right plan for the
+    common small-batch-into-big-table merge. Leave False when the
+    source rivals the target in size (shuffled anti-join is then
+    correct) or when source stats are known and AQE can decide."""
     keys = [key] if isinstance(key, str) else key
-    untouched = target.join(source.select(*keys).distinct(), keys, "left_anti")
+    src_keys = source.select(*keys).distinct()
+    if small_source:
+        src_keys = F.broadcast(src_keys)
+    untouched = target.join(src_keys, keys, "left_anti")
     return untouched.unionByName(source)
 
 

@@ -1238,11 +1238,18 @@ def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     updates = o.where(F.col("o_orderkey") < 100).withColumn(
         "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 6)
     )
-    inserts = spark.createDataFrame(
-        [(-1, 0, "N", 123.456)],
-        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, o_totalprice double",
+    # Literal insert row built JVM-side (spark.range), not via a
+    # driver-side createDataFrame: an ExistingRDD has unknown stats and
+    # blocks the broadcast decision for the whole source union.
+    inserts = spark.range(1).select(
+        F.lit(-1).cast("bigint").alias("o_orderkey"),
+        F.lit(0).cast("bigint").alias("o_custkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(123.456).alias("o_totalprice"),
     )
-    return merge_upsert(o, updates.unionByName(inserts), "o_orderkey")
+    return merge_upsert(
+        o, updates.unionByName(inserts), "o_orderkey", small_source=True
+    )
 
 
 @register(

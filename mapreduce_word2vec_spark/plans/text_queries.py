@@ -321,13 +321,17 @@ def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()
-    scored = tf.join(F.broadcast(df), "word").select(
+    # (doc_id, word) is unique in tf, so df = row count of the word
+    # partition — a window over tf instead of a second aggregate +
+    # join, which would tokenize and scan the corpus twice (Catalyst
+    # does not reuse the diverging exchange).
+    df_ = F.count("*").over(Window.partitionBy("word"))
+    scored = tf.select(
         "doc_id",
         "word",
         F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+            F.col("tf") * (F.log((n_docs + 1.0) / (df_ + 1.0)) + 1.0), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
