@@ -781,6 +781,28 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val
+    FROM (UNPIVOT (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+                   FROM lineitem WHERE l_orderkey < 1000)
+          ON l_quantity, l_extendedprice, l_discount INTO NAME metric VALUE val)
+    """,
+)
+def unpivot_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): three measure columns melted into
+    (metric, val) rows — ``DataFrame.unpivot``, a pure narrow
+    projection (no shuffle)."""
+    li = rt(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    )
+
+
+@register(
     "pivot_status",
     oracle="""
     SELECT l_returnflag,

@@ -109,6 +109,33 @@ def stream_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           round(p.value, 6) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '1 hour'
+    """,
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (stream-stream) join: purchases within 1 hour after a
+    click by the same user — batch mode of the watermarked
+    stream-stream join exercised in tests/test_streaming.py."""
+    from mapreduce_word2vec_spark.streaming.windows import (
+        click_purchase_interval_join,
+    )
+
+    e = read_testdata(spark, sf_dir, "events")
+    return click_purchase_interval_join(
+        e.where(F.col("event_type") == "click"),
+        e.where(F.col("event_type") == "purchase"),
+    )
+
+
+@register(
     "stream_cumulative",
     oracle="""
     WITH b AS (

@@ -130,6 +130,40 @@ def watermarked_tumbling(events: DataFrame, width: str = "5 minutes", delay: str
     )
 
 
+def click_purchase_interval_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases within ``within`` AFTER a
+    click by the same user. Works unchanged on batch frames (oracle-
+    comparable) and on two watermarked streams, where the time bound
+    lets Spark evict join state (unbounded-state joins are rejected in
+    append mode). Shuffles both sides on user_id once."""
+    c = clicks.select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        "user_id",
+        "click_id",
+        "click_ts",
+        "purchase_id",
+        "purchase_ts",
+        F.round("purchase_value", 6).alias("purchase_value"),
+    )
+
+
 RUNNING_COUNT_SCHEMA = "event_type string, total long"
 _STATE_SCHEMA = "total long"
 

@@ -173,3 +173,26 @@ def test_stateful_running_counts(spark, events_dir):
         for r in batch.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert final == expected
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    """Watermarked stream-stream interval join (append mode) emits
+    exactly the batch interval-join result once all data is replayed."""
+    from mapreduce_word2vec_spark.streaming.windows import (
+        click_purchase_interval_join,
+    )
+
+    batch = read_testdata(spark, SF_SMOKE, "events")
+    schema = batch.schema
+    s1 = spark.readStream.schema(schema).parquet(events_dir)
+    s2 = spark.readStream.schema(schema).parquet(events_dir)
+    joined = click_purchase_interval_join(
+        s1.where(F.col("event_type") == "click").withWatermark("ts", "2 hours"),
+        s2.where(F.col("event_type") == "purchase").withWatermark("ts", "2 hours"),
+    )
+    got = _run_stream(spark, joined, "t_interval_join", output_mode="append")
+    expected = click_purchase_interval_join(
+        batch.where(F.col("event_type") == "click"),
+        batch.where(F.col("event_type") == "purchase"),
+    )
+    assert _rows(got) == _rows(expected)
