@@ -35,9 +35,11 @@ HEADLINE = [
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q18_large_volume",
     "window_topk_orders",
     "sort_limit",
     "merge_upsert",
+    "join_asof",
     # text / LLM pipeline
     "doc_wordcount",
     "doc_ngrams",
@@ -56,6 +58,7 @@ HEADLINE = [
     "multimodal_decode",
     "stream_tumbling",
     "stream_session",
+    "stream_interval_join",
 ]
 
 
