@@ -409,3 +409,68 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
+
+
+# Knuth multiplicative constant — shared with the oracle SQL below.
+_SAMPLE_HASH_A = 2_654_435_761
+_SAMPLE_HASH_M = 4_294_967_296  # 2^32
+
+
+def _sample_bucket() -> F.Column:
+    """Deterministic per-doc bucket in [0, 100): multiplicative hash of
+    doc_id. The reproducible-sampling pattern for training pipelines —
+    the sample is stable across runs, engines, and partitionings
+    (unlike ``df.sample``, whose output depends on partition layout)."""
+    return (F.col("doc_id") * F.lit(_SAMPLE_HASH_A)) % _SAMPLE_HASH_M % 100
+
+
+@register(
+    "sample_hash_mod",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} % 100 < 10
+    """,
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample by hash-mod on doc_id."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.where(_sample_bucket() < 10).select("doc_id", "lang", "source")
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, lang,
+                      (doc_id * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} % 100 AS bucket
+               FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by hash
+    bucket — reproducible across runs and engines, no shuffle, and a
+    document never migrates between splits when the corpus grows
+    (hash depends only on doc_id)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    b = _sample_bucket()
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
+
+
+@register("sample_stratified")
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: ``sampleBy(lang)`` with per-language
+    fractions (downsample the majority language — corpus rebalancing).
+    Bernoulli sampling is seed-deterministic but partition-layout-
+    dependent → rows-only check + property tests on stratum rates."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    fractions = {"en": 0.2, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 1.0}
+    return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")

@@ -233,3 +233,51 @@ def test_stream_stream_join(spark):
         assert got == want and got > 0
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """sampleBy: per-stratum rates near the requested fractions, same
+    seed → identical sample, and the deterministic hash-mod variants
+    agree with a Python recomputation."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import SF_ORACLE
+
+    q = catalog.all_queries()["sample_stratified"].fn
+    s1 = q(spark, SF_ORACLE).collect()
+    s2 = q(spark, SF_ORACLE).collect()
+    assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
+
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    totals = {
+        r["lang"]: r["n"]
+        for r in read_testdata(spark, SF_ORACLE, "documents")
+        .groupBy("lang").agg(__import__("pyspark.sql.functions", fromlist=["F"]).count("*").alias("n"))
+        .collect()
+    }
+    from collections import Counter
+
+    got = Counter(r["lang"] for r in s1)
+    fractions = {"en": 0.2, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 1.0}
+    for lang, frac in fractions.items():
+        rate = got.get(lang, 0) / totals[lang]
+        assert abs(rate - frac) < 0.25, (lang, rate, frac)
+    # zh stratum at fraction 1.0 must be complete
+    assert got["zh"] == totals["zh"]
+
+
+def test_hash_mod_sample_python_parity(spark):
+    """The hash-mod sample/split is reproducible outside Spark."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import SF_ORACLE
+
+    split = catalog.all_queries()["split_train_val_test"].fn(spark, SF_ORACLE).collect()
+    for r in split:
+        bucket = (r["doc_id"] * 2_654_435_761) % 4_294_967_296 % 100
+        want = "train" if bucket < 80 else ("val" if bucket < 90 else "test")
+        assert r["split"] == want, (r, bucket)
+    counts = {"train": 0, "val": 0, "test": 0}
+    for r in split:
+        counts[r["split"]] += 1
+    n = len(split)
+    assert 0.7 < counts["train"] / n < 0.9
