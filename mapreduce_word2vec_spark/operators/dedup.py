@@ -39,6 +39,44 @@ from mapreduce_word2vec_spark.functions.text import (
     tokens_expr,
 )
 
+def _bucket_pairs(bands: DataFrame, payload: list[str]) -> DataFrame:
+    """Distinct candidate pairs from banded LSH buckets WITHOUT a
+    self-join: collect each (band, key) bucket's members and expand
+    ordered pairs with higher-order functions. The signature subtree
+    is evaluated once (a self-join evaluates it per side — Catalyst
+    does not reuse a broadcast side's diverging exchange), and the
+    pair explosion is O(bucket²) where LSH buckets are small by
+    design. At 100 TB, cap pathological buckets upstream (an over-full
+    bucket means a degenerate band key, not a near-dup cluster).
+
+    ``bands`` must have columns (band, key, doc_id, *payload); output
+    is (id_a, id_b, {p}_a, {p}_b per payload col), distinct."""
+    member = F.struct(F.col("doc_id"), *[F.col(p) for p in payload])
+    buckets = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(member).alias("xs"))
+        .where(F.size("xs") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("xs"),
+            lambda x: F.filter(
+                F.transform(F.col("xs"), lambda y: F.struct(x.alias("a"), y.alias("b"))),
+                lambda p: p["a"]["doc_id"] < p["b"]["doc_id"],
+            ),
+        )
+    )
+    out_cols = [
+        F.col("p.a.doc_id").alias("id_a"),
+        F.col("p.b.doc_id").alias("id_b"),
+        *[F.col(f"p.a.{p}").alias(f"{p}_a") for p in payload],
+        *[F.col(f"p.b.{p}").alias(f"{p}_b") for p in payload],
+    ]
+    return (
+        buckets.select(F.explode(pairs).alias("p")).select(*out_cols).distinct()
+    )
+
+
 # Fixed MinHash constants — shared verbatim with oracle SQL. p is
 # Mersenne 2^31-1; a,b drawn once (any fixed odd-ish values work).
 MINHASH_P = 2_147_483_647
@@ -202,18 +240,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, **kw) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "key"
-    )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "key"
-    )
-    cand = (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
-    )
+    cand = _bucket_pairs(bands, ["sig"])
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -268,8 +295,14 @@ def simhash_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs by SimHash: candidates share ≥1 of 4 8-bit
-    bands, verified with bit_count(xor) ≤ max_hamming."""
-    sh = simhash_signatures(df, id_col, text_col)
+    bands, verified with bit_count(xor) ≤ max_hamming.
+
+    Signatures are persisted before the self-join: 16 bytes/doc vs
+    re-running tokenize+hash+32-way aggregation once per join side
+    (Catalyst evaluates a broadcast join's sides independently). At
+    100 TB the signature table is ~1/10⁵ of the corpus — caching it
+    is the intended scale pattern, not a local-mode hack."""
+    sh = simhash_signatures(df, id_col, text_col).persist()
     bands = sh.select(
         "doc_id",
         "sh",
@@ -285,6 +318,11 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Self-join, NOT _bucket_pairs: simhash band keys are only 8 bits,
+    # so buckets hold ~n/256 documents and the interpreted O(bucket²)
+    # HOF expansion degenerates (measured 25s vs 2.4s at sf0.1). The
+    # codegen'd hash join + filter handles dense buckets fine; MinHash
+    # (high-entropy 4-hash keys, tiny buckets) uses _bucket_pairs.
     a = bands.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
     cand = (

@@ -781,6 +781,86 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_statistics",
+    oracle="""
+    WITH mu AS (SELECT l_returnflag, avg(l_quantity) AS mu FROM lineitem GROUP BY 1),
+    s AS (
+      SELECT l.l_returnflag,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(covar_pop(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+             round(stddev_samp(l_quantity), 6) AS sd_qty,
+             avg(pow(l_quantity - mu, 2)) AS m2,
+             avg(pow(l_quantity - mu, 3)) AS m3,
+             avg(pow(l_quantity - mu, 4)) AS m4,
+             median(l_quantity) AS med_qty,
+             mode(l_linestatus) AS mode_status
+      FROM lineitem l JOIN mu USING (l_returnflag) GROUP BY 1
+    )
+    SELECT l_returnflag, corr_qty_price, covar_qty_price, sd_qty,
+           round(m3 / pow(m2, 1.5), 5) AS skew_qty,
+           round(m4 / pow(m2, 2) - 3.0, 5) AS kurt_qty,
+           med_qty, mode_status
+    FROM s
+    """,
+)
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: corr / covar_pop / stddev /
+    skewness / kurtosis / exact median / mode. Spark's skewness and
+    kurtosis are POPULATION (biased) moments — the oracle recomputes
+    them from raw moments because DuckDB's built-ins are
+    sample-corrected (systematically off by ~3/n)."""
+    li = rt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.skewness("l_quantity"), 5).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 5).alias("kurt_qty"),
+        F.median("l_quantity").alias("med_qty"),
+        F.mode("l_linestatus").alias("mode_status"),
+    )
+
+
+@register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name,
+             regexp_extract(p_name, '(\\S+)$', 1) AS block
+      FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: near-duplicate product names by edit
+    distance ≤ 3. Blocked self-join (block = last word), never
+    all-pairs — the standard entity-resolution shape: candidate
+    generation by a cheap equi-key, verification by the expensive
+    metric. Names deduplicated BEFORE pairing so the edit distance
+    runs once per distinct pair."""
+    names = (
+        rt(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.regexp_extract("p_name", r"(\S+)$", 1))
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= 3)
+        .select("name_a", "name_b", F.col("dist").cast("int").alias("dist"))
+    )
+
+
+@register(
     "unpivot_lineitem",
     oracle="""
     SELECT l_orderkey, l_linenumber, metric, CAST(val AS DOUBLE) AS val
