@@ -46,6 +46,7 @@ HEADLINE = [
     "doc_fingerprint",
     "doc_tfidf",
     "doc_bm25_search",
+    "pipeline_curation",
     # dedup
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -474,3 +474,72 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     fractions = {"en": 0.2, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 1.0}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
+@register(
+    "pipeline_curation",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_SQL_TOKENS} AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, ws,
+             round(
+               0.4 * least(CAST(len(ws) AS DOUBLE) / 20.0, 1.0)
+               + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
+               + 0.3 * least((CASE WHEN len(ws) > 0
+                              THEN CAST(len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS DOUBLE) / len(ws)
+                              ELSE 0.0 END) * 4.0, 1.0),
+             6) AS quality
+      FROM t
+    ), fp AS (
+      SELECT doc_id, lang, quality,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ws, w ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      FROM scored WHERE quality >= 0.5
+    ), dedup AS (
+      SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM fp
+    )
+    SELECT doc_id, lang, quality,
+           CASE WHEN (doc_id * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} % 100 < 80 THEN 'train'
+                WHEN (doc_id * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} % 100 < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM dedup WHERE rn = 1
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship LLM corpus-curation pipeline, end to end and fully
+    deterministic: quality scoring → threshold filter → exact near-dup
+    removal by rolling-hash fingerprint (min doc_id survives) →
+    reproducible train/val/test assignment. One narrow scan, one
+    shuffle (the fingerprint dedup window) — the whole curation pass
+    over 100 TB costs a single exchange of (doc_id, fingerprint,
+    quality) tuples, never the text."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", tokens_expr("text").alias("_ws"),
+                       quality_score_expr(F.col("text")).alias("quality"))
+    scored = base.where(F.col("quality") >= 0.5).select(
+        "doc_id", "lang", "quality", fingerprint_expr(F.col("_ws")).alias("fingerprint")
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    surv = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    b = _sample_bucket()
+    return surv.select(
+        "doc_id",
+        "lang",
+        "quality",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+    )
