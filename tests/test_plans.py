@@ -53,3 +53,57 @@ def test_wordcount_single_exchange(spark):
 def test_semi_anti_join_operators(spark):
     assert "LeftSemi" in _plan(spark, "join_semi")
     assert "LeftAnti" in _plan(spark, "join_anti")
+
+
+def test_asof_join_is_single_shuffle_no_join(spark):
+    """The as-of join must stay union+window: one hash exchange on the
+    key, zero join operators (a range-join formulation would explode)."""
+    plan = _plan(spark, "join_asof")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q14_broadcasts_part_and_pushes_shipdate(spark):
+    plan = _plan(spark, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q19_stays_hash_join_on_partkey(spark):
+    """Catalyst must extract the common equi-condition from the OR of
+    conjunctions — a nested-loop/cartesian plan here is a scale bug."""
+    plan = _plan(spark, "q19_disjunctive")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_merge_upsert_broadcast_anti_join(spark):
+    """Small-batch MERGE must never shuffle the target table."""
+    plan = _plan(spark, "merge_upsert")
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_unpivot_is_narrow(spark):
+    assert "Exchange" not in _plan(spark, "unpivot_lineitem")
+
+
+def test_split_assignment_is_narrow(spark):
+    """Hash-mod sampling/splits must be shuffle-free scans."""
+    assert "Exchange" not in _plan(spark, "split_train_val_test")
+    assert "Exchange" not in _plan(spark, "sample_hash_mod")
+
+
+def test_curation_pipeline_single_shuffle(spark):
+    """Whole curation pass = one exchange (the fingerprint dedup
+    window); the text column must not survive past the first project."""
+    plan = _plan(spark, "pipeline_curation")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fuzzy_pairs_no_cartesian(spark):
+    plan = _plan(spark, "fuzzy_name_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
