@@ -75,3 +75,31 @@ def test_topk_window_at_scale(spark, big_lineitem):
     n_parts = read_testdata(spark, SF_MID, "part").count()
     assert top["parts"] == n_parts
     assert top["n"] == n_parts * 2  # every part has >=2 lineitems at 16x
+
+
+def test_asof_join_at_scale(spark):
+    """As-of join over ~1.6M left rows x 100k users: the union+window
+    formulation completes with one shuffle and preserves the exact
+    per-row matches of the base run (replicating the LEFT side only
+    cannot change any match — each left row still sees the same right
+    history)."""
+    from mapreduce_word2vec_spark.operators.asof import asof_join
+
+    ev = read_testdata(spark, SF_MID, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "ts", "user_id")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    big_clicks = clicks
+    for _ in range(REPLICATION - 1):
+        big_clicks = big_clicks.unionAll(clicks)
+
+    base = asof_join(clicks, purch, on="user_id", left_time="ts", right_time="ts",
+                     right_cols=["purchase_id"])
+    big = asof_join(big_clicks, purch, on="user_id", left_time="ts", right_time="ts",
+                    right_cols=["purchase_id"])
+    base_pairs = {(r["event_id"], r["purchase_id"]) for r in base.collect()}
+    agg = big.groupBy("event_id", "purchase_id").count()
+    big_rows = agg.collect()
+    assert {(r["event_id"], r["purchase_id"]) for r in big_rows} == base_pairs
+    assert all(r["count"] == REPLICATION for r in big_rows)
