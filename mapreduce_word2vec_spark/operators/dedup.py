@@ -325,15 +325,16 @@ def simhash_pairs(
     # (high-entropy 4-hash keys, tiny buckets) uses _bucket_pairs.
     a = bands.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
     b = bands.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
-    cand = (
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Hamming filter BEFORE the distinct: same result (row-level
+    # predicate commutes with dedup) but the distinct's shuffle carries
+    # only verified near-dups, not every banding collision.
+    return (
         a.join(b, ["band", "key"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )
 
 

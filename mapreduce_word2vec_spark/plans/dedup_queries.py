@@ -262,3 +262,52 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(docs, threshold=0.6)
     return connected_components(pairs)
+
+
+@register(
+    "dedup_survivors",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                               w -> regexp_matches(w, '^[a-z]+$')) AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    reach(s, d) AS (
+      SELECT s, d FROM sym
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s)
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operational output of near-dup removal: the corpus AFTER
+    dropping every non-representative member of each exact-Jaccard
+    duplicate cluster (min doc_id survives; singletons untouched).
+    Spark side = connected components → anti-join; the anti-join's
+    build side is only the duplicate members, which near-dup corpora
+    keep tiny relative to the corpus."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.operators.graph import connected_components
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    comps = connected_components(ngram_jaccard_pairs(docs, threshold=0.6))
+    dropped = comps.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(dropped, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
