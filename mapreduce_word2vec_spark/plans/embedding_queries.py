@@ -179,3 +179,62 @@ def doc_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knn_bruteforce(emb, emb.where(F.col("doc_id") < 5), k=3, id_col="doc_id")
     return out.withColumn("cos", F.round("cos", 6))
+
+
+@register(
+    "emb_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, embedding,
+             sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN nrm > 0
+                THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 6))
+                ELSE list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) END AS unit
+    FROM n
+    """,
+)
+def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column (pure HOF arithmetic, no
+    shuffle). Pre-normalizing once turns every downstream cosine into
+    a dot product — the standard preparation before similarity
+    search at scale."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.when(
+        nrm > 0, F.transform(v, lambda x: F.round(x / nrm, 6))
+    ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
+    return emb.select("vec_id", unit.alias("unit"))
+
+
+@register(
+    "emb_quantize",
+    oracle="""
+    SELECT vec_id,
+           list_transform(embedding,
+             x -> CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127) AS TINYINT)) AS q8,
+           round(list_sum(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE)
+                      - CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127) AS DOUBLE) / 127))) /
+             len(embedding), 6) AS mean_abs_err
+    FROM embeddings
+    """,
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (clamp to
+    [-1,1], scale by 127) plus per-vector mean reconstruction error —
+    the 4x storage/bandwidth reduction a 100 TB embedding store runs
+    before ANN indexing. Deterministic arithmetic, shuffle-free."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    qx = lambda x: F.round(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)) * 127)  # noqa: E731
+    q8 = F.transform(v, lambda x: qx(x).cast("tinyint"))
+    err = F.round(
+        F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x - qx(x) / 127.0))
+        / F.size(v),
+        6,
+    )
+    return emb.select("vec_id", q8.alias("q8"), err.alias("mean_abs_err"))
