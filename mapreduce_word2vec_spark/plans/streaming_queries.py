@@ -164,3 +164,84 @@ def stream_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     return b.withColumn("running_total", F.sum("n").over(w))
+
+
+@register(
+    "events_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(t_signup) AS n_signup,
+           sum(CASE WHEN t_click >= t_signup THEN 1 ELSE 0 END) AS n_signup_click,
+           sum(CASE WHEN t_click >= t_signup AND t_purchase >= t_click
+                    THEN 1 ELSE 0 END) AS n_full_funnel
+    FROM u
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup → click → purchase, ordered by each
+    user's FIRST occurrence of each step): one conditional-min
+    aggregation per user, then one global rollup — two shuffles total
+    regardless of event volume."""
+    e = read_testdata(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    u = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    stepped = F.col("t_click") >= F.col("t_signup")
+    full = stepped & (F.col("t_purchase") >= F.col("t_click"))
+    return u.agg(
+        F.count("*").alias("n_users"),
+        F.count("t_signup").alias("n_signup"),
+        F.sum(F.when(stepped, 1).otherwise(0)).alias("n_signup_click"),
+        F.sum(F.when(full, 1).otherwise(0)).alias("n_full_funnel"),
+    )
+
+
+@register(
+    "events_retention",
+    oracle="""
+    WITH first_week AS (
+      SELECT user_id, CAST(min(date_trunc('week', ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+      FROM events
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+           count(*) AS active_users
+    FROM activity JOIN first_week USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    counted per week offset. The cohort dimension (one row per user)
+    broadcasts back onto the distinct (user, week) activity set."""
+    e = read_testdata(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    first_week = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = e.select("user_id", week.alias("week")).distinct()
+    return (
+        activity.join(F.broadcast(first_week), "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )
