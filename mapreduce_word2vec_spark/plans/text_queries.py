@@ -374,34 +374,44 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 documents. Exact relational formulation: per-(doc, term)
     partial scores summed per doc; document-frequency and length
     statistics broadcast."""
+    from pyspark.sql import Window
+
     docs = read_testdata(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", tokens_expr("text").alias("ws"))
-    dl = toks.select("doc_id", F.size("ws").alias("dl"))
-    stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
-    tf = (
-        toks.select("doc_id", F.explode("ws").alias("word"))
-        .where(F.col("word").isin(*_BM25_TERMS))
+    # One tokenize pass total: the full (doc, word, tf) table is
+    # vocabulary-sized (persistable even at corpus scale); document
+    # length = window sum over it BEFORE the term filter, document
+    # frequency = window count AFTER — no self-joins, no re-scan.
+    tf_all = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
+        .persist()
     )
-    df = tf.groupBy("word").agg(F.count("*").alias("df"))
-    scored = (
-        tf.join(F.broadcast(df), "word")
-        .join(F.broadcast(dl), "doc_id")
-        .select(
-            "doc_id",
-            (
-                F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf") * (_BM25_K1 + 1.0)
-                / (
-                    F.col("tf")
-                    + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
-                )
-            ).alias("s"),
-        )
+    with_dl = tf_all.select(
+        "doc_id", "word", "tf",
+        F.sum("tf").over(Window.partitionBy("doc_id")).alias("dl"),
+    )
+    stats = (
+        with_dl.select("doc_id", "dl")
+        .distinct()
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+        .collect()[0]
+    )
+    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
+    matched = with_dl.where(F.col("word").isin(*_BM25_TERMS)).select(
+        "doc_id", "word", "tf", "dl",
+        F.count("*").over(Window.partitionBy("word")).alias("df"),
+    )
+    scored = matched.select(
+        "doc_id",
+        (
+            F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * (_BM25_K1 + 1.0)
+            / (
+                F.col("tf")
+                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+            )
+        ).alias("s"),
     )
     return (
         scored.groupBy("doc_id")
