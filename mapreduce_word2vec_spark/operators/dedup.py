@@ -150,12 +150,14 @@ def ngram_jaccard_pairs(
     joins formulation evaluates the (expensive) shingle subtree three
     times; this one evaluates it once, and the self-join's two sides
     are identical so AQE reuses the shingle exchange."""
+    # Persisted for the same reason as minhash_signatures: the window
+    # output feeds both sides of the self-join.
     sh = doc_shingles(df, id_col, text_col, n)
     sh = sh.select(
         F.col(id_col),
         "shingle",
         F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
-    )
+    ).persist()
     a = sh.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b"))
     shared = (
@@ -197,8 +199,15 @@ def minhash_signatures(
     permutation (measured 40× slower at sf0.1); (b) the char-fold
     hash runs once per distinct string, not per occurrence — natural
     corpora repeat shingles heavily."""
-    sh = doc_shingles(df, id_col, text_col, n).select(
-        F.col(id_col).alias("doc_id"), F.col("shingle").alias("s")
+    # Persisted because the exploded shingles feed two consumers (the
+    # distinct-hash dim and the probe side) and recomputing means
+    # re-tokenizing and re-shingling the corpus — measured 2× at sf0.1.
+    # MEMORY_AND_DISK: at corpus scale this spills rather than OOMs,
+    # and a disk read still beats the regex+HOF recompute.
+    sh = (
+        doc_shingles(df, id_col, text_col, n)
+        .select(F.col(id_col).alias("doc_id"), F.col("shingle").alias("s"))
+        .persist()
     )
     dim = sh.select("s").distinct().select("s", string_hash_expr(F.col("s")).alias("h"))
     hashed = sh.join(F.broadcast(dim), "s").select("doc_id", "h")
