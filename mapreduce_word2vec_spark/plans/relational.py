@@ -735,6 +735,63 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_date_arith",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP) AS plus_45d,
+           CAST(date_part('dow', o_orderdate) AS INT) AS dow,
+           CAST(date_part('doy', o_orderdate) AS INT) AS doy,
+           CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS ym
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second date family: month arithmetic (both engines clamp
+    Jan 31 + 1 month to Feb 28), last_day, day offsets, day-of-week/
+    year, and formatting. Spark dayofweek is 1=Sunday; DuckDB dow is
+    0=Sunday — aligned via -1."""
+    o = rt(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.date_add(F.col("o_orderdate").cast("date"), 45).cast("timestamp").alias("plus_45d"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.dayofyear("o_orderdate").alias("doy"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "sql_direct_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql_direct_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry path: temp views + ``spark.sql`` with the SAME
+    ANSI text the oracle runs — demonstrating that every catalog
+    operator is equally reachable through SQL (one parser, one
+    optimizer, identical plans to the DataFrame API)."""
+    rt(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+@register(
     "scalar_case_null",
     oracle="""
     SELECT c_custkey,
