@@ -311,3 +311,112 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(dropped, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "dedup_ngram_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 6),
+                     i -> list_aggregate(ws[i : i + 7], 'string_agg', ' ')))) AS gram
+      FROM toks
+    )
+    SELECT gram, count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM grams
+    GROUP BY gram HAVING count(*) > 1
+    """,
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication detection (the train-set
+    memorization risk check): 8-token spans appearing verbatim in more
+    than one document. One explode + one aggregation; the HAVING
+    filter is partial-aggregated so singleton spans — the vast
+    majority — die map-side."""
+    from mapreduce_word2vec_spark.functions.text import ngrams_expr, tokens_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens_expr("text").alias("_ws"))
+    grams = base.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_expr(F.col("_ws"), 8))).alias("gram"),
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "doc_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\d{3}[-.]\d{3,4}[-.]\d{4}', '<PHONE>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '\d{3}[-.]\d{3,4}[-.]\d{4}')) AS INT) AS n_phones
+    FROM documents
+    """,
+)
+def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails, phone-shaped numbers → typed
+    placeholders) with per-document redaction counts — the corpus
+    cleaning step before training. Pure JVM regex, shuffle-free."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(f"({email})"), 1)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(f"({phone})"), 0)).alias("n_phones"),
+    )
+
+
+# Frozen "benchmark" phrase list for the decontamination check — tiny
+# by construction (real decontamination broadcasts the benchmark set).
+_CONTAM_PHRASES = (
+    "row column sort",
+    "stream table hash",
+    "window fast query",
+)
+
+
+@register(
+    "doc_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                     i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS gram
+      FROM toks
+    )
+    SELECT DISTINCT doc_id, gram AS matched_phrase
+    FROM grams
+    WHERE gram IN {str(_CONTAM_PHRASES)}
+    """,
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents containing any 3-gram from
+    a (broadcast) benchmark phrase set. The IN-filter folds to a hash
+    lookup before the explode's aggregation — no join, no second pass
+    over the corpus; real pipelines broadcast the phrase table and
+    semi-join instead when it no longer fits a literal list."""
+    from mapreduce_word2vec_spark.functions.text import ngrams_expr, tokens_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens_expr("text").alias("_ws"))
+    grams = base.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_expr(F.col("_ws"), 3))).alias("gram"),
+    )
+    return (
+        grams.where(F.col("gram").isin(*_CONTAM_PHRASES))
+        .select("doc_id", F.col("gram").alias("matched_phrase"))
+        .distinct()
+    )

