@@ -553,3 +553,55 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
     )
+
+
+@register(
+    "doc_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    f AS (
+      SELECT doc_id, len(ws) AS n_tokens,
+             len(list_distinct(ws)) AS n_distinct,
+             CASE WHEN len(ws) > 0 THEN (
+               SELECT max(c) FROM (
+                 SELECT count(*) AS c FROM (SELECT unnest(ws) AS w) GROUP BY w
+               )
+             ) ELSE 0 END AS top_freq
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CASE WHEN n_tokens > 0 THEN CAST(n_distinct AS DOUBLE) / n_tokens ELSE 1.0 END, 6) AS distinct_ratio,
+           round(CASE WHEN n_tokens > 0 THEN CAST(top_freq AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS top_token_ratio,
+           (n_tokens >= 20 AND CAST(n_distinct AS DOUBLE) / n_tokens < 0.3) AS is_repetitive
+    FROM f
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition filter (Gopher/RefinedWeb-style):
+    distinct-token ratio and most-frequent-token share per document,
+    with a boolean verdict. Computed entirely with array HOFs behind
+    one projection barrier — no explode, no shuffle: aggregate(...)
+    folds a frequency map per row."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens_expr("text").alias("_ws"))
+    n = F.size("_ws")
+    n_distinct = F.size(F.array_distinct("_ws"))
+    # top token frequency without exploding: count each distinct
+    # token's occurrences via a nested HOF (distinct list is short).
+    top_freq = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct("_ws"),
+                lambda w: F.size(F.filter(F.col("_ws"), lambda x: x == w)),
+            )
+        ),
+        F.lit(0),
+    )
+    return base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(F.when(n > 0, n_distinct / n).otherwise(1.0), 6).alias("distinct_ratio"),
+        F.round(F.when(n > 0, top_freq / n).otherwise(0.0), 6).alias("top_token_ratio"),
+        ((n >= 20) & (n_distinct / n < 0.3)).alias("is_repetitive"),
+    )
