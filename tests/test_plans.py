@@ -107,3 +107,12 @@ def test_fuzzy_pairs_no_cartesian(spark):
     plan = _plan(spark, "fuzzy_name_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_spans_partial_aggregation(spark):
+    """Singleton spans must die map-side (partial count before the
+    exchange) — at corpus scale the shuffle carries only span counts,
+    and the HAVING filter runs post-merge."""
+    plan = _plan(spark, "dedup_ngram_spans")
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -103,3 +103,42 @@ def test_asof_join_at_scale(spark):
     big_rows = agg.collect()
     assert {(r["event_id"], r["purchase_id"]) for r in big_rows} == base_pairs
     assert all(r["count"] == REPLICATION for r in big_rows)
+
+
+def test_curation_pipeline_at_scale(spark):
+    """Curation over a 16x-replicated corpus (~80k docs): completes,
+    and replication only multiplies the survivor count per fingerprint
+    by 1 (dedup collapses all copies — the survivor set is EXACTLY the
+    base survivor set, since replicas share fingerprints and min
+    doc_id picks the same winner)."""
+    from pyspark.sql import Window
+    from mapreduce_word2vec_spark.functions.text import (
+        fingerprint_expr,
+        quality_score_expr,
+        tokens_expr,
+    )
+
+    docs = read_testdata(spark, SF_MID, "documents")
+    big = docs
+    for _ in range(REPLICATION - 1):
+        big = big.unionAll(docs)
+
+    def survivors(d):
+        base = d.select(
+            "doc_id",
+            tokens_expr("text").alias("_ws"),
+            quality_score_expr(F.col("text")).alias("quality"),
+        )
+        scored = base.where(F.col("quality") >= 0.5).select(
+            "doc_id", fingerprint_expr(F.col("_ws")).alias("fp")
+        )
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id")
+        )
+
+    base_ids = {r["doc_id"] for r in survivors(docs).collect()}
+    big_ids = {r["doc_id"] for r in survivors(big).collect()}
+    assert big_ids == base_ids
