@@ -47,7 +47,9 @@ HEADLINE = [
     "doc_tfidf",
     "doc_bm25_search",
     "pipeline_curation",
+    "doc_redact_pii",
     # dedup
+    "dedup_ngram_spans",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
