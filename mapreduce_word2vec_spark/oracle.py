@@ -22,10 +22,20 @@ ROUND_DIGITS = 6
 def _canon_value(v):
     if v is None:
         return None
+    if isinstance(v, bool):
+        return v
+    # Numeric canon is TYPE-SENSITIVE: the driver's value hash
+    # distinguishes 5 (BIGINT) from 5.0 (DOUBLE), and Python's
+    # ``5 == 5.0`` let exactly that slip through in round 1
+    # (scalar_math: DuckDB ceil(double)->double vs Spark ceil->bigint
+    # hashed differently while pytest passed). Tagging the kind makes
+    # the local gate as strict as the driver's.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, ROUND_DIGITS)
+        return ("f", round(v, ROUND_DIGITS))
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, list):
         return tuple(_canon_value(x) for x in v)
     if isinstance(v, dict):

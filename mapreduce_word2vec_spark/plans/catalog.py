@@ -48,6 +48,79 @@ _QUERY_MODULES = (
 
 _loaded = False
 
+# The driver's CORRECTNESS check covers only the FIRST 50 registrations
+# (CORRECTNESS_r01.json is exactly the first 50 in catalog order), so
+# registration order is verification budget. Round 1 spent the window
+# on text+relational; this list rotates the window for round 2 onto the
+# 50 oracle-backed queries that have no driver row yet — one green row
+# per §2.B family representative (relational gaps, embedding,
+# similarity, dedup, streaming, multimodal, UDF, sources) plus the
+# re-checks for this round's fixes (scalar_math, events_retention,
+# dedup_embedding_cosine). Everything not listed keeps its original
+# registration order behind these; queries verified in an earlier
+# round stay registered (and pytest-gated) but yield their slot.
+_PRIORITY = (
+    # relational queries with no round-1 driver row + the scalar_math fix
+    "scalar_math",
+    "join_right_outer",
+    "agg_percentile",
+    "sort_nulls_ordering",
+    "array_functions",
+    "map_functions",
+    "scalar_misc",
+    "pivot_status",
+    "subquery_in_exists",
+    "merge_upsert",
+    "udtf_split_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume",
+    "q19_disjunctive",
+    # embedding ops
+    "emb_label_mean",
+    "emb_normalize",
+    "emb_quantize",
+    # similarity search
+    "knn_bruteforce",
+    "knn_sign_lsh",
+    "knn_ivf_probe",
+    # dedup / corpus safety
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_survivors",
+    "dedup_ngram_spans",
+    "doc_redact_pii",
+    "doc_contamination",
+    # streaming (batch-mode oracles)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup_first",
+    "stream_interval_join",
+    "stream_cumulative",
+    "events_funnel",
+    "events_retention",
+    # multimodal
+    "multimodal_meta",
+    "multimodal_decode",
+    # UDF surface
+    "udf_scalar_pandas",
+    "udf_grouped_agg",
+    "udf_grouped_map",
+    # source round-trips
+    "source_csv_roundtrip",
+    "source_json_roundtrip",
+    "source_text_lines",
+    # deterministic stratified sampling (new this round)
+    "sample_stratified_hash",
+)
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -83,7 +156,9 @@ def _load() -> None:
 
 def all_queries() -> dict[str, Query]:
     _load()
-    return dict(_REGISTRY)
+    ordered = {n: _REGISTRY[n] for n in _PRIORITY if n in _REGISTRY}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def queries() -> dict[str, QueryFn]:

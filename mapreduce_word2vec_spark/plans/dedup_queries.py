@@ -197,18 +197,14 @@ _SQL_NORM_B = "sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x 
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space near-dup pairs: cosine ≥ 0.4 (≈ top 0.1% of
-    the synthetic pair distribution)."""
-    from mapreduce_word2vec_spark.operators.similarity import cosine_pairs
+    the synthetic pair distribution). EXACT, via the block-pair
+    equi-join (bounded memory, no corpus broadcast — the round-1
+    all-pairs broadcast form survives only as the test oracle)."""
+    from mapreduce_word2vec_spark.operators.similarity import cosine_pairs_blocked
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs(emb, emb).where(
-        (F.col("query_id") < F.col("neighbor_id")) & (F.col("cos") >= 0.4)
-    )
-    return pairs.select(
-        F.col("query_id").alias("id_a"),
-        F.col("neighbor_id").alias("id_b"),
-        F.round("cos", 6).alias("cos"),
-    )
+    pairs = cosine_pairs_blocked(emb, threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
 @register("dedup_mllib_minhash")

@@ -680,8 +680,8 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            round(abs(l_extendedprice - 1000.0), 2) AS abs_diff,
-           ceil(l_quantity) AS qty_ceil,
-           floor(l_quantity) AS qty_floor,
+           CAST(ceil(l_quantity) AS BIGINT) AS qty_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
            round(sqrt(l_extendedprice), 6) AS price_sqrt,
            round(ln(l_extendedprice + 1), 6) AS price_ln,
            round(pow(l_discount, 2), 6) AS disc_sq,
@@ -1346,7 +1346,7 @@ def q19_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
            translate(p_type, 'AEO', 'aeo') AS type_translated,
            greatest(p_size, 25) AS size_hi,
            least(p_size, 25) AS size_lo,
-           sign(p_retailprice - 1000.0) AS price_sign,
+           CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS price_sign,
            CAST(floor(p_retailprice) AS DOUBLE) AS price_trunc
     FROM part
     """,

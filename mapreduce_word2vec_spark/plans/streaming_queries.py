@@ -229,14 +229,18 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts: users bucketed by first-activity week,
-    counted per week offset. The cohort dimension (one row per user)
-    broadcasts back onto the distinct (user, week) activity set."""
+    counted per week offset. The cohort side is one row PER USER — it
+    grows with the corpus, so it must NOT be broadcast (at 100× users a
+    broadcast OOMs driver and executors). Both inputs already hash by
+    user_id, so the shuffled join is exchange-aligned; AQE may still
+    choose broadcast at runtime when the stats are tiny, which is the
+    right call only when measured, not hinted."""
     e = read_testdata(spark, sf_dir, "events")
     week = F.date_trunc("week", F.col("ts"))
     first_week = e.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
     activity = e.select("user_id", week.alias("week")).distinct()
     return (
-        activity.join(F.broadcast(first_week), "user_id")
+        activity.join(first_week, "user_id")
         .groupBy(
             "cohort_week",
             (F.datediff(F.col("week"), F.col("cohort_week")) / 7)

@@ -13,6 +13,8 @@ written accordingly.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -321,17 +323,22 @@ def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    n_docs = docs.count()
+    # n_docs rides along as a broadcast 1-row aggregate instead of a
+    # driver-side docs.count(): ONE Spark job per query (the count was
+    # a second job), and the stats scan is metadata-only (zero-column
+    # parquet count). It must count ALL documents — deriving it from
+    # tf would drop documents that tokenize to empty.
+    stats = docs.agg(F.count("*").alias("n_docs"))
     # (doc_id, word) is unique in tf, so df = row count of the word
     # partition — a window over tf instead of a second aggregate +
     # join, which would tokenize and scan the corpus twice (Catalyst
     # does not reuse the diverging exchange).
     df_ = F.count("*").over(Window.partitionBy("word"))
-    scored = tf.select(
+    scored = tf.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         "word",
         F.round(
-            F.col("tf") * (F.log((n_docs + 1.0) / (df_ + 1.0)) + 1.0), 6
+            F.col("tf") * (F.log((F.col("n_docs") + 1.0) / (df_ + 1.0)) + 1.0), 6
         ).alias("tfidf"),
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
@@ -377,39 +384,43 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_testdata(spark, sf_dir, "documents")
-    # One tokenize pass total: the full (doc, word, tf) table is
+    # One tokenize pass for scoring: the full (doc, word, tf) table is
     # vocabulary-sized (persistable even at corpus scale); document
     # length = window sum over it BEFORE the term filter, document
-    # frequency = window count AFTER — no self-joins, no re-scan.
+    # frequency = window count AFTER — no self-joins, no re-scan of
+    # the text for scoring.
     tf_all = (
         docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
-        .persist()
     )
     with_dl = tf_all.select(
         "doc_id", "word", "tf",
         F.sum("tf").over(Window.partitionBy("doc_id")).alias("dl"),
     )
-    stats = (
-        with_dl.select("doc_id", "dl")
-        .distinct()
-        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-        .collect()[0]
+    # Corpus stats (n_docs, avgdl) must cover ALL documents — a doc
+    # that tokenizes to empty (all digits/punctuation) still counts
+    # toward n_docs and pulls avgdl down, exactly as the oracle's dl
+    # CTE does. Deriving them from tf_all would silently drop such
+    # docs. Computed as a broadcast 1-row aggregate instead of a
+    # driver-side .collect(): one Spark job, no extra action.
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens_expr("text"))).alias("avgdl"),
     )
-    n_docs, avgdl = stats["n_docs"], stats["avgdl"]
     matched = with_dl.where(F.col("word").isin(*_BM25_TERMS)).select(
         "doc_id", "word", "tf", "dl",
         F.count("*").over(Window.partitionBy("word")).alias("df"),
     )
-    scored = matched.select(
+    scored = matched.crossJoin(F.broadcast(stats)).select(
         "doc_id",
         (
-            F.log(1.0 + (n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
             * F.col("tf") * (_BM25_K1 + 1.0)
             / (
                 F.col("tf")
-                + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)
+                + _BM25_K1
+                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
             )
         ).alias("s"),
     )
@@ -421,17 +432,37 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Knuth multiplicative constant — shared with the oracle SQL below.
-_SAMPLE_HASH_A = 2_654_435_761
+# 16-bit Knuth multiplicative constant — shared with the oracle SQL
+# below. The 32-bit constant (2654435761) overflows int64 once doc_id
+# exceeds ~3.5e9 (plausible at 100 TB corpus scale): Spark wraps
+# silently, DuckDB raises, Python bigints diverge — three different
+# answers. Folding doc_id to 32 bits first and using the 16-bit
+# constant keeps the product <= (2^32-1) * 40503 ~= 1.7e14, safely
+# inside int64 in every engine. Buckets come from the HIGH half of the
+# 32-bit product (multiplicative hashing mixes into high bits; the low
+# bits are nearly linear in doc_id).
+_SAMPLE_HASH_A = 40_503
 _SAMPLE_HASH_M = 4_294_967_296  # 2^32
+
+# Shared Spark/DuckDB formula (both engines: `%` on BIGINT, `>>`):
+_SAMPLE_BUCKET_SQL = (
+    f"((((doc_id % {_SAMPLE_HASH_M}) * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} >> 16)"
+    " % 100)"
+)
 
 
 def _sample_bucket() -> F.Column:
-    """Deterministic per-doc bucket in [0, 100): multiplicative hash of
-    doc_id. The reproducible-sampling pattern for training pipelines —
-    the sample is stable across runs, engines, and partitionings
-    (unlike ``df.sample``, whose output depends on partition layout)."""
-    return (F.col("doc_id") * F.lit(_SAMPLE_HASH_A)) % _SAMPLE_HASH_M % 100
+    """Deterministic per-doc bucket in [0, 100): overflow-safe
+    multiplicative hash of doc_id. The reproducible-sampling pattern
+    for training pipelines — the sample is stable across runs, engines,
+    and partitionings (unlike ``df.sample``, whose output depends on
+    partition layout)."""
+    return (
+        F.shiftright(
+            (F.col("doc_id") % _SAMPLE_HASH_M) * _SAMPLE_HASH_A % _SAMPLE_HASH_M, 16
+        )
+        % 100
+    )
 
 
 @register(
@@ -439,7 +470,7 @@ def _sample_bucket() -> F.Column:
     oracle=f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE (doc_id * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} % 100 < 10
+    WHERE {_SAMPLE_BUCKET_SQL} < 10
     """,
 )
 def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +483,7 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     "split_train_val_test",
     oracle=f"""
     WITH b AS (SELECT doc_id, lang,
-                      (doc_id * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} % 100 AS bucket
+                      {_SAMPLE_BUCKET_SQL} AS bucket
                FROM documents)
     SELECT doc_id, lang,
            CASE WHEN bucket < 80 THEN 'train'
@@ -484,6 +515,40 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents")
     fractions = {"en": 0.2, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 1.0}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")
+
+
+# Per-language admission rate (percent) for the deterministic variant:
+# downsample the majority language, keep the rest — corpus rebalancing.
+_STRATA_PCT = {"en": 20, "es": 50, "fr": 50, "de": 50, "zh": 100}
+
+
+@register(
+    "sample_stratified_hash",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_SAMPLE_BUCKET_SQL} <
+          CASE lang WHEN 'en' THEN 20 WHEN 'es' THEN 50 WHEN 'fr' THEN 50
+                    WHEN 'de' THEN 50 WHEN 'zh' THEN 100 ELSE 0 END
+    """,
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: per-language admission rate via
+    the overflow-safe doc_id hash bucket. Unlike ``sampleBy`` (whose
+    output depends on partition layout), this is reproducible across
+    runs, engines, and repartitionings — the variant a training
+    pipeline should use for corpus rebalancing. Shuffle-free: one
+    filter over the scan, admission decided per-row."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        reduce(
+            lambda acc, kv: acc.when(F.col("lang") == kv[0], F.lit(kv[1])),
+            _STRATA_PCT.items(),
+            F.when(F.lit(False), F.lit(0)),
+        ),
+        F.lit(0),
+    )
+    return docs.where(_sample_bucket() < rate).select("doc_id", "lang", "source")
 
 
 @register(
@@ -519,8 +584,8 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM fp
     )
     SELECT doc_id, lang, quality,
-           CASE WHEN (doc_id * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} % 100 < 80 THEN 'train'
-                WHEN (doc_id * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} % 100 < 90 THEN 'val'
+           CASE WHEN {_SAMPLE_BUCKET_SQL} < 80 THEN 'train'
+                WHEN {_SAMPLE_BUCKET_SQL} < 90 THEN 'val'
                 ELSE 'test' END AS split
     FROM dedup WHERE rn = 1
     """,

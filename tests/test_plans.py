@@ -109,6 +109,53 @@ def test_fuzzy_pairs_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_tfidf_bm25_one_job_broadcast_stats(spark):
+    """Corpus stats (n_docs, avgdl) ride along as a broadcast 1-row
+    aggregate, not a driver-side count()/collect() action (round-1
+    nit: an extra Spark job per query). The TF-IDF stats scan must be
+    metadata-only (zero-column parquet count); the BM25 stats scan may
+    read only the text column (avgdl needs token counts over ALL
+    documents — including empty-token docs the tf table drops)."""
+    import re
+
+    def doc_scans(name):
+        plan = _plan(spark, name)
+        return re.findall(r"FileScan parquet.*?documents.*?ReadSchema: (\S+)", plan)
+
+    tfidf = doc_scans("doc_tfidf")
+    assert len(tfidf) == 2 and "struct<>" in tfidf, tfidf
+    bm25 = doc_scans("doc_bm25_search")
+    assert len(bm25) == 2 and "struct<text:string>" in bm25, bm25
+
+
+def test_embedding_cosine_dedup_is_blocked_hash_join(spark):
+    """Exact embedding near-dup mining must run as the block-pair
+    EQUI-join: a plain hash/sort-merge join on the block-pair key with
+    per-task memory bounded by one block. The round-1 form (broadcast
+    the whole corpus into a nested-loop join) is a 100 TB scale-killer
+    and must not come back."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_retention_does_not_force_broadcast_of_per_user_side(spark):
+    """The retention cohort table is one row PER USER — unbounded at
+    corpus scale. With auto-broadcast disabled the join must plan as a
+    shuffled join; a forced ``broadcast()`` hint (the round-1 bug)
+    would still produce a BroadcastExchange here and OOM at 100×
+    users. AQE choosing broadcast from MEASURED tiny stats remains
+    allowed — only the unconditional hint is banned."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "events_retention")
+        assert "BroadcastExchange" not in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_ngram_spans_partial_aggregation(spark):
     """Singleton spans must die map-side (partial count before the
     exchange) — at corpus scale the shuffle carries only span counts,
