@@ -101,8 +101,13 @@ def asof_join(
     out_rows = carried.where(F.col("_side") == 1)
     within = F.lit(True)
     if tolerance_seconds is not None:
-        gap = F.abs(F.unix_timestamp("_t") - F.unix_timestamp("_m_t"))
-        within = gap <= F.lit(tolerance_seconds)
+        # Compare at full timestamp precision: casting timestamp to
+        # double yields fractional epoch seconds (microsecond-exact),
+        # whereas unix_timestamp() truncates to whole seconds — which
+        # would misclassify sub-second gaps and ignore fractional
+        # tolerances (the parameter is a float).
+        gap = F.abs(F.col("_t").cast("double") - F.col("_m_t").cast("double"))
+        within = gap <= F.lit(float(tolerance_seconds))
 
     result = out_rows.select(
         *keys,

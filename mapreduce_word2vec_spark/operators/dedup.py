@@ -38,6 +38,7 @@ from mapreduce_word2vec_spark.functions.text import (
     string_hash_expr,
     tokens_expr,
 )
+from mapreduce_word2vec_spark.runtime import tracked_persist
 
 def _bucket_pairs(bands: DataFrame, payload: list[str]) -> DataFrame:
     """Distinct candidate pairs from banded LSH buckets WITHOUT a
@@ -153,11 +154,13 @@ def ngram_jaccard_pairs(
     # Persisted for the same reason as minhash_signatures: the window
     # output feeds both sides of the self-join.
     sh = doc_shingles(df, id_col, text_col, n)
-    sh = sh.select(
-        F.col(id_col),
-        "shingle",
-        F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
-    ).persist()
+    sh = tracked_persist(
+        sh.select(
+            F.col(id_col),
+            "shingle",
+            F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
+        )
+    )
     a = sh.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b"))
     shared = (
@@ -204,10 +207,9 @@ def minhash_signatures(
     # re-tokenizing and re-shingling the corpus — measured 2× at sf0.1.
     # MEMORY_AND_DISK: at corpus scale this spills rather than OOMs,
     # and a disk read still beats the regex+HOF recompute.
-    sh = (
+    sh = tracked_persist(
         doc_shingles(df, id_col, text_col, n)
         .select(F.col(id_col).alias("doc_id"), F.col("shingle").alias("s"))
-        .persist()
     )
     dim = sh.select("s").distinct().select("s", string_hash_expr(F.col("s")).alias("h"))
     hashed = sh.join(F.broadcast(dim), "s").select("doc_id", "h")
@@ -311,7 +313,7 @@ def simhash_pairs(
     (Catalyst evaluates a broadcast join's sides independently). At
     100 TB the signature table is ~1/10⁵ of the corpus — caching it
     is the intended scale pattern, not a local-mode hack."""
-    sh = simhash_signatures(df, id_col, text_col).persist()
+    sh = tracked_persist(simhash_signatures(df, id_col, text_col))
     bands = sh.select(
         "doc_id",
         "sh",

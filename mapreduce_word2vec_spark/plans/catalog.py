@@ -130,9 +130,18 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         def wrapped(spark: SparkSession, sf_dir: str, _fn: QueryFn = fn) -> DataFrame:
             # Ship this package to executor Python workers so queries
             # using pandas UDFs work from any driver cwd/deployment.
-            from mapreduce_word2vec_spark.runtime import ensure_workers_can_import
+            from mapreduce_word2vec_spark.runtime import (
+                ensure_workers_can_import,
+                release_tracked,
+            )
 
             ensure_workers_can_import(spark)
+            # Release the PREVIOUS query's operator-level caches
+            # (shingle/signature tables): their lifetime ends when a
+            # new catalog query starts, so repeated catalog/bench runs
+            # in one session don't accumulate cached tables until LRU
+            # eviction pressure hits unrelated queries.
+            release_tracked()
             # Timestamp results must be comparable against a TZ-naive
             # oracle regardless of how the caller built its session.
             spark.conf.set("spark.sql.session.timeZone", "UTC")

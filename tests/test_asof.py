@@ -76,6 +76,29 @@ def test_tolerance_nulls_out_stale_matches(spark):
     assert rows_t["b"]["price"] == 20.0
 
 
+def test_tolerance_subsecond_precision(spark):
+    """Tolerance honors fractional seconds: unix_timestamp-based
+    comparison truncated to whole seconds, so a 0.8 s gap looked like
+    0 s and a 0.5 s tolerance was impossible to express."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:01.300000"), "x")],
+        "k int, t timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00.500000"), 7.0)],
+        "k int, t timestamp, price double",
+    )
+    # Gap is exactly 0.8 s. A 0.5 s tolerance must null the match
+    # (second-truncation made the gap appear as 1 - 0 = 1 s or 0 s
+    # depending on rounding); a 1.0 s tolerance must keep it.
+    tight = asof_join(left, right, on="k", left_time="t", right_time="t",
+                      tolerance_seconds=0.5).collect()[0]
+    assert tight["price"] is None
+    loose = asof_join(left, right, on="k", left_time="t", right_time="t",
+                      tolerance_seconds=1.0).collect()[0]
+    assert loose["price"] == 7.0
+
+
 def test_multi_key_and_plan_shape(spark):
     left, right = _frames(spark)
     left2 = left.withColumn("g", F.lit("x"))

@@ -289,6 +289,23 @@ def test_hash_mod_sample_python_parity(spark):
     assert 0.7 < counts["train"] / n < 0.9
 
 
+def test_operator_caches_released_between_catalog_queries(spark):
+    """Operator-level persists (shingle/signature tables) are released
+    when the next catalog query starts — a long-lived session running
+    the catalog or bench repeatedly must not accumulate caches until
+    LRU eviction pressure degrades unrelated queries."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    qs = catalog.all_queries()
+    qs["dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    # dedup_exact itself persists nothing, so after it starts the
+    # previous query's caches must be gone.
+    qs["dedup_exact"].fn(spark, SF_SMOKE).collect()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+
+
 def test_correctness_window_covers_all_families():
     """The driver hash-checks only the FIRST 50 registered queries, so
     catalog order is verification budget: the round-2 window must be

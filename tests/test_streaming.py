@@ -196,3 +196,57 @@ def test_stream_stream_interval_join_equals_batch(spark, events_dir):
         batch.where(F.col("event_type") == "purchase"),
     )
     assert _rows(got) == _rows(expected)
+
+
+def test_watermark_bounds_state_size(spark):
+    """Scale evidence for streaming state: the watermark must EVICT
+    window state as event time advances, not only gate late rows. We
+    replay the corpus as time-ordered micro-batches and assert (a)
+    state rows were actually removed while the stream ran and (b) the
+    final state size is a small fraction of all windows ever created —
+    i.e. state is bounded by the watermark horizon, not by stream
+    length, which is what keeps a 100 TB/day stream's state store from
+    growing without bound."""
+    d = tempfile.mkdtemp(prefix="state_")
+    try:
+        from pyspark.sql import Window
+
+        base = read_testdata(spark, SF_SMOKE, "events")
+        chunked = base.withColumn(
+            "_chunk",
+            F.ntile(6).over(Window.orderBy("ts")),
+        )
+        for i in range(1, 7):
+            chunked.where(F.col("_chunk") == i).drop("_chunk").coalesce(1).write.parquet(
+                f"{d}/f{i}"
+            )
+        schema = base.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{d}/f*")
+        )
+        agg = watermarked_tumbling(stream, "5 minutes", "10 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("t_state_bound")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+        q.stop()
+        assert progresses, "no state operator progress recorded"
+        removed = sum(
+            p["stateOperators"][0].get("numRowsRemoved", 0) for p in progresses
+        )
+        final_state = progresses[-1]["stateOperators"][0]["numRowsTotal"]
+        emitted = spark.sql("SELECT count(*) FROM t_state_bound").collect()[0][0]
+        assert removed > 0, "watermark never evicted state"
+        # All finalized windows left the store: what remains is only
+        # the unfinalized tail above the final watermark.
+        assert final_state < emitted, (final_state, emitted)
+        assert final_state + removed >= emitted, (final_state, removed, emitted)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
