@@ -1471,3 +1471,309 @@ def udtf_split_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE orders.o_orderkey < 500
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Classic decision-support suite, part 2 (adapted to the synthetic
+# schema: no partsupp table, no comment/phone/container columns — each
+# docstring names the adaptation). These widen the SQL surface with the
+# multi-fact join + correlated-subquery shapes the first nine queries
+# don't exercise.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (nation pair NATION_1/NATION_2, ship years
+    1996-97): two fact joins shuffled on their keys, both nation dims
+    broadcast, the disjunctive nation-pair predicate applied AFTER the
+    joins — Catalyst pushes the shipdate range into the lineitem scan,
+    and the pair filter touches only broadcast-joined columns."""
+    li = rt(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31")
+    )
+    o = rt(spark, sf_dir, "orders")
+    c = rt(spark, sf_dir, "customer")
+    s = rt(spark, sf_dir, "supplier")
+    n1 = rt(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = rt(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume)
+             AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+        AND o_orderdate BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (supplier-nation NATION_3 share of EUROPE PROMO
+    volume by order year): the deepest join tree in the suite (8-way).
+    The selective part filter (1/6 of parts) broadcasts and prunes
+    lineitem FIRST; conditional aggregation computes the share in one
+    pass instead of two grouped sums joined back together."""
+    p = rt(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select("p_partkey")
+    li = rt(spark, sf_dir, "lineitem")
+    o = rt(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31")
+    )
+    c = rt(spark, sf_dir, "customer")
+    s = rt(spark, sf_dir, "supplier")
+    n1 = rt(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = rt(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = rt(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("volume", vol)
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (order-count histogram; the comment-pattern
+    exclusion becomes an o_orderstatus filter — no comment column in
+    the synthetic schema): two-level aggregation where the second
+    group-by runs on the tiny (custkey, count) output of the first —
+    the histogram exchange carries one row per customer, never the
+    fact table."""
+    c = rt(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        rt(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") != "F")
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the
+    revenue CTE aggregates the filtered fact once; the max is a
+    window over that small per-supplier aggregate (one extra exchange
+    of supplier-cardinality rows) instead of a second scan via scalar
+    subquery. Revenue rounded to 4 digits so the float max comparison
+    is stable across engines."""
+    from pyspark.sql import Window
+
+    li = rt(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    top = rev.withColumn(
+        "_mx", F.max("total_revenue").over(Window.partitionBy())
+    ).where(F.col("total_revenue") == F.col("_mx"))
+    s = rt(spark, sf_dir, "supplier")
+    return (
+        s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+    )
+
+
+@register(
+    "q17_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = lineitem.l_partkey
+      )
+    """,
+)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity revenue for one brand; the
+    container filter is dropped — no container column): the correlated
+    per-part average decorrelates into a window mean over the SAME
+    brand-pruned scan — one exchange on partkey, no self-join, no
+    second lineitem scan. NOTE the per-part average must be computed
+    over ALL lineitems of the part (the correlated subquery has no
+    brand filter), so the brand filter applies after the partkey
+    broadcast-prune but the window runs before any quantity filter."""
+    from pyspark.sql import Window
+
+    p = (
+        rt(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = rt(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # Broadcast-prune lineitem to the brand's parts FIRST (the inner
+    # correlated average only ever references those parts), then the
+    # per-part mean is a window over the pruned rows.
+    pruned = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    flagged = pruned.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+    return (
+        flagged.where(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 6).alias("avg_yearly"))
+    )
+
+
+@register(
+    "q22_prospect_customers",
+    oracle="""
+    WITH eligible AS (
+      SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+    ),
+    cutoff AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM eligible WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 6) AS totacctbal
+    FROM eligible CROSS JOIN cutoff
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (high-balance DORMANT customers; the
+    phone-prefix filter becomes a nation-key set — no phone column —
+    and "no orders" becomes "no orders since 2000", because every
+    synthetic customer has at least one order, which would make the
+    pure anti-join vacuously empty): scalar aggregate broadcast via
+    1-row crossJoin, then an ANTI join against date-pruned orders —
+    the dormancy check shuffles only custkeys, and the avg-balance
+    cutoff costs one metadata-light scan of the eligible slice."""
+    eligible = (
+        rt(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+    cutoff = eligible.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    o = (
+        rt(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        eligible.crossJoin(F.broadcast(cutoff))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
+        )
+    )

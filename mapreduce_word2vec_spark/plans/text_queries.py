@@ -670,3 +670,101 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.when(n > 0, top_freq / n).otherwise(0.0), 6).alias("top_token_ratio"),
         ((n >= 20) & (n_distinct / n < 0.3)).alias("is_repetitive"),
     )
+
+
+# Chunking/packing parameters, shared with the oracle SQL.
+_CHUNK_W = 40       # tokens per chunk
+_CHUNK_STRIDE = 30  # chunk start stride (overlap = W - stride)
+_PACK_C = 256       # context-window capacity in tokens
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    nonempty AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 0),
+    starts AS (
+      SELECT doc_id, ws, unnest(range(0, len(ws), {_CHUNK_STRIDE})) AS start
+      FROM nonempty
+    )
+    SELECT doc_id,
+           CAST(start // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+           CAST(len(ws[start + 1 : start + {_CHUNK_W}]) AS INT) AS n_tokens,
+           array_to_string(ws[start + 1 : start + {_CHUNK_W}], ' ') AS chunk_text
+    FROM starts
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/window chunking: split each document into overlapping
+    token chunks (width 40, stride 30 → 10-token overlap). One
+    tokenize pass, chunk starts generated per-row with ``sequence`` +
+    ``posexplode`` and materialized with ``slice`` — shuffle-free
+    (narrow explode), so chunking 100 TB is a map-only pass whose
+    output size is input × W/stride."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    return toks.select(
+        "doc_id",
+        F.posexplode(
+            F.sequence(F.lit(0), F.size("ws") - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("chunk_idx", "start"),
+        "ws",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int"),
+        F.size(F.slice("ws", F.col("start") + 1, _CHUNK_W)).alias("n_tokens"),
+        F.concat_ws(" ", F.slice("ws", F.col("start") + 1, _CHUNK_W)).alias(
+            "chunk_text"
+        ),
+    )
+
+
+@register(
+    "doc_packing",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, len({_SQL_TOKENS}) AS n_tokens
+                  FROM documents),
+    cum AS (
+      SELECT doc_id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+           CAST((cum_tokens - n_tokens) // {_PACK_C} AS INT) AS bin,
+           CAST((cum_tokens - n_tokens) % {_PACK_C} AS INT) AS offset_in_bin
+    FROM cum
+    """,
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): documents are
+    laid out contiguously in doc_id order within each language stream
+    and assigned to fixed-capacity context bins (256 tokens) by their
+    start offset. Deterministic and engine-independent — the
+    assignment is a pure function of the running token sum, unlike
+    greedy first-fit bin packing (whose result depends on visit
+    order). Scale shape: ONE window exchange per language partition;
+    no global sort — the 100 TB layout is computed stream-parallel,
+    and a doc's bin never changes when other languages grow."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(tokens_expr("text")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = toks.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    return cum.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("int"),
+        F.floor(start / _PACK_C).cast("int").alias("bin"),
+        (start % _PACK_C).cast("int").alias("offset_in_bin"),
+    )

@@ -109,6 +109,27 @@ def test_fuzzy_pairs_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q7_q8_broadcast_dims_no_cartesian(spark):
+    """The deep join trees (Q7 6-way, Q8 8-way) must broadcast only
+    dimensions and never degrade to a cartesian/nested-loop join; the
+    fact-fact joins (lineitem-orders-customer) stay as key-shuffled
+    joins that AQE may upgrade from measured stats."""
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_chunking_is_narrow_and_packing_single_window(spark):
+    """doc_chunking must be a map-only pass (no exchange: tokenize,
+    generate starts, slice); doc_packing's layout is ONE window
+    exchange on the language stream."""
+    assert "Exchange" not in _plan(spark, "doc_chunking")
+    plan = _plan(spark, "doc_packing")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
 def test_tfidf_bm25_one_job_broadcast_stats(spark):
     """Corpus stats (n_docs, avgdl) ride along as a broadcast 1-row
     aggregate, not a driver-side count()/collect() action (round-1
