@@ -355,3 +355,73 @@ def test_sample_bucket_overflow_safe(spark):
             f"SELECT {_SAMPLE_BUCKET_SQL} FROM (SELECT CAST({i} AS BIGINT) AS doc_id)"
         ).fetchone()[0]
         assert got[i] == want_py == want_duck, (i, got[i], want_py, want_duck)
+
+
+class TestBpeTokenIds:
+    """Pure-Python byte-pair merge (A10 upgrade path): id-identical to
+    tiktoken's per-piece algorithm, exercised with a handcrafted vocab
+    because no public cl100k vocab file can be vendored offline in
+    this environment. Dropping the real file at
+    vendor/cl100k_base.tiktoken (or $MRW2V_CL100K_VOCAB) upgrades
+    every token id with no code change."""
+
+    def _vocab(self, tmp_path):
+        import base64
+
+        entries = {
+            b"h": 0, b"e": 1, b"l": 2, b"o": 3, b"w": 7,
+            b"he": 4, b"ll": 5, b"llo": 6, b"lo": 8,
+        }
+        p = tmp_path / "mini.tiktoken"
+        p.write_bytes(
+            b"\n".join(
+                base64.b64encode(t) + b" " + str(r).encode()
+                for t, r in entries.items()
+            )
+        )
+        return p, entries
+
+    def test_merge_is_greedy_by_rank(self, tmp_path):
+        from mapreduce_word2vec_spark.functions.tokens import (
+            bpe_encode,
+            load_bpe_ranks,
+        )
+
+        p, _ = self._vocab(tmp_path)
+        ranks = load_bpe_ranks(p)
+        # "hello": he(4) merges before ll(5); then llo(6) beats lo(8)
+        # only after ll exists -> [he, llo].
+        assert bpe_encode(b"hello", ranks) == [4, 6]
+        # "lo" merges directly (rank 8 pair present as a token).
+        assert bpe_encode(b"lo", ranks) == [8]
+        # Unknown pairing stops: "ow" has no merge -> single-byte ids.
+        assert bpe_encode(b"ow", ranks) == [3, 7]
+
+    def test_env_vocab_feeds_first_token_id(self, tmp_path, monkeypatch):
+        import importlib
+
+        from mapreduce_word2vec_spark.functions import tokens
+
+        p, _ = self._vocab(tmp_path)
+        monkeypatch.setenv("MRW2V_CL100K_VOCAB", str(p))
+        # Reset the per-process resolution cache for the test.
+        monkeypatch.setattr(tokens, "_RANKS", None)
+        monkeypatch.setattr(tokens, "_RANKS_RESOLVED", False)
+        try:
+            assert tokens.first_token_id_py("hello") == 4
+            assert tokens.first_token_id_py(None) is None
+        finally:
+            monkeypatch.setattr(tokens, "_RANKS", None)
+            monkeypatch.setattr(tokens, "_RANKS_RESOLVED", False)
+
+    def test_real_cl100k_ids_when_available(self):
+        """Locks the contract to the reference's in-test ids
+        (Test.scala:60-61: 'hello' -> 15339) whenever a real backend
+        is present; skipped in this vocab-less environment."""
+        import pytest
+
+        from mapreduce_word2vec_spark.functions import tokens
+
+        if tokens._ENCODING is None and tokens._vocab_ranks() is None:
+            pytest.skip("no cl100k backend available offline")
+        assert tokens.first_token_id_py("hello") == 15339
