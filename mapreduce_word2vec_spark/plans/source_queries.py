@@ -92,3 +92,28 @@ def source_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         F.sum(F.length("value")).cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "source_partitioned_roundtrip",
+    oracle="""
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang IN ('es', 'fr')
+    GROUP BY source
+    """,
+)
+def source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → hive-partitioned parquet layout (PARTITIONED BY lang)
+    → filtered read-back. The lang predicate must resolve at PLANNING
+    time against the directory structure (PartitionFilters, no data
+    read for pruned languages) — the layout pattern that makes
+    per-language processing of a 100 TB corpus scan only the
+    languages it touches. Plan-asserted in test_plans."""
+    d = read_testdata(spark, sf_dir, "documents")
+    path = _roundtrip_dir("part_docs", sf_dir)
+    d.write.mode("overwrite").partitionBy("lang").parquet(path)
+    back = spark.read.parquet(path).where(F.col("lang").isin("es", "fr"))
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

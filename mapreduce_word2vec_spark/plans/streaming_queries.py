@@ -249,3 +249,79 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+@register(
+    "events_resample_ffill",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, ts, event_id, value
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, h, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, h
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM b
+      ) WHERE rn = 1
+    ),
+    span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
+      FROM span
+    )
+    SELECT g.user_id, g.h AS hour,
+           last_value(o.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING
+           ) AS value_ffill
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: each user's `value` on a
+    regular hourly grid spanning their activity, carrying the last
+    observation forward across gaps (the hypertable/gap-fill operator
+    of time-series engines). Scale shape: the per-(user, hour) last
+    observation is ONE window pass; the grid explodes from a per-user
+    2-column span (never from raw events); fill is a second window on
+    the SAME user_id partitioning — Catalyst reuses the exchange, so
+    the whole query shuffles events once plus grid rows once,
+    regardless of how sparse the series is."""
+    from pyspark.sql import Window
+
+    e = read_testdata(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_last = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    obs = (
+        b.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    span = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(obs, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.col("h").alias("hour"),
+            F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
+        )
+    )

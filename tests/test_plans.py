@@ -109,6 +109,23 @@ def test_fuzzy_pairs_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_partitioned_roundtrip_prunes_at_planning_time(spark):
+    """The lang predicate must land in PartitionFilters (directory
+    pruning, zero data read for other languages), not as a data
+    filter."""
+    plan = _plan(spark, "source_partitioned_roundtrip")
+    assert "PartitionFilters: [lang" in plan
+    assert "es,fr" in plan
+
+
+def test_resample_ffill_two_exchanges(spark):
+    """Resample+ffill shuffles events once (user_id, hour last-obs
+    window) and grid rows once (user_id fill window reusing the span
+    aggregate's exchange) — gap density never multiplies shuffles."""
+    plan = _plan(spark, "events_resample_ffill")
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
 def test_q7_q8_broadcast_dims_no_cartesian(spark):
     """The deep join trees (Q7 6-way, Q8 8-way) must broadcast only
     dimensions and never degrade to a cartesian/nested-loop join; the
