@@ -228,3 +228,91 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .withColumn("cos", F.round("cos", 6))
     )
+
+
+@register(
+    "emb_kmeans_iter",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    seeds AS (
+      SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+      FROM embeddings CROSS JOIN idx
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label AS cid, list(mv ORDER BY i) AS ce FROM seeds GROUP BY label),
+    assign AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> (CAST(embedding[i] AS DOUBLE) - ce[i])
+                      * (CAST(embedding[i] AS DOUBLE) - ce[i]))) ASC, cid
+             ) AS rn
+      FROM embeddings CROSS JOIN cent
+    )
+    SELECT cid AS cluster_id, CAST(i - 1 AS INT) AS pos,
+           round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_val,
+           count(*) AS n_members
+    FROM assign CROSS JOIN idx
+    WHERE rn = 1
+    GROUP BY cid, i
+    """,
+)
+def emb_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus —
+    the coarse-quantizer training step IVF indexes are built from
+    (knn_ivf_probe consumes the result): seed centroids = per-label
+    means (deterministic → oracle-able), every vector assigned to its
+    nearest seed by squared euclidean (sequential HOF fold, matching
+    the oracle's list_sum order), then means recomputed per cluster.
+    Scale shape: centroids BROADCAST (k rows — always tiny), the
+    corpus is never shuffled for assignment; recomputation is one
+    partial-aggregated exchange of (cluster, pos, sum) triples. Full
+    training = loop this operator with the recomputed centroids, an
+    iterative DataFrame algorithm like operators/graph.py connected
+    components."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select(
+            F.col("label").alias("cid"),
+            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("ce"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("sqd"), F.asc("cid"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("sqd", sqd)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("cid").alias("cluster_id"), "embedding")
+    )
+    return (
+        assigned.select(
+            "cluster_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("cluster_id", "pos")
+        .agg(
+            F.round(F.avg("v"), 6).alias("mean_val"),
+            F.count("*").alias("n_members"),
+        )
+    )
