@@ -67,3 +67,54 @@ def connected_components(
         if n_changed == 0:
             break
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 5,
+    damping: float = 0.85,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, rank) after a FIXED number of power iterations over the
+    undirected edge list (both directions contribute): rank'(v) =
+    (1-d)/N + d · Σ_{u~v} rank(u)/deg(u).
+
+    Fixed iteration count (not convergence-tested) keeps the result a
+    deterministic function of the edge set, so it can be oracle-checked
+    against the same recurrence unrolled in SQL. Scale shape per
+    iteration: ONE join of the rank vector onto the out-edge list and
+    ONE aggregation back onto nodes — both hash-partitioned on node id,
+    so Catalyst reuses the exchange across iterations; lineage is cut
+    with ``localCheckpoint`` like :func:`connected_components` so the
+    plan stays O(1) in the iteration count. Dangling nodes cannot occur
+    (symmetrized edges give every node degree ≥ 1)."""
+    sym = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    n_nodes = deg.select(F.count("*").alias("n"))
+    # rank vector init 1/N: the 1-row count rides along broadcast, the
+    # node set is never collected.
+    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("s").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    base = F.lit(1.0 - damping) / F.col("n")
+    for i in range(iterations):
+        contribs = (
+            sym.join(deg, "s")
+            .join(ranks, F.col("s") == F.col("node"))
+            .select(F.col("d").alias("node2"), (F.col("rank") / F.col("deg")).alias("c"))
+        )
+        ranks = (
+            contribs.groupBy(F.col("node2").alias("node"))
+            .agg(F.sum("c").alias("in_sum"))
+            .crossJoin(F.broadcast(n_nodes))
+            .select("node", (base + F.lit(damping) * F.col("in_sum")).alias("rank"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

@@ -416,3 +416,61 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("gram").alias("matched_phrase"))
         .distinct()
     )
+
+
+_PR_DAMPING = 0.85
+_PR_ITERS = 5
+
+
+def _pagerank_sql() -> str:
+    """Unrolled power iteration: recursive CTEs can't aggregate in the
+    recursive term, so a FIXED iteration count is expanded into chained
+    CTEs — pr0 … pr5 — computing the same recurrence as
+    operators.graph.pagerank."""
+    edges = f"""
+    edges AS (
+      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
+    n AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (SELECT s AS node, 1.0 / (SELECT n FROM n) AS rank FROM deg)"""
+    iters = "".join(
+        f""",
+    pr{k} AS (
+      SELECT node,
+             (1.0 - {_PR_DAMPING}) / (SELECT n FROM n) + {_PR_DAMPING} * in_sum AS rank
+      FROM (SELECT sym.d AS node, sum(pr.rank / deg.deg) AS in_sum
+            FROM sym JOIN deg ON sym.s = deg.s
+                     JOIN pr{k - 1} pr ON sym.s = pr.node
+            GROUP BY sym.d)
+    )"""
+        for k in range(1, _PR_ITERS + 1)
+    )
+    return f"WITH {edges}{iters}\n    SELECT node, round(rank, 6) AS rank FROM pr{_PR_ITERS}"
+
+
+@register("graph_pagerank", oracle=_pagerank_sql())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power iterations, d=0.85) over the exact Jaccard
+    ≥ 0.6 near-dup graph: ranks duplicate-cluster hubs — the second
+    iterative graph operator next to connected components, and the
+    pattern for any fixed-point DataFrame recurrence. The oracle
+    unrolls the identical recurrence into chained SQL CTEs."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.operators.graph import pagerank
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    out = pagerank(pairs, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    return out.select("node", F.round("rank", 6).alias("rank"))
