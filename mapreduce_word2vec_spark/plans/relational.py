@@ -1777,3 +1777,25 @@ def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 6).alias("totacctbal"),
         )
     )
+
+
+@register("agg_hll_sketch")
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
+    per-group part cardinality plus a global row built by MERGING the
+    group sketches — never rescanning the fact. This is the 100 TB
+    incremental-statistics pattern: sketch each partition/day once,
+    union sketches for any rollup later. Register-max semantics make
+    the estimate order- and partitioning-independent (deterministic
+    across runs), but DuckDB's HLL differs → rows-only check +
+    error-bound property test (test_graph_and_misc)."""
+    li = rt(spark, sf_dir, "lineitem")
+    sk = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    per = sk.select(
+        "l_returnflag", F.hll_sketch_estimate("sk").cast("long").alias("est_parts")
+    )
+    merged = (
+        sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .select(F.lit("ALL").alias("l_returnflag"), F.col("e").cast("long").alias("est_parts"))
+    )
+    return per.unionByName(merged)

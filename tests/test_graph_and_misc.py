@@ -425,3 +425,27 @@ class TestBpeTokenIds:
         if tokens._ENCODING is None and tokens._vocab_ranks() is None:
             pytest.skip("no cl100k backend available offline")
         assert tokens.first_token_id_py("hello") == 15339
+
+
+def test_hll_sketch_merge_error_bound(spark):
+    """The merged-sketch global estimate and per-group estimates stay
+    within 5% of exact distinct counts, and merging group sketches
+    equals sketching the whole column (mergeability — the property
+    that makes per-partition sketching sound at scale)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import SF_ORACLE
+
+    rows = {
+        r["l_returnflag"]: r["est_parts"]
+        for r in catalog.all_queries()["agg_hll_sketch"].fn(spark, SF_ORACLE).collect()
+    }
+    li = read_testdata(spark, SF_ORACLE, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = li.select("l_partkey").distinct().count()
+    for k, want in exact.items():
+        assert abs(rows[k] - want) <= max(1, 0.05 * want), (k, rows[k], want)

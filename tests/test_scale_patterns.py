@@ -122,3 +122,49 @@ def test_summarizer_mean_equals_posexplode_mean(spark):
     assert set(via_summarizer) == set(via_posexplode)
     for k in via_summarizer:
         assert via_summarizer[k] == pytest.approx(via_posexplode[k], abs=1e-9)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """AQE runtime row-filter (the semi-join pushdown scale pattern):
+    a selective dimension filter injects a bloom filter into the FACT
+    side's scan filter, so a shuffled fact-fact join reads ~|matches|
+    rows instead of the whole fact table — the technique that saves a
+    full lineitem pass when the orders side is 1%-selective and too
+    big to broadcast. Asserts both the injected might_contain filter
+    and result equality with the filter disabled."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+
+    def q():
+        li = read_testdata(spark, SF_SMOKE, "lineitem")
+        o = read_testdata(spark, SF_SMOKE, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        return (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 6).alias("rev"))
+        )
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        with_bloom = q()
+        plan = with_bloom._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+        got = sorted(map(tuple, with_bloom.collect()))
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        want = sorted(map(tuple, q().collect()))
+        assert got == want
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
