@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: `explain("formatted")`-style physical plans for
+representative catalog queries, with a one-line note on why each plan
+is the intended 100 TB shape. Run from the repo root:
+
+    python tools/dump_plans.py > PLANS.md
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+# (query, what the plan must show at scale)
+SHOWCASE = [
+    ("q1_pricing_summary", "pushed filters + partial/final agg split, one exchange"),
+    ("q5_local_supplier", "all five dimensions broadcast; facts shuffle only on join keys"),
+    ("q3_shipping_priority", "TakeOrderedAndProject — per-partition heap, no global sort"),
+    ("doc_wordcount", "tokenize+explode map-side, ONE exchange for the final count"),
+    ("doc_tfidf", "metadata-only stats scan broadcast; DF as window, not a self-join"),
+    ("pipeline_curation", "quality->dedup->split in one exchange; text never shuffles"),
+    ("dedup_minhash_lsh", "broadcast hash dim, banded bucket join — candidates, not all-pairs"),
+    ("dedup_embedding_cosine", "block-pair equi-join: hash join on pair key, no BNLJ"),
+    ("knn_bruteforce", "query side broadcast; corpus scanned once, never shuffled"),
+    ("emb_kmeans_iter", "centroids broadcast for assignment; one partial-agg exchange back"),
+    ("events_resample_ffill", "two exchanges total; grid explodes from per-user span"),
+    ("join_asof", "union-then-window: single shuffle on key, no range-join explosion"),
+    ("events_retention", "per-user cohort side NOT hint-broadcast (AQE decides from stats)"),
+    ("source_partitioned_roundtrip", "PartitionFilters prune languages at planning time"),
+]
+
+
+def main() -> None:
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8, master="local[8]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = catalog.all_queries()
+    sf = "/root/testdata/sf0.001"
+
+    print("# PLANS — physical plans of representative queries")
+    print()
+    print("Regenerate with `python tools/dump_plans.py > PLANS.md` (sf0.001,")
+    print("local[8], AQE on — AdaptiveSparkPlan nodes show the initial plan).")
+    print("Each caption states the property that makes the plan survive 100 TB;")
+    print("plan-shape tests in tests/test_plans.py assert these properties.")
+    for name, why in SHOWCASE:
+        df = qs[name].fn(spark, sf)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        print(f"\n## {name}\n\n*{why}*\n\n```")
+        # The operator tree + scan details; trim codegen ids noise.
+        print(plan.strip())
+        print("```")
+
+
+if __name__ == "__main__":
+    main()
