@@ -768,3 +768,55 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _PACK_C).cast("int").alias("bin"),
         (start % _PACK_C).cast("int").alias("offset_in_bin"),
     )
+
+
+@register(
+    "doc_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+    cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+    tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+    scored AS (
+      SELECT w.doc_id,
+             ln((c + 1.0) / (tot.total + tot.vocab)) AS lp
+      FROM words w JOIN cnt USING (word) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lp), 6) AS mean_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model score per document (add-1 smoothing):
+    mean log P(w) under the corpus's own unigram distribution — the
+    perplexity-style quality filter of CCNet-class pipelines (docs
+    far below the corpus-typical score are boilerplate/noise
+    candidates). Scale shape: ONE tokenize pass; the unigram table is
+    vocabulary-sized and its (total, vocab) normalizer rides along as
+    a broadcast 1-row aggregate; per-word log-probs join back via a
+    window over the words exchange — no second corpus scan, no
+    driver-side action."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
+    # count per word as a window over the exploded words (the (doc,
+    # word) exchange is shared with the per-doc aggregation downstream).
+    c = F.count("*").over(Window.partitionBy("word"))
+    counted = words.select("doc_id", "word", c.alias("c"))
+    tot = (
+        counted.select("word", "c")
+        .groupBy("word")
+        .agg(F.first("c").alias("c"))
+        .agg(F.sum("c").alias("total"), F.count("*").alias("vocab"))
+    )
+    scored = counted.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
