@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mapreduce_word2vec_spark.runtime import tracked_persist
+
 
 def connected_components(
     edges: DataFrame,
@@ -31,7 +33,11 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable (undirected)."""
-    sym = (
+    # The edge list joins into EVERY iteration; without a persist each
+    # round re-evaluates the whole upstream pair-generation subtree
+    # (for near-dup edges: tokenize + shingle self-join — measured as
+    # one full re-scan per iteration in the physical plan).
+    sym = tracked_persist(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
@@ -90,12 +96,15 @@ def pagerank(
     with ``localCheckpoint`` like :func:`connected_components` so the
     plan stays O(1) in the iteration count. Dangling nodes cannot occur
     (symmetrized edges give every node degree ≥ 1)."""
-    sym = (
+    # Persisted for the same reason as in connected_components: the
+    # edge list and degree table feed every iteration; without the
+    # persist each round re-runs the full upstream pair generation.
+    sym = tracked_persist(
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
     )
-    deg = sym.groupBy("s").agg(F.count("*").alias("deg"))
+    deg = tracked_persist(sym.groupBy("s").agg(F.count("*").alias("deg")))
     n_nodes = deg.select(F.count("*").alias("n"))
     # rank vector init 1/N: the 1-row count rides along broadcast, the
     # node set is never collected.

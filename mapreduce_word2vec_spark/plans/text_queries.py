@@ -793,10 +793,12 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean log P(w) under the corpus's own unigram distribution — the
     perplexity-style quality filter of CCNet-class pipelines (docs
     far below the corpus-typical score are boilerplate/noise
-    candidates). Scale shape: ONE tokenize pass; the unigram table is
-    vocabulary-sized and its (total, vocab) normalizer rides along as
-    a broadcast 1-row aggregate; per-word log-probs join back via a
-    window over the words exchange — no second corpus scan, no
+    candidates). Scale shape: the scoring branch is one tokenize pass
+    with per-word counts as a window over its own exchange (no
+    count-table self-join); the (total, vocab) normalizer is a
+    diverging vocabulary-sized aggregate (second scan, matching the
+    oracle's cnt/tot CTEs — Catalyst does not reuse diverging
+    exchanges) that rides along as a broadcast 1-row aggregate; no
     driver-side action."""
     from pyspark.sql import Window
 
