@@ -143,8 +143,12 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
             # eviction pressure hits unrelated queries.
             release_tracked()
             # Timestamp results must be comparable against a TZ-naive
-            # oracle regardless of how the caller built its session.
+            # oracle regardless of how the caller built its session;
+            # likewise the engine's documented classic-SQL semantics
+            # (permissive casts, null on bad index) must hold even if
+            # the caller's session left Spark 4's ANSI default on.
             spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.ansi.enabled", "false")
             return _fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__
