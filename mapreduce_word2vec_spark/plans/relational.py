@@ -1799,3 +1799,58 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("l_returnflag"), F.col("e").cast("long").alias("est_parts"))
     )
     return per.unionByName(merged)
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             TIMESTAMP '2020-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    upd AS (SELECT c_custkey, 'VIP' AS seg FROM customer WHERE c_acctbal > 9000),
+    changed AS (
+      SELECT d.c_custkey FROM dim d JOIN upd u USING (c_custkey)
+      WHERE d.valid_to IS NULL AND d.seg <> u.seg
+    )
+    SELECT c_custkey, seg, valid_from, valid_to FROM (
+      SELECT d.c_custkey, d.seg, d.valid_from,
+             CASE WHEN d.valid_to IS NULL
+                       AND d.c_custkey IN (SELECT c_custkey FROM changed)
+                  THEN TIMESTAMP '2024-01-01 00:00:00' ELSE d.valid_to END AS valid_to
+      FROM dim d
+      UNION ALL
+      SELECT u.c_custkey, u.seg,
+             TIMESTAMP '2024-01-01 00:00:00', CAST(NULL AS TIMESTAMP)
+      FROM upd u
+      WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+    )
+    """,
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension apply (the MERGE WHEN MATCHED
+    ... INSERT pattern warehouses run on every dimension load): a
+    deterministic VIP-segment update closes each changed key's current
+    row at the batch timestamp and appends the open-ended new version;
+    history and unchanged keys pass through untouched. Scale shape:
+    one key-shuffled join to find changed keys, one semi-join for the
+    inserts, unions shuffle-free — the anti/semi-join decomposition
+    Delta/Iceberg MERGE lowers to (operators/merge.py)."""
+    from mapreduce_word2vec_spark.operators.merge import scd2_apply
+
+    c = rt(spark, sf_dir, "customer")
+    dim = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    upd = c.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey", F.lit("VIP").alias("seg")
+    )
+    return scd2_apply(
+        dim, upd, key="c_custkey", tracked_cols=["seg"],
+        batch_time="2024-01-01 00:00:00",
+    )
