@@ -330,14 +330,26 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Non-equi (range) join: small filtered side broadcast, predicate
-    evaluated in the broadcast nested-loop join."""
+    """Non-equi (range) join via bin-index equi-join (operators/
+    range_join.py): intervals explode to ~2-3 fixed-width price bins,
+    points map to one bin, hash join on the bin, exact BETWEEN as the
+    residual filter. No broadcast of a full side and no nested loop —
+    unlike the naive BroadcastNestedLoopJoin form, this survives the
+    interval side growing with the corpus. Bin width 500 ~= the
+    typical interval width (0.5 * p_retailprice, retailprice ~900-2100),
+    bounding replication at <= 3 copies per part row."""
+    from mapreduce_word2vec_spark.operators.range_join import binned_range_join
+
     li = rt(spark, sf_dir, "lineitem")
     p = rt(spark, sf_dir, "part").where(F.col("p_size") == 1)
-    cond = (F.col("l_extendedprice") >= F.col("p_retailprice") * 2.0) & (
-        F.col("l_extendedprice") <= F.col("p_retailprice") * 2.5
-    )
-    return li.join(F.broadcast(p), cond).select(
+    return binned_range_join(
+        li,
+        p,
+        value=F.col("l_extendedprice"),
+        lo=F.col("p_retailprice") * 2.0,
+        hi=F.col("p_retailprice") * 2.5,
+        bin_width=500.0,
+    ).select(
         "p_partkey", "l_orderkey", "l_linenumber", "l_extendedprice", "p_retailprice"
     )
 

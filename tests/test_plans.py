@@ -201,3 +201,21 @@ def test_ngram_spans_partial_aggregation(spark):
     plan = _plan(spark, "dedup_ngram_spans")
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_binned_hash_join_not_nested_loop(spark):
+    """The range join must plan as a hash join on the bin index with
+    the BETWEEN as a residual condition — the naive non-equi form
+    falls back to BroadcastNestedLoopJoin, which is O(|L| x |R|) and
+    requires a full side in memory. Asserted with auto-broadcast off
+    so the bin equi-join itself (not AQE's small-scale broadcast) is
+    what keeps the nested loop out."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "join_range")
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
