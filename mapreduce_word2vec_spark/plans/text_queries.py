@@ -822,3 +822,149 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+# --- Training-data mixture: epochs per source ------------------------
+#
+# A training run consumes each source a configured number of EPOCHS
+# (LLaMA-style mixture specs: oversample small high-quality sources
+# above 1.0, subsample bulk web below 1.0). Deterministic version of
+# "sample source s at rate r": every document gets floor(r) full
+# copies, plus one more with probability frac(r) decided by the same
+# overflow-safe doc_id hash as sample_hash_mod — rotated per epoch so
+# the fractional pick is not the same 25% of doc_ids every epoch.
+# Fractions are carried as integer percent (frac_pct) so Spark and the
+# SQL oracle compare exact integers, not binary-float remainders.
+_MIXTURE_SPEC = (
+    # (source, full_epochs, frac_pct): src0 x2.25, src1 x1, src2 x0.5,
+    # src3 x3, src4 excluded; remaining sources are not in the mix.
+    ("src0", 2, 25),
+    ("src1", 1, 0),
+    ("src2", 0, 50),
+    ("src3", 3, 0),
+    ("src4", 0, 0),
+)
+
+_MIXTURE_SPEC_SQL = ", ".join(f"('{s}', {fe}, {fp})" for s, fe, fp in _MIXTURE_SPEC)
+
+
+@register(
+    "sample_mixture_epochs",
+    oracle=f"""
+    WITH spec(source, full_epochs, frac_pct) AS (VALUES {_MIXTURE_SPEC_SQL}),
+    d AS (
+      SELECT doc_id, d.source, full_epochs, frac_pct,
+             {_SAMPLE_BUCKET_SQL} AS bucket
+      FROM documents d JOIN spec USING (source)
+      WHERE full_epochs + frac_pct > 0
+    ),
+    e AS (
+      SELECT doc_id, source, full_epochs, frac_pct, bucket,
+             unnest(generate_series(0, full_epochs + CASE WHEN frac_pct > 0 THEN 1 ELSE 0 END - 1)) AS epoch
+      FROM d
+    )
+    SELECT doc_id, source, CAST(epoch AS INT) AS epoch
+    FROM e
+    WHERE epoch < full_epochs
+       OR (bucket + epoch * 37) % 100 < frac_pct
+    """,
+)
+def sample_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted source mixing: each (doc, epoch) copy the
+    training run should see, exploded from a per-source rate spec.
+
+    Scale shape: the spec is a literal handful of rows (broadcast
+    join), replication is an explode bounded by ceil(rate) — no
+    shuffle at all beyond the scan; the output is stable across runs,
+    engines, and partitionings because the fractional epoch keeps the
+    hash-bucket discipline of sample_hash_mod."""
+    spec = spark.createDataFrame(
+        list(_MIXTURE_SPEC), "source string, full_epochs int, frac_pct int"
+    ).where(F.col("full_epochs") + F.col("frac_pct") > 0)
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "source")
+    n_epochs = F.col("full_epochs") + F.when(F.col("frac_pct") > 0, 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(spec), "source")
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), n_epochs - 1)))
+        .where(
+            (F.col("epoch") < F.col("full_epochs"))
+            | ((_sample_bucket() + F.col("epoch") * 37) % 100 < F.col("frac_pct"))
+        )
+        .select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+    )
+
+
+# --- Token-budget selection ------------------------------------------
+
+_TOKEN_BUDGET = 10_000
+
+
+@register(
+    "select_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS n_stop,
+             n_chars, n_punct
+      FROM t
+    ), q AS (
+      SELECT doc_id, n_tokens,
+             round(
+               0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
+               + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
+               + 0.3 * least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0),
+             6) AS quality
+      FROM m
+    ), c AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM c
+    WHERE cum_tokens - n_tokens < {_TOKEN_BUDGET}
+    """,
+)
+def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select the best documents (by quality score) until a global
+    token budget is exhausted — "give me the top N tokens of the
+    corpus", the selection step of a budgeted training-data build.
+
+    The naive formulation is a running sum over ONE global ordering —
+    Spark plans that as a single-partition window, a scale-killer.
+    Here the cumulative sum is two-pass: documents land in 65 fixed
+    quality bins (floor(quality*64) — monotone in the sort key, so
+    bin-desc + within-bin order IS the global order); per-bin token
+    totals (a 65-row aggregate) turn into prefix offsets on the
+    driver-free tiny side; the big side only runs a window
+    PARTITIONED BY bin. The oracle states the same query as the naive
+    global window, proving the decomposition exact."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_tokens"),
+        quality_score_expr(F.col("text")).alias("quality"),
+    ).withColumn("qb", F.floor(F.col("quality") * 64).cast("int"))
+    totals = scored.groupBy("qb").agg(F.sum("n_tokens").alias("bin_tokens"))
+    w_off = (
+        Window.orderBy(F.desc("qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "qb", F.coalesce(F.sum("bin_tokens").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("qb").orderBy(F.desc("quality"), "doc_id")
+    return (
+        scored.join(F.broadcast(offsets), "qb")
+        .withColumn("cum_tokens", F.col("off") + F.sum("n_tokens").over(w_in))
+        .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(_TOKEN_BUDGET))
+        .select("doc_id", "n_tokens", "quality", "cum_tokens")
+    )

@@ -219,3 +219,14 @@ def test_range_join_is_binned_hash_join_not_nested_loop(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_token_budget_window_is_partitioned_not_global(spark):
+    """The budgeted-selection cumulative sum must NOT be one global
+    window over the corpus (Exchange SinglePartition on the big side).
+    The two-pass form runs the corpus window PARTITIONED BY the
+    quality bin; the only single-partition exchange allowed is the
+    65-row bin-totals prefix (bounded regardless of corpus size)."""
+    plan = _plan(spark, "select_token_budget")
+    assert "windowspecdefinition(qb#" in plan
+    assert plan.count("Exchange SinglePartition") == 1
