@@ -325,3 +325,52 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
         )
     )
+
+
+@register(
+    "incr_agg_merge",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value,
+           max(ts) AS last_ts
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-21 00:00:00'
+    GROUP BY user_id
+    """,
+)
+def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a materialized per-user
+    rollup built up to a checkpoint, then advanced by merging a
+    delta batch of PARTIAL aggregates — never rescanning history.
+
+    count/sum/max are mergeable (union of partials + re-aggregate ==
+    aggregate of the union), which is exactly what lets a 100 TB
+    pipeline maintain stats tables from per-day partial rollups
+    instead of full recomputes. The oracle states the full recompute
+    over the merged time range, proving the incremental path exact."""
+    ev = read_testdata(spark, sf_dir, "events")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("ts").alias("last_ts"),
+        )
+
+    state = partial(ev.where(F.col("ts") < "2024-01-11 00:00:00"))
+    delta = partial(
+        ev.where(
+            (F.col("ts") >= "2024-01-11 00:00:00")
+            & (F.col("ts") < "2024-01-21 00:00:00")
+        )
+    )
+    return (
+        state.unionByName(delta)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.sum("total_value"), 6).alias("total_value"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )

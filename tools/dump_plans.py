@@ -28,6 +28,8 @@ SHOWCASE = [
     ("knn_bruteforce", "query side broadcast; corpus scanned once, never shuffled"),
     ("emb_kmeans_iter", "centroids broadcast for assignment; one partial-agg exchange back"),
     ("events_resample_ffill", "two exchanges total; grid explodes from per-user span"),
+    ("join_range", "binned range join: hash join on bin index, BETWEEN as residual — no nested loop"),
+    ("select_token_budget", "global cumsum decomposed: corpus window partitioned by quality bin"),
     ("join_asof", "union-then-window: single shuffle on key, no range-join explosion"),
     ("events_retention", "per-user cohort side NOT hint-broadcast (AQE decides from stats)"),
     ("source_partitioned_roundtrip", "PartitionFilters prune languages at planning time"),
