@@ -474,3 +474,104 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(docs, threshold=0.6)
     out = pagerank(pairs, iterations=_PR_ITERS, damping=_PR_DAMPING)
     return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+_SEM_K = 8  # fixed deterministic centroid count (vec_id < 8 seeds)
+
+
+@register(
+    "dedup_semantic_clustered",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_SEM_K}),
+    d AS (
+      SELECT e.vec_id, cent.cid,
+             list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(ce[i] AS DOUBLE)))) AS sqd
+      FROM embeddings e CROSS JOIN cent
+    ),
+    asg AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY sqd, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    p AS (
+      SELECT xa.cid, xa.vec_id AS id_a, xb.vec_id AS id_b, a.embedding AS ea, b.embedding AS eb
+      FROM asg xa JOIN asg xb ON xa.cid = xb.cid AND xa.vec_id < xb.vec_id
+      JOIN embeddings a ON a.vec_id = xa.vec_id
+      JOIN embeddings b ON b.vec_id = xb.vec_id
+    ),
+    s AS (
+      SELECT cid, id_a, id_b, {_SQL_DOT_E} / ({_SQL_NORM_A} * {_SQL_NORM_B}) AS cos
+      FROM p
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id, id_a, id_b, round(cos, 6) AS cos
+    FROM s WHERE cos >= 0.4
+    """,
+)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (cluster-bounded) near-dup mining: assign every vector
+    to its nearest of K fixed seed centroids (one broadcast cross
+    join + a per-vector argmin window — the SemDeDup recipe's
+    clustering step), then score cosine only WITHIN clusters.
+
+    Scale shape: candidate pairs are bounded per cluster instead of
+    O(N²) global; the centroid table is K rows (broadcast), the
+    assignment adds one K-fanout narrow pass, and the pair join
+    shuffles each cluster once on cluster_id. At 100 TB, K grows to
+    ~√N (k-means centroids from `emb_kmeans_iter`), and dense
+    clusters compose with the block-pair equi-join of
+    `cosine_pairs_blocked` applied per cluster — recall is traded
+    against the cross-cluster pairs, which is the documented SemDeDup
+    tradeoff (exact variant: `dedup_embedding_cosine`)."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    cent = emb.where(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), dbl.alias("ce")
+    )
+    sqd = F.aggregate(
+        F.zip_with(dbl, F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("sqd"), F.asc("cid"))
+    asg = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("sqd", sqd)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            dbl.alias("v"),
+            F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+        )
+    )
+    a = asg.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = asg.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a_, x: a_ + x,
+    )
+    return (
+        a.join(b, ["cluster_id"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= 0.4)
+        .select("cluster_id", "id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

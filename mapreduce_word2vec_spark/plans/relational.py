@@ -1866,3 +1866,110 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, upd, key="c_custkey", tracked_cols=["seg"],
         batch_time="2024-01-01 00:00:00",
     )
+
+
+@register(
+    "diff_snapshots",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 97 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 97 <> 5
+    )
+    SELECT COALESCE(old.k, new.k) AS k,
+           CASE WHEN old.k IS NULL THEN 'added'
+                WHEN new.k IS NULL THEN 'removed'
+                ELSE 'modified' END AS change,
+           round(old.price, 6) AS old_price,
+           round(new.price, 6) AS new_price
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    WHERE old.k IS NULL OR new.k IS NULL
+       OR old.price <> new.price OR old.status <> new.status
+    """,
+)
+def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff: two snapshots of `orders` (simulated by
+    deterministic key filters + a value perturbation) compared into
+    added / removed / modified rows — the audit step between training
+    -data releases. One full outer join hashed on the key; unchanged
+    rows (the overwhelming majority at scale) are filtered INSIDE the
+    join's output before anything else materializes. At 100 TB both
+    snapshots bucket by key, making the join zero-exchange; a
+    cheaper first pass can compare per-bucket xxhash64 digests and
+    skip identical buckets entirely."""
+    o = rt(spark, sf_dir, "orders")
+    old = o.where(F.col("o_orderkey") % 97 != 3).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    new = o.where(F.col("o_orderkey") % 97 != 5).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    j = old.alias("o").join(
+        new.alias("n"), F.col("o.k") == F.col("n.k"), "full_outer"
+    )
+    changed = (
+        F.col("o.k").isNull()
+        | F.col("n.k").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+        | (F.col("o.status") != F.col("n.status"))
+    )
+    return j.where(changed).select(
+        F.coalesce(F.col("o.k"), F.col("n.k")).alias("k"),
+        F.when(F.col("o.k").isNull(), "added")
+        .when(F.col("n.k").isNull(), "removed")
+        .otherwise("modified")
+        .alias("change"),
+        F.round(F.col("o.price"), 6).alias("old_price"),
+        F.round(F.col("n.price"), 6).alias("new_price"),
+    )
+
+
+@register(
+    "agg_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, median(l_extendedprice) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           round(any_value(med.med_price), 6) AS med_price,
+           round(median(abs(l.l_extendedprice - med.med_price)), 6) AS mad_price
+    FROM lineitem l JOIN med USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of price per return flag — the
+    robust spread statistic outlier filters use where stddev is
+    distorted by the very outliers being hunted. Two aggregation
+    passes (group median, then median of absolute deviations) with
+    the tiny per-group median table broadcast back. Exact
+    `percentile` here to stay oracle-comparable; the 100 TB plan is
+    identical with `approx_percentile` (t-digest sketch, mergeable,
+    no per-group value buffering)."""
+    li = rt(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price")
+    )
+    return (
+        li.join(F.broadcast(med), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.any_value("med_price"), 6).alias("med_price"),
+            F.round(
+                F.expr("percentile(abs(l_extendedprice - med_price), 0.5)"), 6
+            ).alias("mad_price"),
+        )
+    )

@@ -316,3 +316,162 @@ def emb_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_members"),
         )
     )
+
+
+_RRF_K = 60
+_RRF_TERMS = ("spark", "query", "window")
+_RRF_TOPN = 50
+
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                     w -> regexp_matches(w, '^[a-z]+$')) AS ws
+                  FROM documents),
+    dl AS (SELECT doc_id, len(ws) AS dl FROM toks),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, word, count(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS word FROM toks)
+      WHERE word IN {str(_RRF_TERMS)}
+      GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+    bm AS (
+      SELECT tf.doc_id, round(sum(
+               ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))), 6) AS bm25
+      FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    bm_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT vec_id AS doc_id,
+             round({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 6) AS cos
+      FROM (SELECT vec_id, embedding AS ce FROM embeddings), q
+    ),
+    vec_rank AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+      FROM cos
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             CAST(b.r AS INT) AS bm_rank, CAST(v.r AS INT) AS vec_rank,
+             COALESCE(1.0 / ({_RRF_K} + b.r), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + v.r), 0.0) AS rrf
+      FROM (SELECT * FROM bm_rank WHERE r <= {_RRF_TOPN}) b
+      FULL OUTER JOIN (SELECT * FROM vec_rank WHERE r <= {_RRF_TOPN}) v
+        ON b.doc_id = v.doc_id
+    )
+    SELECT doc_id, bm_rank, vec_rank, round(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranks fused with embedding-cosine
+    ranks by Reciprocal Rank Fusion (rrf = Σ 1/(60 + rank)) — the
+    standard RAG retrieval stack as ONE relational program.
+
+    Scale shape: each branch ends in an orderBy().limit(50)
+    (TakeOrderedAndProject — a partial top-k per partition plus one
+    50-row final heap, never a global sort), the rank window then runs
+    on ≤50 rows, and the fusion is a full outer join of two 50-row
+    lists. Corpus size only affects the branch scans; ranks are
+    computed on 6-dp-rounded scores so the cutoff is reproducible
+    cross-engine.
+    """
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    emb = read_testdata(spark, sf_dir, "embeddings")
+
+    # --- BM25 branch (same formulation as doc_bm25_search: one
+    # tokenize pass, window dl/df, broadcast corpus stats) ---
+    tf_all = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    with_dl = tf_all.select(
+        "doc_id", "word", "tf",
+        F.sum("tf").over(Window.partitionBy("doc_id")).alias("dl"),
+    )
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(tokens_expr("text"))).alias("avgdl"),
+    )
+    matched = with_dl.where(F.col("word").isin(*_RRF_TERMS)).select(
+        "doc_id", "word", "tf", "dl",
+        F.count("*").over(Window.partitionBy("word")).alias("df"),
+    )
+    bm = (
+        matched.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * F.col("tf") * 2.2
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("s"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    bm_rank = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), "doc_id"))
+        .alias("bm_rank"),
+    )
+
+    # --- vector branch: cosine against the fixed query embedding ---
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qe")
+    )
+    ce = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(ce, F.col("qe"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    cos = (
+        emb.crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(dot / (norm(F.col("qe")) * norm(ce)), 6).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_TOPN)
+    )
+    vec_rank = cos.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), "doc_id"))
+        .alias("vec_rank"),
+    )
+
+    # --- fuse: full outer join of two 50-row lists ---
+    fused = bm_rank.join(vec_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        "bm_rank",
+        "vec_rank",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("bm_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+        .withColumn("rrf", F.round("rrf", 6))
+    )

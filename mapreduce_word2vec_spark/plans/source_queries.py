@@ -117,3 +117,27 @@ def source_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           round(sum(p_retailprice), 6) AS total_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → ORC → read-back → aggregate. ORC is Spark's second
+    first-class columnar format (native vectorized reader, predicate
+    pushdown, zlib/zstd): the interchange path for Hive-era lakes.
+    The oracle reads the original parquet, so a round-trip through
+    the ORC writer+reader must be lossless."""
+    p = read_testdata(spark, sf_dir, "part")
+    path = _roundtrip_dir("orc_part", sf_dir)
+    p.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.sum("p_retailprice"), 6).alias("total_price"),
+    )

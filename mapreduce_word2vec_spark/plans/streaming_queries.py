@@ -328,6 +328,91 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_compact_last",
+    oracle="""
+    SELECT user_id, event_type, event_id AS last_event_id,
+           CAST(date_trunc('second', ts) AS TIMESTAMP) AS last_ts,
+           round(value, 6) AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def events_compact_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: keep only the LATEST event per
+    (user, type) key — the batch shape of compacting a changelog
+    into current state (what a Kafka compacted topic or a Delta
+    MERGE-on-read materializes). One shuffle on the key; the window
+    rank discards superseded rows in the partial stage, so output
+    size is bounded by key cardinality, not log length."""
+    from pyspark.sql import Window
+
+    e = read_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.date_trunc("second", F.col("ts")).alias("last_ts"),
+            F.round("value", 6).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_id, user_id, event_type, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_pop(value) OVER (PARTITION BY user_id) AS sigma,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, round(value, 6) AS value,
+           round((value - mu) / sigma, 6) AS z
+    FROM s WHERE n >= 10 AND sigma > 0 AND abs((value - mu) / sigma) > 3.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outliers (|z| > 3, users with >= 10 events):
+    the telemetry anomaly filter. One window pass computes mean /
+    population stddev / count in a single exchange on user_id — no
+    join of a stats table back onto events, and no global collect.
+    At 100 TB the same plan holds: per-user state is 3 doubles."""
+    from pyspark.sql import Window
+
+    e = read_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_pop("value").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return s.where(
+        (F.col("n") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 3.0)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+@register(
     "incr_agg_merge",
     oracle="""
     SELECT user_id,

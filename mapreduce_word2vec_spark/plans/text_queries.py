@@ -968,3 +968,79 @@ def select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") - F.col("n_tokens") < F.lit(_TOKEN_BUDGET))
         .select("doc_id", "n_tokens", "quality", "cum_tokens")
     )
+
+
+@register(
+    "doc_top_terms_per_source",
+    oracle=f"""
+    WITH toks AS (SELECT source, unnest({_SQL_TOKENS}) AS word FROM documents),
+    c AS (SELECT source, word, count(*) AS cnt FROM toks GROUP BY source, word),
+    r AS (
+      SELECT source, word, cnt,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, word) AS rn
+      FROM c
+    )
+    SELECT source, word, cnt, CAST(rn AS INT) AS rn FROM r WHERE rn <= 5
+    """,
+)
+def doc_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per source — the per-corpus-slice vocabulary audit
+    run before mixing sources into a training set. One tokenize pass;
+    (source, word) counts partial-aggregate map-side; the top-k is a
+    window rank over the COUNTED table (vocabulary-sized, not
+    token-sized), so the second shuffle moves only distinct terms."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "word")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("source", "word", "cnt", "rn")
+    )
+
+
+@register(
+    "doc_inverted_index",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS word FROM documents),
+    d AS (SELECT DISTINCT doc_id, word FROM toks),
+    g AS (
+      SELECT word, count(*) AS df,
+             (list_sort(list(doc_id)))[1:20] AS postings
+      FROM d GROUP BY word
+    )
+    SELECT word, df, postings FROM g WHERE df >= 25
+    """,
+)
+def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term → document frequency + the first 20
+    postings (sorted doc_ids), for terms appearing in ≥ 25 docs — the
+    search-index construction pass of a retrieval pipeline.
+
+    Scale shape: (doc, term) pairs dedup map-side via the groupBy;
+    postings are CAPPED via slice() so no single hot term ("the")
+    materializes an unbounded array in one reducer — full posting
+    lists at 100 TB are sharded (term, shard) → list, with df kept as
+    a separate mergeable count exactly as computed here."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.lit(1))
+    )
+    return (
+        d.groupBy("word")
+        .agg(
+            F.count("*").alias("df"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"),
+        )
+        .where(F.col("df") >= 25)
+        .select("word", "df", "postings")
+    )
