@@ -528,6 +528,8 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     tradeoff (exact variant: `dedup_embedding_cosine`)."""
     from pyspark.sql import Window
 
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
     emb = read_testdata(spark, sf_dir, "embeddings")
     dbl = F.col("embedding").cast("array<double>")
     cent = emb.where(F.col("vec_id") < _SEM_K).select(
@@ -539,7 +541,10 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, v: a + v,
     )
     w = Window.partitionBy("vec_id").orderBy(F.asc("sqd"), F.asc("cid"))
-    asg = (
+    # Persist the assignment: both sides of the pair self-join consume
+    # it, and without the cache Catalyst recomputes the K-fanout
+    # cross join + argmin window TWICE (two scans of the corpus).
+    asg = tracked_persist(
         emb.crossJoin(F.broadcast(cent))
         .withColumn("sqd", sqd)
         .withColumn("rn", F.row_number().over(w))

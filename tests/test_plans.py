@@ -230,3 +230,60 @@ def test_token_budget_window_is_partitioned_not_global(spark):
     plan = _plan(spark, "select_token_budget")
     assert "windowspecdefinition(qb#" in plan
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_semantic_dedup_pair_join_is_hash_join(spark):
+    """The intra-cluster pair join must be a plain equi-join on
+    cluster_id (hash or sort-merge) — only the K-row centroid cross
+    join may be a broadcast nested loop. A CartesianProduct anywhere
+    is a scale bug."""
+    plan = _plan(spark, "dedup_semantic_clustered")
+    assert "CartesianProduct" not in plan
+    # pair join on cluster_id is an equi-join
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        plan.count("BroadcastHashJoin") >= 1
+    )
+    # The assignment (corpus × K centroids nested-loop + argmin) is
+    # persisted and REUSED by both sides of the pair self-join: every
+    # printed NestedLoopJoin must sit inside the cached relation
+    # (computed once), never in the live top-level plan.
+    assert plan.count("InMemoryTableScan") == 2
+    live = plan.split("InMemoryRelation")[0]
+    assert "BroadcastNestedLoopJoin" not in live
+
+
+def test_hybrid_rrf_branches_are_top_k(spark):
+    """Both retrieval branches must end in TakeOrderedAndProject
+    (partial per-partition top-k), never a global range-partitioned
+    sort of the full score table."""
+    plan = _plan(spark, "hybrid_search_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_top_terms_window_runs_on_counted_table(spark):
+    """Top-terms-per-source: the rank window must consume the
+    aggregated (source, word, cnt) table — exactly one token-sized
+    exchange (the partial+final count), then a source-partitioned
+    window exchange on the far smaller vocabulary table."""
+    plan = _plan(spark, "doc_top_terms_per_source")
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_diff_snapshots_single_scan_branches(spark):
+    """The version diff must not degrade to a nested-loop join; the
+    key join stays an equi-join."""
+    plan = _plan(spark, "diff_snapshots")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_anomaly_zscore_single_exchange(spark):
+    """Per-user stats via ONE window pass: a join-back formulation
+    would double the exchanges; the window formulation hashes events
+    by user_id exactly once."""
+    plan = _plan(spark, "events_anomaly_zscore")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
