@@ -475,3 +475,91 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .withColumn("rrf", F.round("rrf", 6))
     )
+
+
+_PQ_SUBSPACES = 8   # 64-dim -> 8 sub-vectors of 8 dims
+_PQ_SUBDIM = 8
+_PQ_CODEBOOK = 4    # centroids per subspace (seed vectors vec_id < 4)
+
+
+@register(
+    "emb_pq_quantize",
+    oracle=f"""
+    WITH ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+    sub AS (
+      SELECT e.vec_id, ss.s,
+             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS v
+      FROM embeddings e CROSS JOIN ss
+    ),
+    cent AS (
+      SELECT e.vec_id AS cid, ss.s,
+             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS cv
+      FROM embeddings e CROSS JOIN ss WHERE e.vec_id < {_PQ_CODEBOOK}
+    ),
+    d AS (
+      SELECT sub.vec_id, sub.s, cent.cid,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+               i -> (CAST(sub.v[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE))
+                  * (CAST(sub.v[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS sqd
+      FROM sub JOIN cent ON sub.s = cent.s
+    ),
+    code AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    )
+    SELECT vec_id, list(cid ORDER BY s) AS codes
+    FROM code GROUP BY vec_id
+    """,
+)
+def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: split each 64-dim embedding into 8
+    sub-vectors and code each against a fixed 4-entry per-subspace
+    codebook (seed vectors vec_id < 4) — the memory-compression step
+    of IVF-PQ vector indexes (64 floats → 8 codes ≈ 32× smaller).
+
+    Scale shape: the codebook is (subspaces × entries) rows and
+    BROADCAST; sub-vector extraction is a narrow slice (no explode of
+    the 64 floats); per-(vector, subspace) argmin is a window on the
+    corpus × 8 fanout. Training real codebooks = `emb_kmeans_iter`
+    per subspace; distances against coded vectors are then table
+    lookups instead of float dot products."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    ss = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("s"))
+    sub = emb.crossJoin(F.broadcast(ss)).select(
+        "vec_id", "s", F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
+    )
+    cent = (
+        emb.where(F.col("vec_id") < _PQ_CODEBOOK)
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "s",
+            F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("cv"),
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("sqd"), F.asc("cid"))
+    code = (
+        sub.join(F.broadcast(cent), "s")
+        .withColumn("sqd", sqd)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        code.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "cid"))).alias("sc"))
+        .select(
+            "vec_id",
+            F.transform("sc", lambda x: x.getField("cid")).alias("codes"),
+        )
+    )

@@ -459,3 +459,31 @@ def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "events_latency_percentiles",
+    oracle="""
+    SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           count(*) AS n,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type, day
+    """,
+)
+def events_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p95/p99 rollup of `value` per event type — the
+    observability/SLO aggregation every telemetry pipeline maintains.
+    Exact interpolated `percentile` here for oracle parity; at 100 TB
+    the drop-in is `approx_percentile` (KLL-style mergeable sketch, no
+    per-group value buffering), same grouping and plan shape."""
+    e = read_testdata(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )

@@ -1025,22 +1025,34 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     search-index construction pass of a retrieval pipeline.
 
     Scale shape: (doc, term) pairs dedup map-side via the groupBy;
-    postings are CAPPED via slice() so no single hot term ("the")
-    materializes an unbounded array in one reducer — full posting
-    lists at 100 TB are sharded (term, shard) → list, with df kept as
-    a separate mergeable count exactly as computed here."""
+    the cap is applied BEFORE any list materializes — a window
+    row_number per term keeps 20 postings, so the collect_list
+    aggregation buffer holds ≤ 20 ids even for "the" (df stays a
+    window count over the full set: mergeable, no buffering). Full
+    posting lists at 100 TB are sharded (term, shard) → list; both
+    windows and the final groupBy share ONE exchange on word."""
+    from pyspark.sql import Window
+
     docs = read_testdata(spark, sf_dir, "documents")
     d = (
         docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
         .groupBy("word", "doc_id")
         .agg(F.lit(1))
     )
+    ranked = d.select(
+        "word",
+        "doc_id",
+        F.count("*").over(Window.partitionBy("word")).alias("df"),
+        F.row_number()
+        .over(Window.partitionBy("word").orderBy("doc_id"))
+        .alias("rn"),
+    )
     return (
-        d.groupBy("word")
+        ranked.where((F.col("df") >= 25) & (F.col("rn") <= 20))
+        .groupBy("word")
         .agg(
-            F.count("*").alias("df"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 20).alias("postings"),
+            F.any_value("df").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
         )
-        .where(F.col("df") >= 25)
         .select("word", "df", "postings")
     )

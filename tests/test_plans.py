@@ -287,3 +287,30 @@ def test_anomaly_zscore_single_exchange(spark):
     plan = _plan(spark, "events_anomaly_zscore")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_inverted_index_single_word_exchange(spark):
+    """Both windows (df count, posting rank) and the final groupBy
+    must share ONE exchange on word — and the posting cap must be
+    applied by the window BEFORE collect_list, so no unbounded
+    aggregation buffers exist in the plan."""
+    import re
+
+    plan = _plan(spark, "doc_inverted_index")
+    # exactly one exchange partitioned by word ALONE (the (word,
+    # doc_id) dedup exchange is separate and expected)
+    word_only = re.findall(r"Exchange hashpartitioning\(word#\d+, \d+\)", plan)
+    assert len(word_only) == 1, plan.count("Exchange")
+    # the rank-limit is pushed below the window (Spark WindowGroupLimit)
+    assert "WindowGroupLimit" in plan
+
+
+def test_pq_codebook_is_broadcast(spark):
+    """PQ coding joins the corpus against the (subspace × entries)
+    codebook: that side must broadcast; the corpus must never shuffle
+    for coding (only the tiny per-(vec,subspace) argmin window may
+    exchange)."""
+    plan = _plan(spark, "emb_pq_quantize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
