@@ -33,6 +33,11 @@ SHOWCASE = [
     ("join_asof", "union-then-window: single shuffle on key, no range-join explosion"),
     ("events_retention", "per-user cohort side NOT hint-broadcast (AQE decides from stats)"),
     ("source_partitioned_roundtrip", "PartitionFilters prune languages at planning time"),
+    ("hybrid_search_rrf", "both retrieval branches are TakeOrderedAndProject top-k; fusion joins two 50-row lists"),
+    ("dedup_semantic_clustered", "cached assignment reused by both self-join sides; pair join is an equi-join on cluster_id"),
+    ("doc_inverted_index", "WindowGroupLimit caps postings BEFORE collect_list; one word-only exchange"),
+    ("emb_pq_quantize", "codebook broadcast; corpus never shuffles for coding"),
+    ("events_anomaly_zscore", "per-user stats in ONE window exchange, no stats join-back"),
 ]
 
 
