@@ -156,3 +156,48 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
                 )
 
     return media.mapInPandas(kernel, schema=out_schema)
+
+
+def audio_windows(media: DataFrame, window: int = 256) -> DataFrame:
+    """Fixed-rate windowing of an "audio" payload: interpret bytes as
+    unsigned 8-bit PCM samples (the deterministic stand-in for a real
+    torchaudio/ffmpeg decode) and emit per-window amplitude stats —
+    the framing pass of an audio feature pipeline (VAD, loudness
+    filtering, spectrogram batching all start exactly here).
+
+    Kernel notes: numpy vectorized per batch; window sums accumulate
+    as INTEGERS (exact in any engine), with the only float ops being
+    one division and one sqrt per window — so results are
+    bit-reproducible against a SQL oracle, not just close."""
+    import numpy as np
+
+    out_schema = (
+        "doc_id long, window_idx int, n_samples long, mean_amp double, rms double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = np.frombuffer(payload, dtype=np.uint8)
+                for w in range(0, len(samples), window):
+                    chunk = samples[w : w + window].astype(np.int64)
+                    n = int(chunk.size)
+                    s = int(chunk.sum())
+                    ssq = int((chunk * chunk).sum())
+                    rows.append(
+                        (
+                            doc_id,
+                            w // window,
+                            n,
+                            s / n,
+                            float(np.sqrt(ssq / n)),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "window_idx", "n_samples", "mean_amp", "rms"],
+                )
+
+    return media.mapInPandas(kernel, schema=out_schema)

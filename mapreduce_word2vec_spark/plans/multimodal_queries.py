@@ -85,3 +85,43 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return sample_frames(attach_media_expr(docs), n_frames=4)
+
+
+@register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 256.0) AS INT))) AS win
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, win,
+             list_transform(split(substring(text, win * 256 + 1, 256), ''),
+                            ch -> ascii(ch)) AS cs
+      FROM w
+    )
+    SELECT doc_id, CAST(win AS INT) AS window_idx,
+           CAST(len(cs) AS BIGINT) AS n_samples,
+           round(CAST(list_sum(cs) AS DOUBLE) / len(cs), 6) AS mean_amp,
+           round(sqrt(CAST(list_sum(list_transform(cs, c -> c * c)) AS DOUBLE)
+                      / len(cs)), 6) AS rms
+    FROM s
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """256-sample PCM windowing with per-window mean/RMS through the
+    real mapInPandas plumbing (ASCII corpus ⇒ byte samples equal
+    DuckDB's character codes; integer window sums make the float
+    results bit-identical, not approximately equal)."""
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr, audio_windows
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = audio_windows(attach_media_expr(docs), window=256)
+    return out.select(
+        "doc_id",
+        "window_idx",
+        "n_samples",
+        F.round("mean_amp", 6).alias("mean_amp"),
+        F.round("rms", 6).alias("rms"),
+    )
