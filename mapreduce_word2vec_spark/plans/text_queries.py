@@ -1056,3 +1056,83 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("word", "df", "postings")
     )
+
+
+@register(
+    "corpus_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, lang, {_SQL_TOKENS} AS ws, text
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, source, lang, len(ws) AS n_tokens,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ws, w ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      FROM t
+    ),
+    q AS (
+      SELECT doc_id,
+             0.4 * least(CAST(len(ws) AS DOUBLE) / 20.0, 1.0)
+             + 0.3 * (1.0 - (CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 1.0 END))
+             + 0.3 * least((CASE WHEN len(ws) > 0
+                 THEN CAST(len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS DOUBLE) / len(ws)
+                 ELSE 0.0 END) * 4.0, 1.0) AS quality
+      FROM t
+    )
+    SELECT h.source,
+           count(*) AS n_docs,
+           CAST(sum(h.n_tokens) AS BIGINT) AS total_tokens,
+           count(DISTINCT h.lang) AS n_langs,
+           count(*) - count(DISTINCT h.fingerprint) AS n_dup_docs,
+           round(CAST(sum(CAST(round(q.quality * 1000000) AS BIGINT)) AS DOUBLE)
+                 / count(*) / 1000000.0, 6) AS avg_quality
+    FROM h JOIN q USING (doc_id)
+    GROUP BY h.source
+    """,
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source data card: document count, token total, language
+    spread, exact-duplicate count (rolling-hash fingerprints), and
+    mean quality — the one-stop report printed before a corpus is
+    admitted into a training mix.
+
+    Scale shape: ONE pass computes tokens/fingerprint/quality as
+    narrow expressions (no joins — the oracle's h⋈q join is the SQL
+    spelling of the same projection); the only shuffle is the
+    per-source aggregate, with the two DISTINCTs (lang ≤ dozens,
+    fingerprint = dup detection) expanded by Spark into the standard
+    two-phase distinct aggregate. At 100 TB fingerprint-distinct
+    becomes `approx_count_distinct` or the HLL sketch path
+    (`agg_hll_sketch`) — same query shape."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    per_doc = docs.select(
+        "source",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        fingerprint_expr(toks).alias("fingerprint"),
+        # Mean quality accumulates as a SCALED INTEGER: float addition
+        # is order-sensitive across partitionings/engines (the raw
+        # avg() flipped the 6th decimal vs the oracle), integer sums
+        # are exact under any order.
+        F.round(quality_score_expr(F.col("text")) * 1_000_000)
+        .cast("bigint")
+        .alias("q6"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.count("*") - F.countDistinct("fingerprint")).alias("n_dup_docs"),
+        F.round(
+            F.sum("q6").cast("double") / F.count("*") / 1_000_000.0, 6
+        ).alias("avg_quality"),
+    )
