@@ -1973,3 +1973,109 @@ def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad_price"),
         )
     )
+
+
+@register(
+    "q12_priority_delay",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS late_lines,
+           CAST(sum(CASE WHEN l_shipdate <= o_orderdate + INTERVAL 60 DAY
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ontime_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q12_priority_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted to the synthetic schema (no l_shipmode /
+    l_receiptdate): per order priority, lines shipped more than 60
+    days after the order date vs on time. Conditional partial
+    aggregation over the fact join — the orders side projects two
+    columns and shuffles by key (Q12's plan shape; the CASE sums
+    fold into one agg pass)."""
+    li = rt(spark, sf_dir, "lineitem")
+    o = rt(spark, sf_dir, "orders")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("late_lines"),
+            F.sum(F.when(~late, 1).otherwise(0)).cast("bigint").alias("ontime_lines"),
+        )
+    )
+
+
+@register(
+    "q21_late_suppliers",
+    oracle="""
+    WITH ls AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY l_orderkey, l_suppkey
+    ),
+    per_order AS (
+      SELECT l_orderkey, l_suppkey, is_late,
+             count(*) OVER (PARTITION BY l_orderkey) AS n_supps,
+             sum(is_late) OVER (PARTITION BY l_orderkey) AS n_late_supps
+      FROM ls
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM per_order JOIN supplier ON l_suppkey = s_suppkey
+    WHERE is_late = 1 AND n_supps >= 2 AND n_late_supps = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (late = shipped > 90 days after order date):
+    suppliers who were the SOLE late supplier on a multi-supplier
+    finalized order.
+
+    The classic spelling is a self-join + EXISTS + NOT EXISTS over
+    lineitem (three scans). Here the double correlation collapses
+    into ONE aggregation per (order, supplier) followed by two
+    windows on the same order partitioning — lineitem is read once,
+    shuffles once on (orderkey, suppkey), and the windows reuse the
+    orderkey exchange. The supplier name join broadcasts."""
+    from pyspark.sql import Window
+
+    li = rt(spark, sf_dir, "lineitem")
+    o = rt(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = rt(spark, sf_dir, "supplier")
+    ls = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("l_orderkey")
+    per_order = ls.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count("*").over(w).alias("n_supps"),
+        F.sum("is_late").over(w).alias("n_late_supps"),
+    )
+    return (
+        per_order.where(
+            (F.col("is_late") == 1)
+            & (F.col("n_supps") >= 2)
+            & (F.col("n_late_supps") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )

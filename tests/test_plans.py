@@ -314,3 +314,14 @@ def test_pq_codebook_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_single_lineitem_scan_shared_exchange(spark):
+    """Q21's double correlation (EXISTS + NOT EXISTS in the classic
+    spelling = three lineitem scans) must collapse to ONE lineitem
+    scan; both windows reuse the (orderkey, suppkey) aggregation's
+    exchange; the supplier join broadcasts."""
+    plan = _plan(spark, "q21_late_suppliers")
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
