@@ -325,3 +325,26 @@ def test_q21_single_lineitem_scan_shared_exchange(spark):
     assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_compact_and_percentile_rollup_single_exchange(spark):
+    """CDC compaction and the SLO percentile rollup each hash their
+    input exactly once (window rank / partial+final percentile)."""
+    assert _plan(spark, "events_compact_last").count("Exchange hashpartitioning") == 1
+    plan = _plan(spark, "events_latency_percentiles")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_percentile" in plan
+
+
+def test_driver_window_spans_all_families(spark):
+    """The driver's CORRECTNESS check covers only the FIRST 50
+    registrations — registration order is verification budget. Every
+    family that lacked round-1 driver rows must keep >= 1
+    representative inside the window, and the round-1 red query must
+    stay in for its re-check."""
+    names = list(catalog.all_queries())[:50]
+    for prefix in ("dedup_", "knn_", "stream_", "udf_", "multimodal_",
+                   "source_", "emb_", "events_", "q1", "join_", "agg_"):
+        assert any(n.startswith(prefix) for n in names), prefix
+    assert "scalar_math" in names
+    assert "merge_upsert" in names
