@@ -188,3 +188,49 @@ def stateful_running_counts(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+KEEP_LAST_SCHEMA = (
+    "user_id long, event_type string, last_event_id long, "
+    "last_ts_micros long, last_value double"
+)
+_KEEP_LAST_STATE_SCHEMA = "ts_micros long, event_id long, value double"
+
+
+def stateful_keep_last(events: DataFrame) -> DataFrame:
+    """Streaming CDC compaction via applyInPandasWithState: per
+    (user, type) keep only the LATEST event (ts, then event_id as the
+    tiebreak) across micro-batches — the stream-mode form of the
+    batch ``events_compact_last`` query. State per key is one fixed
+    (ts, id, value) triple, so the store size is bounded by key
+    cardinality regardless of stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            best_ts, best_id, best_val = state.get
+        else:
+            best_ts, best_id, best_val = -1, -1, 0.0
+        for pdf in batches:
+            for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
+                tsm = int(ts.value // 1_000)  # pandas ns -> micros
+                if (tsm, int(eid)) > (best_ts, best_id):
+                    best_ts, best_id, best_val = tsm, int(eid), float(val)
+        state.update((best_ts, best_id, best_val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_type": [key[1]],
+                "last_event_id": [best_id],
+                "last_ts_micros": [best_ts],
+                "last_value": [best_val],
+            }
+        )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        KEEP_LAST_SCHEMA,
+        _KEEP_LAST_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

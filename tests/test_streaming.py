@@ -250,3 +250,31 @@ def test_watermark_bounds_state_size(spark):
         assert final_state + removed >= emitted, (final_state, removed, emitted)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_keep_last_equals_batch_compaction(spark, events_dir):
+    """Stream-mode CDC compaction (applyInPandasWithState keep-last)
+    converges to the batch events_compact_last result after the full
+    replay: for every (user, type) the final state emission carries
+    the same latest event id."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.streaming.windows import stateful_keep_last
+
+    batch = read_testdata(spark, SF_SMOKE, "events")
+    schema = batch.schema
+    stream = spark.readStream.schema(schema).parquet(events_dir)
+    got = _run_stream(spark, stateful_keep_last(stream), "t_keep_last",
+                      output_mode="update")
+    # update mode emits once per key per micro-batch; the final value
+    # per key is the emission with the max (ts, id).
+    w_cols = ["user_id", "event_type"]
+    final = (
+        got.groupBy(*w_cols)
+        .agg(F.max_by(
+            "last_event_id", F.struct("last_ts_micros", "last_event_id")
+        ).alias("last_event_id"))
+    )
+    expected = catalog.queries()["events_compact_last"](spark, SF_SMOKE).select(
+        *w_cols, "last_event_id"
+    )
+    assert _rows(final) == _rows(expected)
