@@ -563,3 +563,107 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("sc", lambda x: x.getField("cid")).alias("codes"),
         )
     )
+
+
+@register(
+    "knn_pq_adc",
+    oracle=f"""
+    WITH ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+    sub AS (
+      SELECT e.vec_id, ss.s,
+             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS v
+      FROM embeddings e CROSS JOIN ss
+    ),
+    cent AS (
+      SELECT e.vec_id AS cid, ss.s,
+             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS cv
+      FROM embeddings e CROSS JOIN ss WHERE e.vec_id < {_PQ_CODEBOOK}
+    ),
+    d AS (
+      SELECT sub.vec_id, sub.s, cent.cid,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+               i -> (CAST(sub.v[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE))
+                  * (CAST(sub.v[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS sqd
+      FROM sub JOIN cent ON sub.s = cent.s
+    ),
+    code AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (
+      SELECT d.vec_id AS query_id, d.s, d.cid, d.sqd
+      FROM d WHERE d.vec_id < 3
+    ),
+    adc AS (
+      SELECT lut.query_id, code.vec_id AS neighbor_id,
+             round(sum(lut.sqd), 6) AS approx_dist
+      FROM code JOIN lut ON code.s = lut.s AND code.cid = lut.cid
+      WHERE code.vec_id <> lut.query_id
+      GROUP BY lut.query_id, code.vec_id
+    )
+    SELECT query_id, neighbor_id, approx_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 5
+    """,
+)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance KNN: queries stay in float space, the
+    corpus is its 8 PQ codes; per-(query, subspace, centroid) squared
+    distances form a lookup table and each candidate's approximate
+    distance is the sum of 8 table entries — IVF-PQ's scoring kernel
+    as a relational program.
+
+    Scale shape: the LUT is queries × subspaces × codebook rows
+    (tiny, BROADCAST); the corpus side joins on its CODES — floats
+    never move for scoring, 8 small ints per vector do. Top-5 via a
+    rank window on the 6-dp-rounded distance so the cutoff is
+    engine-reproducible."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    ss = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("s"))
+    sub = emb.crossJoin(F.broadcast(ss)).select(
+        "vec_id", "s", F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
+    )
+    cent = (
+        emb.where(F.col("vec_id") < _PQ_CODEBOOK)
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "s",
+            F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("cv"),
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    d = sub.join(F.broadcast(cent), "s").withColumn("sqd", sqd)
+    w_code = Window.partitionBy("vec_id", "s").orderBy(F.asc("sqd"), F.asc("cid"))
+    code = (
+        d.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+    lut = d.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "s", "cid", "sqd"
+    )
+    adc = (
+        code.join(F.broadcast(lut), ["s", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(F.sum("sqd"), 6).alias("approx_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "approx_dist")
+    )

@@ -141,3 +141,40 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_parts"),
         F.round(F.sum("p_retailprice"), 6).alias("total_price"),
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT n_nationkey,
+           n_name,
+           CASE WHEN n_nationkey % 2 = 0 THEN NULL ELSE r_name END AS region_name
+    FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches of the same
+    table written with DIFFERENT schemas (the second adds a
+    region_name column), unified by mergeSchema — the additive-column
+    migration every long-lived lake table goes through. Rows from the
+    old batch surface the new column as NULL; the oracle recomputes
+    both generations from the source tables.
+
+    Scale note: mergeSchema reconciles footers at PLANNING time (cost
+    scales with file count, not data); steady-state readers should
+    pin the evolved schema explicitly and skip footer merging."""
+    n = read_testdata(spark, sf_dir, "nation")
+    r = read_testdata(spark, sf_dir, "region")
+    path = _roundtrip_dir("schema_evo_nation", sf_dir)
+    old_gen = n.where(F.col("n_nationkey") % 2 == 0).select("n_nationkey", "n_name")
+    new_gen = (
+        n.where(F.col("n_nationkey") % 2 == 1)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"), "left")
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+    )
+    old_gen.write.mode("overwrite").parquet(f"{path}/gen=0")
+    new_gen.write.mode("overwrite").parquet(f"{path}/gen=1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/gen=0", f"{path}/gen=1"
+    )
+    return back.select("n_nationkey", "n_name", "region_name")
