@@ -580,3 +580,70 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cos") >= 0.4)
         .select("cluster_id", "id_a", "id_b", F.round("cos", 6).alias("cos"))
     )
+
+
+def _triangles_sql() -> str:
+    """Triangle count oracle over the same exact-Jaccard edge CTE as
+    PageRank/components."""
+    edges = f"""
+    edges AS (
+      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    tri AS (
+      SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+      FROM edges e1 JOIN edges e2 ON e1.id_b = e2.id_a
+      JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    per_node AS (
+      SELECT node, count(*) AS n_triangles FROM (
+        SELECT a AS node FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri
+      ) GROUP BY node
+    )"""
+    return f"WITH {edges}\n    SELECT node, n_triangles FROM per_node"
+
+
+@register("graph_triangles", oracle=_triangles_sql())
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the exact Jaccard ≥ 0.6 near-dup
+    graph — the clustering-coefficient primitive (tight dup clusters
+    are triangle-dense; chains of borderline matches are not), and
+    the third graph operator next to components and PageRank.
+
+    Scale shape: the canonical a<b<c ordering means each triangle is
+    enumerated once; both joins are equi-joins on node ids over the
+    ORIENTED edge list (id_a < id_b), whose size is candidate-bounded
+    by the shingle join. The classic skew refinement (orient edges by
+    degree so high-degree hubs sit on the probe side) drops in
+    without changing this plan's shape."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    # Persist: three self-join references to the same candidate-pair
+    # subtree (tokenize + shingle join) — without the cache the edge
+    # derivation runs three times.
+    edges = tracked_persist(
+        ngram_jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    )
+    e1 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    e2 = edges.select(F.col("id_a").alias("b"), F.col("id_b").alias("c"))
+    e3 = edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
