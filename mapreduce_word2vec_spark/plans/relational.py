@@ -2079,3 +2079,44 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus AS mode_status, cnt AS mode_count
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY cnt DESC, l_linestatus) AS rn
+      FROM c
+    ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode (most frequent value, ties broken by the
+    LOWEST value): count per (group, value), then a rank window over
+    the counted table — unlike the built-in `mode()`, whose tie
+    winner is partitioning-dependent, this is reproducible across
+    engines and runs. The window consumes the aggregated (group,
+    value, cnt) table (value-cardinality-sized), not the fact
+    table."""
+    li = rt(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_linestatus")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("mode_status"),
+            F.col("cnt").alias("mode_count"),
+        )
+    )
