@@ -38,6 +38,7 @@ SHOWCASE = [
     ("doc_inverted_index", "WindowGroupLimit caps postings BEFORE collect_list; one word-only exchange"),
     ("emb_pq_quantize", "codebook broadcast; corpus never shuffles for coding"),
     ("events_anomaly_zscore", "per-user stats in ONE window exchange, no stats join-back"),
+    ("knn_pq_adc", "broadcast query LUT joined on corpus PQ codes; embedding floats never shuffle"),
 ]
 
 
