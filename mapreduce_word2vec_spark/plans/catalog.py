@@ -121,6 +121,24 @@ _PRIORITY = (
     "sample_stratified_hash",
 )
 
+# Round-3 rotation plan: once CORRECTNESS_r02 lands green for the
+# window above, swap the verified names out and promote the round-2
+# additions that have oracles but no driver row yet, e.g.:
+#   hybrid_search_rrf, dedup_semantic_clustered, emb_pq_quantize,
+#   knn_pq_adc, doc_top_terms_per_source, doc_inverted_index,
+#   corpus_report, diff_snapshots, agg_mad, agg_mode,
+#   events_compact_last, events_anomaly_zscore,
+#   events_latency_percentiles, multimodal_audio_windows,
+#   multimodal_resize, source_orc_roundtrip, source_schema_evolution,
+#   graph_triangles, q12_priority_delay, q21_late_suppliers,
+#   merge_scd2, join_range, sample_mixture_epochs,
+#   select_token_budget, incr_agg_merge, emb_kmeans_iter,
+#   graph_pagerank, agg_hll_sketch, doc_chunking, doc_packing,
+#   doc_unigram_logprob, events_resample_ffill,
+#   source_partitioned_roundtrip, q7/q8/q13/q15/q17/q22.
+# Keep one green sentinel per family in the window so regressions in
+# already-verified families still surface.
+
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:

@@ -125,3 +125,34 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_amp", 6).alias("mean_amp"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'png'
+                WHEN doc_id % 3 = 1 THEN 'jpeg'
+                ELSE 'webp' END AS format,
+           CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize-to-224×224 through the stub kernel: metadata rewrite
+    with the payload carried through untouched (the real codec would
+    rewrite bytes; the column-pruning and schema behavior is
+    identical either way, which is what this registration checks)."""
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr, resize_stub
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    out = resize_stub(attach_media_expr(docs), 224, 224)
+    return out.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
