@@ -2120,3 +2120,34 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").alias("mode_count"),
         )
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact join: the lineitem side carries a salt, the
+    orders side explodes across all 8 salt values, and the join key
+    becomes (orderkey, salt) — each hot order's lines spread over 8
+    reducers instead of one. Result is bit-identical to the plain
+    join (property-tested in test_scale_patterns); this registration
+    proves it against the SQL oracle end to end. At 100 TB the salt
+    count scales with the measured hot-key row count, or AQE's
+    skew-join split handles it adaptively from runtime stats."""
+    from mapreduce_word2vec_spark.operators.skew import salted_join
+
+    li = rt(spark, sf_dir, "lineitem")
+    o = rt(spark, sf_dir, "orders")
+    j = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+        ).alias("revenue"),
+    )

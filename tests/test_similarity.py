@@ -104,3 +104,24 @@ def test_brp_lsh_recall(spark):
         )
         for (a, b) in (got - truth)
     )
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ is lossy by design — pin its retrieval quality: ADC top-5
+    must recover a fixed, substantial fraction of the exact cosine
+    top-5 for the same queries (deterministic: fixed data, fixed
+    seed codebooks). Guards against silent coding regressions that
+    keep the oracle green (the oracle validates the CODES, not that
+    the codes still carry signal)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    adc = catalog.queries()["knn_pq_adc"](spark, SF_SMOKE).collect()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in catalog.queries()["knn_bruteforce"](spark, SF_SMOKE).collect()
+        if r["query_id"] < 3
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in adc}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.2, recall
