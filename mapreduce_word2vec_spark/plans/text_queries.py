@@ -1136,3 +1136,73 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q6").cast("double") / F.count("*") / 1_000_000.0, 6
         ).alias("avg_quality"),
     )
+
+
+@register(
+    "doc_bigram_logprob",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    vocab AS (
+      SELECT count(DISTINCT word) AS v
+      FROM (SELECT unnest(ws) AS word FROM toks)
+    ),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+                            i -> [ws[i], ws[i + 1]])) AS pair
+      FROM toks
+    ),
+    b AS (SELECT doc_id, pair[1] AS w1, pair[2] AS w2 FROM bg),
+    bg_cnt AS (SELECT w1, w2, count(*) AS cbg FROM b GROUP BY w1, w2),
+    w1_cnt AS (SELECT w1, count(*) AS cw1 FROM b GROUP BY w1),
+    scored AS (
+      SELECT b.doc_id,
+             ln((bg_cnt.cbg + 1.0) / (w1_cnt.cw1 + vocab.v)) AS lp
+      FROM b JOIN bg_cnt USING (w1, w2) JOIN w1_cnt USING (w1) CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(lp), 6) AS mean_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model score per document (add-1 smoothing):
+    mean ln P(w_i | w_{i-1}) under the corpus's own bigram counts —
+    the conditional companion to `doc_unigram_logprob` (bigram
+    surprisal separates shuffled-word salad from fluent text, which
+    unigram scores cannot).
+
+    Scale shape: ONE bigram explode; the conditional counts are two
+    windows over the exploded stream (partition by (w1, w2), then by
+    w1 — the second window reuses nothing but moves only
+    (doc_id, w1, w2) triples); the vocabulary size is a broadcast
+    1-row aggregate. No count-table self-joins, no driver action."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = tokens_expr("text")
+    b = (
+        docs.select("doc_id", F.explode(ngrams_expr(toks, 2)).alias("gram"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+    )
+    vocab = docs.select(F.explode(toks).alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    counted = b.select(
+        "doc_id",
+        "w1",
+        F.count("*").over(Window.partitionBy("w1", "w2")).alias("cbg"),
+        F.count("*").over(Window.partitionBy("w1")).alias("cw1"),
+    )
+    scored = counted.crossJoin(F.broadcast(vocab)).select(
+        "doc_id",
+        F.log((F.col("cbg") + 1.0) / (F.col("cw1") + F.col("v"))).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+    )
