@@ -667,3 +667,163 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "approx_dist")
     )
+
+
+@register(
+    "knn_ivf_pq",
+    oracle=f"""
+    WITH {_SQL_CENTROID},
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 3),
+    qc AS (
+      SELECT query_id, probe_label FROM (
+        SELECT query_id, label AS probe_label,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY list_sum(list_transform(range(1, len(qe) + 1),
+                                   i -> CAST(qe[i] AS DOUBLE) * ce[i]))
+                          / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                             * sqrt(list_sum(list_transform(ce, x -> x * x)))) DESC,
+                          label
+               ) AS rn
+        FROM q CROSS JOIN cent
+      ) WHERE rn = 1
+    ),
+    ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+    sub AS (
+      SELECT e.vec_id, ss.s,
+             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS v
+      FROM embeddings e CROSS JOIN ss
+    ),
+    cb AS (
+      SELECT e.vec_id AS cid, ss.s,
+             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS cv
+      FROM embeddings e CROSS JOIN ss WHERE e.vec_id < {_PQ_CODEBOOK}
+    ),
+    d AS (
+      SELECT sub.vec_id, sub.s, cb.cid,
+             list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
+               i -> (CAST(sub.v[i] AS DOUBLE) - CAST(cb.cv[i] AS DOUBLE))
+                  * (CAST(sub.v[i] AS DOUBLE) - CAST(cb.cv[i] AS DOUBLE)))) AS sqd
+      FROM sub JOIN cb ON sub.s = cb.s
+    ),
+    code AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    lut AS (SELECT vec_id AS query_id, s, cid, sqd FROM d WHERE vec_id < 3),
+    cand AS (
+      SELECT qc.query_id, e.vec_id AS neighbor_id
+      FROM qc JOIN embeddings e ON e.label = qc.probe_label
+      WHERE e.vec_id <> qc.query_id
+    ),
+    adc AS (
+      SELECT cand.query_id, cand.neighbor_id, round(sum(lut.sqd), 6) AS approx_dist
+      FROM cand
+      JOIN code ON code.vec_id = cand.neighbor_id
+      JOIN lut ON lut.query_id = cand.query_id AND lut.s = code.s AND lut.cid = code.cid
+      GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, approx_dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY approx_dist, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 5
+    """,
+)
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed vector index: IVF coarse probe (nearest label
+    centroid → only that inverted list is scored) + PQ asymmetric
+    -distance rescoring (candidates scored from the broadcast query
+    LUT over their 8 codes) — the IVF-PQ retrieval stack (the FAISS
+    /Milvus default layout) as one relational program.
+
+    Scale shape multiplies both savings: the probe touches 1/K of the
+    corpus AND scoring moves only codes, never embedding floats. All
+    stages — centroid aggregate, probe argmin, code argmin, LUT join,
+    top-k rank — are the already-tested pieces of `knn_ivf_probe` and
+    `knn_pq_adc` composed end to end."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+
+    # --- IVF probe (as in knn_ivf_probe, queries vec_id < 3) ---
+    pos = emb.select("label", F.posexplode(dbl).alias("pos", "v"))
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select(
+            F.col("label").alias("probe_label"),
+            F.transform("pv", lambda x: x.getField("mv")).alias("ce"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr("embedding").alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), "probe_label")
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", dot_expr("qe", "ce") / (F.col("qn") * norm_expr("ce")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") == 1)
+        .select("query_id", "probe_label")
+    )
+
+    # --- PQ codes + query LUT (as in knn_pq_adc) ---
+    ss = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("s"))
+    sub = emb.crossJoin(F.broadcast(ss)).select(
+        "vec_id", "s", F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
+    )
+    cb = (
+        emb.where(F.col("vec_id") < _PQ_CODEBOOK)
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "s",
+            F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("cv"),
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    d = sub.join(F.broadcast(cb), "s").withColumn("sqd", sqd)
+    w_code = Window.partitionBy("vec_id", "s").orderBy(F.asc("sqd"), F.asc("cid"))
+    code = (
+        d.withColumn("rn", F.row_number().over(w_code))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+    lut = d.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "s", "cid", "sqd"
+    )
+
+    # --- candidates from the probed inverted list, ADC-scored ---
+    cand = probed.join(
+        emb.select("vec_id", "label"),
+        probed.probe_label == F.col("label"),
+    ).where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+    adc = (
+        cand.join(code.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "s", "cid"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("sqd"), 6).alias("approx_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("approx_dist", "neighbor_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "approx_dist")
+    )
