@@ -647,3 +647,82 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node")))
     )
     return nodes.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+@register(
+    "dedup_lsh_eval",
+    oracle=f"""
+    WITH toks_e AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    sh_e AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks_e),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_e GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh_e a JOIN sh_e b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    {_minhash_sig_sql().strip().rstrip(',')},
+    bands AS (
+      SELECT doc_id, sig, band,
+             sig[band * {_ROWS_PER_BAND} + 1 : band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}] AS key
+      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+    ),
+    lsh AS (
+      SELECT id_a, id_b FROM (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                        a.sig AS sig_a, b.sig AS sig_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+      )
+      WHERE list_sum(list_transform(range(1, {_N_HASH} + 1),
+                     i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END))
+            / {_N_HASH}.0 >= 0.5
+    ),
+    m AS (
+      SELECT
+        (SELECT count(*) FROM exact) AS n_exact,
+        (SELECT count(*) FROM lsh) AS n_lsh,
+        (SELECT count(*) FROM exact JOIN lsh USING (id_a, id_b)) AS n_hit
+    )
+    SELECT n_exact, n_lsh, n_hit,
+           round(n_hit * 1.0 / n_lsh, 6) AS precision_,
+           round(n_hit * 1.0 / n_exact, 6) AS recall_
+    FROM m
+    """,
+)
+def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: precision/recall of the deterministic
+    MinHash-LSH candidates (est. Jaccard ≥ 0.5) against the exact
+    shingle-Jaccard ≥ 0.6 ground truth — the acceptance report run
+    before trusting an approximate dedup config on a new corpus.
+
+    Scale shape: both branches are the already-bounded candidate-pair
+    pipelines (shingle equi-join / banded buckets, never all-pairs);
+    the comparison joins two pair-key tables and folds to one row.
+    At 100 TB the exact branch runs on a SAMPLE and the same report
+    estimates the operating point."""
+    from mapreduce_word2vec_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    lsh = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    hit = exact.join(lsh, ["id_a", "id_b"])
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(lsh.agg(F.count("*").alias("n_lsh")))
+        .crossJoin(hit.agg(F.count("*").alias("n_hit")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_lsh"), 6).alias("precision_"),
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_"),
+        )
+    )
