@@ -348,3 +348,26 @@ def test_driver_window_spans_all_families(spark):
         assert any(n.startswith(prefix) for n in names), prefix
     assert "scalar_math" in names
     assert "merge_upsert" in names
+
+
+def test_salted_join_no_cartesian_and_bigram_no_self_join(spark):
+    """The salted join must stay an equi-join on (key, salt); the
+    bigram LM must score via windows over one exploded stream (no
+    count-table self-joins on the hot path — only the broadcast of
+    the 1-row vocabulary aggregate may nest-loop)."""
+    plan = _plan(spark, "skew_salted_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    plan2 = _plan(spark, "doc_bigram_logprob")
+    assert "CartesianProduct" not in plan2
+    assert plan2.count("SortMergeJoin") == 0
+
+
+def test_ivf_pq_broadcasts_index_structures(spark):
+    """The composed vector index must broadcast its small structures
+    (centroids, subspace ids, codebook, query LUT) and never fall to
+    a cartesian product; the corpus embedding column is pruned from
+    the scoring branch (codes only)."""
+    plan = _plan(spark, "knn_ivf_pq")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
