@@ -201,3 +201,34 @@ def audio_windows(media: DataFrame, window: int = 256) -> DataFrame:
                 )
 
     return media.mapInPandas(kernel, schema=out_schema)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Perceptual-hash stand-in for image near-dup detection: a 16-bit
+    signature with bit i set iff histogram bin i holds MORE than its
+    uniform share (count_i * 16 > n_bytes) — the same
+    quantize-features-to-bits shape a real pHash (DCT sign grid)
+    produces. Integer comparisons only, so the signature is exactly
+    reproducible in any engine; identical signatures = near-dup
+    candidate buckets (verify with a full feature distance, exactly
+    like SimHash banding verifies with Hamming)."""
+    import numpy as np
+
+    out_schema = "doc_id long, phash long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(b % N_HIST_BINS, minlength=N_HIST_BINS)
+                n = len(b)
+                sig = 0
+                for i in range(N_HIST_BINS):
+                    if int(counts[i]) * N_HIST_BINS > n:
+                        sig |= 1 << i
+                rows.append((doc_id, sig))
+            if rows:
+                yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+    return media.mapInPandas(kernel, schema=out_schema)

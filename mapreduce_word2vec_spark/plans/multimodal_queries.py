@@ -156,3 +156,56 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.height").alias("height"),
         F.octet_length("payload").cast("long").alias("n_bytes"),
     )
+
+
+@register(
+    "multimodal_dedup_phash",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, list_transform(split(text, ''), ch -> ascii(ch)) AS cs
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, {N_HIST_BINS}),
+               i -> CASE WHEN list_sum(list_transform(cs,
+                           c -> CASE WHEN c % {N_HIST_BINS} = i THEN 1 ELSE 0 END))
+                           * {N_HIST_BINS} > len(cs)
+                    THEN 1 << i ELSE 0 END)) AS BIGINT) AS phash
+      FROM c
+    )
+    SELECT phash, count(*) AS n_docs,
+           (list_sort(list(doc_id)))[1:20] AS doc_ids
+    FROM sig GROUP BY phash HAVING count(*) >= 2
+    """,
+)
+def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup candidate buckets: 16-bit perceptual-hash
+    signatures (integer-exact, through the real mapInPandas kernel)
+    grouped into collision buckets of ≥ 2 payloads — the multimodal
+    member of the dedup family (SimHash-banding shape applied to
+    media features instead of text hashes). Posting lists capped via
+    a pre-aggregation window rank, as in doc_inverted_index."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr, phash_media
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    sig = phash_media(attach_media_expr(docs))
+    ranked = sig.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(Window.partitionBy("phash")).alias("n_docs"),
+        F.row_number()
+        .over(Window.partitionBy("phash").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    return (
+        ranked.where((F.col("n_docs") >= 2) & (F.col("rn") <= 20))
+        .groupBy("phash")
+        .agg(
+            F.any_value("n_docs").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .select("phash", "n_docs", "doc_ids")
+    )
