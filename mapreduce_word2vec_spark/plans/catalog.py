@@ -134,8 +134,10 @@ _PRIORITY = (
 #   merge_scd2, join_range, sample_mixture_epochs,
 #   select_token_budget, incr_agg_merge, emb_kmeans_iter,
 #   graph_pagerank, agg_hll_sketch, doc_chunking, doc_packing,
-#   doc_unigram_logprob, events_resample_ffill,
-#   source_partitioned_roundtrip, q7/q8/q13/q15/q17/q22.
+#   doc_unigram_logprob, doc_bigram_logprob, events_resample_ffill,
+#   source_partitioned_roundtrip, q7/q8/q13/q15/q17/q22,
+#   dedup_lsh_eval, knn_ivf_pq, multimodal_dedup_phash,
+#   skew_salted_join, corpus_report, graph_triangles.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 
