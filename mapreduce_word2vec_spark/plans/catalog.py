@@ -137,7 +137,9 @@ _PRIORITY = (
 #   doc_unigram_logprob, doc_bigram_logprob, events_resample_ffill,
 #   source_partitioned_roundtrip, q7/q8/q13/q15/q17/q22,
 #   dedup_lsh_eval, knn_ivf_pq, multimodal_dedup_phash,
-#   skew_salted_join, corpus_report, graph_triangles.
+#   skew_salted_join, corpus_report, graph_triangles,
+#   q2_min_cost_supplier, q9_product_type_profit, q11_important_stock,
+#   q16_supplier_part_counts, q20_promotion_suppliers.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -2151,3 +2151,288 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
         ).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Remaining TPC-H adaptations (Q2/Q9/Q11/Q16/Q20) — the testdata has no
+# partsupp table, so the part<->supplier relation is DERIVED from the
+# lineitem fact (distinct (l_partkey, l_suppkey) pairs) and
+# ps_supplycost is stood in for by s_acctbal (Q2) or a fixed fraction
+# of p_retailprice (Q9/Q11), mirroring how q12/q21 adapted the missing
+# commit/receipt dates. With these five, all 22 TPC-H query shapes are
+# registered (ref has none — SURVEY §2.A "Not implemented": this is
+# declared target breadth).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    cand AS (
+      SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name,
+             min(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+      FROM part
+        JOIN ps ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE p_size = 25 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_type, s_suppkey, s_name,
+           round(s_acctbal, 2) AS s_acctbal, n_name
+    FROM cand WHERE s_acctbal = min_bal
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier per part in a region;
+    ps_supplycost -> s_acctbal, partsupp -> distinct lineitem pairs).
+    The correlated min-cost subquery decorrelates into a window min
+    over the candidate set, so the fact is scanned ONCE: lineitem is
+    pruned by a broadcast of the size/type-filtered parts before the
+    distinct (the 100 TB-critical step — distinct runs on the pruned
+    pairs, not 100 TB of raw pairs), and supplier/nation/region are
+    broadcast dims. No self-join, one exchange for the distinct, one
+    for the per-part window."""
+    p = (
+        rt(spark, sf_dir, "part")
+        .where((F.col("p_size") == 25) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey", "p_type")
+    )
+    pairs = (
+        rt(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_partkey", "p_type", "l_suppkey")
+        .distinct()
+    )
+    s = rt(spark, sf_dir, "supplier")
+    n = rt(spark, sf_dir, "nation")
+    r = rt(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cand = (
+        pairs.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("_min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("_min_bal"))
+        .select(
+            "p_partkey",
+            "p_type",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity), 4) AS sum_profit
+    FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier-nation and order year for
+    parts matching a name pattern; ps_supplycost -> 0.5*p_retailprice
+    per unit). Join order matters at 100 TB: lineitem is broadcast-
+    pruned by the name-filtered parts FIRST (the only selective
+    predicate), then orders joins on the surviving orderkeys — a
+    shuffled join on the big-big pair, with supplier/nation broadcast.
+    The aggregate is low-cardinality (nation x year) so the partial
+    agg collapses nearly everything map-side."""
+    p = (
+        rt(spark, sf_dir, "part")
+        .where(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    li = rt(spark, sf_dir, "lineitem").join(
+        F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")
+    )
+    o = rt(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = rt(spark, sf_dir, "supplier")
+    n = rt(spark, sf_dir, "nation")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                ),
+                4,
+            ).alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH stock AS (
+      SELECT l_partkey, sum(l_quantity * 0.5 * p_retailprice) AS value
+      FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+      WHERE s_nationkey IN (2, 4, 6)
+      GROUP BY l_partkey
+    ),
+    total AS (SELECT sum(value) AS tv FROM stock)
+    SELECT l_partkey AS p_partkey, round(value, 4) AS value
+    FROM stock CROSS JOIN total
+    WHERE value > 0.001 * tv
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (parts representing a significant fraction of
+    total stock value held by a nation group; partsupp availqty*cost
+    -> lineitem quantity * half retail price). The global-total
+    threshold is the classic scalar-subquery trap: computed here as a
+    1-row aggregate OVER THE ALREADY-AGGREGATED per-part table (part
+    cardinality, not fact cardinality) and broadcast back via
+    crossJoin — no second scan of lineitem, no driver-side collect."""
+    s = (
+        rt(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey").isin(2, 4, 6))
+        .select("s_suppkey")
+    )
+    p = rt(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    stock = (
+        rt(spark, sf_dir, "lineitem")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_quantity") * 0.5 * F.col("p_retailprice")
+            ).alias("value")
+        )
+    )
+    total = stock.agg(F.sum("value").alias("tv"))
+    return (
+        stock.crossJoin(F.broadcast(total))
+        .where(F.col("value") > 0.001 * F.col("tv"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    ok_supp AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0.0)
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part
+      JOIN ps ON p_partkey = l_partkey
+      JOIN ok_supp ON l_suppkey = s_suppkey
+    WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (distinct suppliers able to supply each
+    brand/type/size bucket, excluding flagged suppliers; the
+    complaints NOT-IN becomes a negative-balance exclusion, partsupp
+    -> distinct lineitem pairs). lineitem is broadcast-pruned by the
+    filtered part slice BEFORE the distinct so the dedup exchange
+    carries only qualifying pairs; the count(DISTINCT) then rides
+    Catalyst's expand+two-phase rewrite — no joins after the prune,
+    both dims broadcast."""
+    p = (
+        rt(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#3")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    ok = (
+        rt(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") >= 0.0)
+        .select("s_suppkey")
+    )
+    pairs = (
+        rt(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(ok), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+    )
+    return pairs.groupBy("p_brand", "p_type", "p_size").agg(
+        F.count_distinct("l_suppkey").alias("supplier_cnt")
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE 'small%'
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_name, n_name, round(qty, 2) AS qty
+    FROM supplier
+      JOIN shipped ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 2 AND qty > 50.0
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers in a region who moved significant
+    volume of promo-named parts in a year; the availqty>half-shipped
+    check becomes a shipped-quantity threshold — no partsupp). The
+    name-filtered part slice broadcast-prunes lineitem, the date
+    filter pushes into the parquet scan, and the per-supplier
+    aggregate (supplier cardinality, tiny) joins broadcast dims.
+    One wide-fact exchange total, keyed on l_suppkey."""
+    p = (
+        rt(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = rt(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    shipped = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 50.0)
+    )
+    s = rt(spark, sf_dir, "supplier")
+    n = rt(spark, sf_dir, "nation").where(F.col("n_regionkey") == 2)
+    return (
+        shipped.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", F.round("qty", 2).alias("qty"))
+    )
