@@ -2308,7 +2308,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is the classic scalar-subquery trap: computed here as a
     1-row aggregate OVER THE ALREADY-AGGREGATED per-part table (part
     cardinality, not fact cardinality) and broadcast back via
-    crossJoin — no second scan of lineitem, no driver-side collect."""
+    crossJoin — no second scan of lineitem, no driver-side collect.
+    The per-part table is persisted: two consumers reference it (the
+    total and the filter), and without materialization Spark
+    recomputes the subtree, scanning the fact twice (plan-asserted
+    in test_tpch_completion_plan_shapes)."""
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
     s = (
         rt(spark, sf_dir, "supplier")
         .where(F.col("s_nationkey").isin(2, 4, 6))
@@ -2326,6 +2332,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value")
         )
     )
+    stock = tracked_persist(stock)
     total = stock.agg(F.sum("value").alias("tv"))
     return (
         stock.crossJoin(F.broadcast(total))

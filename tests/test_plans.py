@@ -371,3 +371,37 @@ def test_ivf_pq_broadcasts_index_structures(spark):
     plan = _plan(spark, "knn_ivf_pq")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_completion_plan_shapes(spark):
+    """The partsupp-free Q2/Q9/Q11/Q16/Q20 adaptations keep their
+    scale-critical shapes: lineitem scanned once each, part slice
+    broadcast-pruned BEFORE distinct/aggregate, no cartesian
+    products, and Q11's global total comes from the per-part
+    aggregate (no second lineitem scan for the scalar threshold)."""
+    for name, n_li in [
+        ("q2_min_cost_supplier", 1),
+        ("q9_product_type_profit", 1),
+        ("q16_supplier_part_counts", 1),
+        ("q20_promotion_suppliers", 1),
+    ]:
+        plan = _plan(spark, name)
+        assert plan.count("lineitem.parquet") == n_li, name
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+    # Q11's per-part aggregate feeds TWO consumers (global total +
+    # threshold filter); it must be materialized once — both branches
+    # read the cache, so the plan shows InMemoryTableScan and the
+    # lineitem scan only appears inside the (once-executed) cached
+    # subtree's printout.
+    plan = _plan(spark, "q11_important_stock")
+    assert plan.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in plan
+    # Q20's date filter must reach the parquet scan.
+    plan = _plan(spark, "q20_promotion_suppliers")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # Q16's distinct runs on broadcast-pruned pairs: the expand/
+    # distinct exchange must sit above the broadcast joins, and the
+    # count(distinct) rewrite keeps partial aggregation.
+    plan = _plan(spark, "q16_supplier_part_counts")
+    assert "partial_count" in plan
