@@ -139,7 +139,9 @@ _PRIORITY = (
 #   dedup_lsh_eval, knn_ivf_pq, multimodal_dedup_phash,
 #   skew_salted_join, corpus_report, graph_triangles,
 #   q2_min_cost_supplier, q9_product_type_profit, q11_important_stock,
-#   q16_supplier_part_counts, q20_promotion_suppliers.
+#   q16_supplier_part_counts, q20_promotion_suppliers,
+#   doc_gopher_filter, doc_contamination_fuzzy, select_dsir_weights,
+#   doc_perplexity_bucket.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -726,3 +726,65 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall_"),
         )
     )
+
+
+# --- Fuzzy benchmark contamination (n-gram overlap fraction) ---------
+#
+# Exact-phrase decontamination (doc_contamination above) misses
+# near-verbatim leakage; the PaLM/GPT-3 contamination analyses instead
+# measure the FRACTION of a document's n-grams that appear in the
+# benchmark set. Every document is scored (not only hits), so the
+# output doubles as a contamination histogram input.
+_CONTAM_FUZZY_THRESHOLD = 0.02
+
+
+@register(
+    "doc_contamination_fuzzy",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS gs
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(gs) AS BIGINT) AS n_grams,
+           CAST(len(list_intersect(gs, {list(_CONTAM_PHRASES)})) AS BIGINT) AS n_hits,
+           round(CASE WHEN len(gs) > 0
+                 THEN CAST(len(list_intersect(gs, {list(_CONTAM_PHRASES)})) AS DOUBLE) / len(gs)
+                 ELSE 0.0 END, 6) AS overlap_frac,
+           (len(gs) > 0 AND
+            CAST(len(list_intersect(gs, {list(_CONTAM_PHRASES)})) AS DOUBLE) / len(gs)
+              >= {_CONTAM_FUZZY_THRESHOLD}) AS contaminated
+    FROM grams
+    """,
+)
+def doc_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy decontamination: fraction of each document's distinct
+    word 3-grams present in the benchmark phrase set (GPT-3/PaLM-style
+    n-gram overlap, vs doc_contamination's exact-hit form). The
+    benchmark set folds to a constant array and the intersection is
+    row-local — shuffle-free at any corpus size; a benchmark set too
+    large for a literal becomes a broadcast semi-join with the same
+    per-row cost."""
+    from mapreduce_word2vec_spark.functions.text import ngrams_expr, tokens_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = F.array(*[F.lit(p) for p in _CONTAM_PHRASES])
+    gs = F.array_distinct(ngrams_expr(tokens_expr("text"), 3))
+    base = docs.select(
+        "doc_id",
+        F.size(gs).cast("bigint").alias("n_grams"),
+        F.size(F.array_intersect(gs, bench)).cast("bigint").alias("n_hits"),
+    )
+    frac = F.when(
+        F.col("n_grams") > 0, F.col("n_hits").cast("double") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "doc_id",
+        "n_grams",
+        "n_hits",
+        F.round(frac, 6).alias("overlap_frac"),
+        ((F.col("n_grams") > 0) & (frac >= _CONTAM_FUZZY_THRESHOLD)).alias("contaminated"),
+    )

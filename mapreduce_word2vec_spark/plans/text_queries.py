@@ -1206,3 +1206,264 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
     )
+
+
+# --- Gopher-rule quality filter --------------------------------------
+#
+# The rule-based document filter of Rae et al. 2021 (Gopher, §A1.1),
+# adapted thresholds: word-count bounds, mean-word-length band,
+# minimum fraction of whitespace tokens containing a letter, and a
+# minimum number of distinct "stop words" from Gopher's fixed 8-word
+# list. Every rule is row-local arithmetic over one tokenize pass —
+# the whole filter is shuffle-free and stays inside whole-stage
+# codegen at any corpus size.
+_GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOP)
+_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 5, 100_000
+_GOPHER_MIN_MEANLEN, _GOPHER_MAX_MEANLEN = 2.0, 12.0
+_GOPHER_MIN_ALPHA = 0.7
+_GOPHER_MIN_STOP = 2
+
+
+@register(
+    "doc_gopher_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ws,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS raw
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(ws) AS n_words,
+             CASE WHEN len(ws) > 0
+                  THEN CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+             END AS mean_len,
+             CASE WHEN len(raw) > 0
+                  THEN CAST(len(list_filter(raw, t -> regexp_matches(lower(t), '[a-z]'))) AS DOUBLE) / len(raw)
+                  ELSE 0.0 END AS alpha_frac,
+             len(list_filter([{_GOPHER_STOP_SQL}], s -> list_contains(ws, s))) AS n_stop_hits
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_len, 6) AS mean_word_len,
+           round(alpha_frac, 6) AS alpha_frac,
+           CAST(n_stop_hits AS BIGINT) AS n_stop_hits,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND mean_len BETWEEN {_GOPHER_MIN_MEANLEN} AND {_GOPHER_MAX_MEANLEN}
+            AND alpha_frac >= {_GOPHER_MIN_ALPHA}
+            AND n_stop_hits >= {_GOPHER_MIN_STOP}) AS keep
+    FROM m
+    """,
+)
+def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1):
+    per-document word count, mean word length, letter-bearing token
+    fraction, and distinct-stopword floor, each emitted with its
+    measured value plus the combined ``keep`` verdict. Row-local and
+    shuffle-free — the 100 TB plan is a single codegen'd projection."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    trimmed = F.trim(F.col("text"))
+    raw = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    n_words = F.size(ws)
+    mean_len = F.when(
+        n_words > 0,
+        F.aggregate(
+            F.transform(ws, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).cast("double")
+        / n_words,
+    )
+    n_raw = F.size(raw)
+    alpha_frac = F.when(
+        n_raw > 0,
+        F.size(F.filter(raw, lambda t: F.lower(t).rlike("[a-z]"))).cast("double")
+        / n_raw,
+    ).otherwise(F.lit(0.0))
+    stop_lit = F.array(*[F.lit(s) for s in _GOPHER_STOP])
+    n_stop = F.size(F.filter(stop_lit, lambda s: F.array_contains(ws, s)))
+    base = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.cast("bigint").alias("n_stop_hits"),
+        mean_len.alias("_ml"),
+        alpha_frac.alias("_af"),
+    )
+    keep = (
+        F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("_ml").between(_GOPHER_MIN_MEANLEN, _GOPHER_MAX_MEANLEN)
+        & (F.col("_af") >= _GOPHER_MIN_ALPHA)
+        & (F.col("n_stop_hits") >= _GOPHER_MIN_STOP)
+    )
+    return base.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac", "n_stop_hits",
+        keep.alias("keep"),
+    )
+
+
+# --- DSIR importance weights -----------------------------------------
+#
+# Data Selection via Importance Resampling (Xie et al. 2023): score
+# every document by the log-likelihood ratio of its tokens under a
+# TARGET unigram model vs a BACKGROUND model, with the vocabulary
+# hashed into a fixed number of buckets so both models are
+# constant-size regardless of corpus vocabulary (the paper's hashed
+# n-gram features, here B=1024 unigram buckets, add-1 smoothed).
+# Target = the high-quality sources of _MIXTURE_SPEC (src0/src3);
+# background = everything else.
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET = ("src0", "src3")
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
+_SQL_STRHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    " list_transform(split(word, ''), c -> CAST(ascii(c) AS BIGINT))),"
+    " (a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+@register(
+    "select_dsir_weights",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, {_SQL_TOKENS} AS ws FROM documents),
+    words AS (
+      SELECT doc_id, source IN ({_DSIR_TARGET_SQL}) AS is_t,
+             {_SQL_STRHASH} % {_DSIR_BUCKETS} AS bucket
+      FROM (SELECT doc_id, source, unnest(ws) AS word FROM toks)
+    ),
+    bstat AS (
+      SELECT bucket,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_c,
+             sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS b_c
+      FROM words GROUP BY bucket
+    ),
+    tot AS (SELECT sum(t_c) AS t_tot, sum(b_c) AS b_tot FROM bstat),
+    w AS (
+      SELECT bucket,
+             ln((t_c + 1.0) / (t_tot + {_DSIR_BUCKETS}))
+             - ln((b_c + 1.0) / (b_tot + {_DSIR_BUCKETS})) AS lr
+      FROM bstat CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(lr), 6) AS dsir_score,
+           avg(lr) > 0 AS selected
+    FROM words JOIN w USING (bucket)
+    GROUP BY doc_id
+    """,
+)
+def select_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): per-document mean
+    log-ratio of hashed-unigram target vs background models. Scale
+    shape mirrors ``doc_unigram_logprob``: one tokenize/explode pass;
+    per-bucket target/background counts as a window over the bucket
+    exchange (B=1024 buckets ⇒ bounded state however large the
+    vocabulary); the two model totals are a diverging bucket-level
+    aggregate broadcast back as one row; per-doc score is one more
+    keyed aggregation. No driver-side actions, no O(vocab) broadcast —
+    the hashing fixes model size at 100 TB."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.text import string_hash_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.col("source").isin(*_DSIR_TARGET).alias("is_t"),
+        F.explode(tokens_expr("text")).alias("word"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (string_hash_expr(F.col("word")) % _DSIR_BUCKETS).alias("bucket"),
+    )
+    wb = Window.partitionBy("bucket")
+    counted = words.select(
+        "doc_id",
+        "bucket",
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).over(wb).alias("t_c"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).over(wb).alias("b_c"),
+    )
+    tot = (
+        counted.groupBy("bucket")
+        .agg(F.first("t_c").alias("t_c"), F.first("b_c").alias("b_c"))
+        .agg(F.sum("t_c").alias("t_tot"), F.sum("b_c").alias("b_tot"))
+    )
+    lr = F.log((F.col("t_c") + 1.0) / (F.col("t_tot") + _DSIR_BUCKETS)) - F.log(
+        (F.col("b_c") + 1.0) / (F.col("b_tot") + _DSIR_BUCKETS)
+    )
+    scored = counted.crossJoin(F.broadcast(tot)).select("doc_id", lr.alias("lr"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(F.avg("lr"), 6).alias("dsir_score"),
+        (F.avg("lr") > 0).alias("selected"),
+    )
+
+
+# --- CCNet head/middle/tail perplexity buckets -----------------------
+
+
+@register(
+    "doc_perplexity_bucket",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS ws FROM documents),
+    words AS (SELECT doc_id, lang, unnest(ws) AS word FROM toks),
+    cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+    tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+    perdoc AS (
+      SELECT doc_id, lang,
+             round(avg(ln((c + 1.0) / (tot.total + tot.vocab))), 6) AS mean_logprob
+      FROM words JOIN cnt USING (word) CROSS JOIN tot
+      GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, mean_logprob,
+           CASE ntile(3) OVER (PARTITION BY lang ORDER BY mean_logprob DESC, doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+    FROM perdoc
+    """,
+)
+def doc_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020): rank
+    documents within each language by unigram-LM mean log-probability
+    and cut into perplexity terciles. Ordering uses the 6-dp ROUNDED
+    score (ties broken by doc_id) so the tercile boundaries are
+    bit-identical across engines. One tokenize pass (word counts as a
+    window over the word exchange), a broadcast 1-row normalizer, one
+    per-doc aggregation, then a per-lang ntile window — the per-lang
+    sort is the only added exchange vs doc_unigram_logprob."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr("text")).alias("word")
+    )
+    c = F.count("*").over(Window.partitionBy("word"))
+    counted = words.select("doc_id", "lang", "word", c.alias("c"))
+    tot = (
+        counted.select("word", "c")
+        .groupBy("word")
+        .agg(F.first("c").alias("c"))
+        .agg(F.sum("c").alias("total"), F.count("*").alias("vocab"))
+    )
+    perdoc = (
+        counted.crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.log((F.col("c") + 1.0) / (F.col("total") + F.col("vocab"))).alias("lp"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("lp"), 6).alias("mean_logprob"))
+    )
+    tercile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(F.desc("mean_logprob"), "doc_id")
+    )
+    return perdoc.select(
+        "doc_id",
+        "lang",
+        "mean_logprob",
+        F.when(tercile == 1, "head").when(tercile == 2, "middle").otherwise("tail").alias("bucket"),
+    )

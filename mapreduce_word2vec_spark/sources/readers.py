@@ -81,20 +81,33 @@ def read_json(
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one of the driver's synthetic tables (TESTDATA.md).
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which
-    Spark's reader rejects; we read it as a long (legacy conf) and
-    convert to a microsecond timestamp with integer division (double
-    division would lose precision at ~1.7e18 ns). Sub-microsecond
-    digits are truncated — queries must therefore never emit the raw
-    ``ts`` value when an external nanosecond-capable oracle is the
-    comparator; emit derived/bucketed values instead.
+    ``events.ts`` has shipped in two physical encodings across driver
+    testdata generations: parquet TIMESTAMP(NANOS) (which Spark's
+    reader rejects — we read it as a long via the legacy conf and
+    convert with integer division; double division would lose
+    precision at ~1.7e18 ns) and plain TIMESTAMP(MICROS) (read
+    natively). We branch on the decoded type so both generations
+    work. Sub-microsecond digits are truncated in the nanos case —
+    queries must therefore never emit the raw ``ts`` value when an
+    external nanosecond-capable oracle is the comparator; emit
+    derived/bucketed values instead.
     """
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TESTDATA_TABLES}")
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # Micros parquet decodes as TIMESTAMP_NTZ; cast to the
+            # session-local timestamp type every downstream consumer
+            # (and the nanos branch above) produces. The session
+            # timezone is pinned to UTC, so the cast relabels without
+            # shifting values — and the DuckDB oracle's naive
+            # timestamps keep comparing equal.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -405,3 +405,38 @@ def test_tpch_completion_plan_shapes(spark):
     # count(distinct) rewrite keeps partial aggregation.
     plan = _plan(spark, "q16_supplier_part_counts")
     assert "partial_count" in plan
+
+
+def test_gopher_and_fuzzy_contamination_are_shuffle_free(spark):
+    """The Gopher rule filter and the fuzzy n-gram contamination score
+    are row-local by design: no exchange at all (the 100 TB plan is a
+    single codegen'd projection over the scan) and only the needed
+    columns read."""
+    for name in ("doc_gopher_filter", "doc_contamination_fuzzy"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        read = plan.split("ReadSchema")[1]
+        assert "text" in read and "lang" not in read, name
+
+
+def test_dsir_bucket_model_no_vocab_broadcast(spark):
+    """DSIR scoring must aggregate into the FIXED 1024-bucket space
+    (bounded state at any vocabulary) with the model totals as a
+    broadcast 1-row aggregate, never a vocabulary-sized broadcast,
+    and no cartesian product."""
+    plan = _plan(spark, "select_dsir_weights")
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals
+    assert "CartesianProduct" not in plan
+    # per-bucket counts ride a window over the bucket exchange
+    assert "partitionspecification=bucket" in plan.replace(" ", "").lower() or (
+        "bucket" in plan and "Window" in plan
+    )
+
+
+def test_perplexity_bucket_ntile_is_per_lang(spark):
+    """The CCNet tercile window must partition by lang — a global
+    ntile would serialize the whole corpus through one task."""
+    plan = _plan(spark, "doc_perplexity_bucket")
+    assert "ntile(3)" in plan
+    # the ntile window's exchange hashes lang, not a global singleton
+    assert "hashpartitioning(lang" in plan

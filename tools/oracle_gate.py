@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Run the DuckDB-oracle comparison for every oracle-backed query at a
+given sf dir (default sf0.01 — the driver's t2 scale), mirroring the
+driver's CORRECTNESS gate locally so scale-sensitive value divergences
+(float rounding, int overflow, type canon) surface before the driver
+runs. Prints one line per query; exits non-zero on any mismatch.
+
+Usage: python tools/oracle_gate.py [sf_dir] [name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent.parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or None
+
+    from mapreduce_word2vec_spark.oracle import compare, duckdb_connection
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle-gate", master="local[16]", shuffle_partitions=16)
+    con = duckdb_connection(sf_dir)
+    failures = 0
+    for name, q in catalog.all_queries().items():
+        if names and name not in names:
+            continue
+        if q.oracle is None:
+            continue
+        t0 = time.time()
+        try:
+            res = compare(name, q.fn(spark, sf_dir), q.oracle, con)
+        except Exception as e:
+            print(f"[ERROR] {name}: {type(e).__name__}: {e}", flush=True)
+            failures += 1
+            continue
+        print(f"{res}  ({time.time() - t0:.1f}s)", flush=True)
+        if not res.match:
+            failures += 1
+    print(f"\n{failures} failure(s)", flush=True)
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
