@@ -376,3 +376,48 @@ def mllib_minhash_pairs(
         F.col("datasetB.id").alias("id_b"),
         (1 - F.col("jaccard_dist")).alias("est_jaccard"),
     ).where(F.col("id_a") < F.col("id_b"))
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    |A∩B| / min(|A|, |B|) — the Broder containment coefficient.
+
+    Jaccard under-scores a short document embedded verbatim in a much
+    longer one (the union is dominated by the long side); containment
+    flags exactly that quote/subset duplication. Same single-pass
+    shingle shape as ngram_jaccard_pairs: sizes ride a window over the
+    exploded shingles, the persisted table feeds both self-join sides,
+    candidate pairs are bounded by shared shingles (never all-pairs).
+    """
+    sh = doc_shingles(df, id_col, text_col, n)
+    sh = tracked_persist(
+        sh.select(
+            F.col(id_col),
+            "shingle",
+            F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
+        )
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b"))
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").alias("shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    containment = F.col("shared") / F.least(F.col("n_a"), F.col("n_b"))
+    return shared.select(
+        "id_a", "id_b",
+        F.col("shared").cast("bigint").alias("shared"),
+        containment.alias("containment"),
+    ).where(containment >= threshold)

@@ -141,7 +141,8 @@ _PRIORITY = (
 #   q2_min_cost_supplier, q9_product_type_profit, q11_important_stock,
 #   q16_supplier_part_counts, q20_promotion_suppliers,
 #   doc_gopher_filter, doc_contamination_fuzzy, select_dsir_weights,
-#   doc_perplexity_bucket.
+#   doc_perplexity_bucket, dedup_containment, sample_source_cap,
+#   doc_char_entropy.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

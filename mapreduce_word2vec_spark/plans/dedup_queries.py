@@ -788,3 +788,33 @@ def doc_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("overlap_frac"),
         ((F.col("n_grams") > 0) & (frac >= _CONTAM_FUZZY_THRESHOLD)).alias("contaminated"),
     )
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+           shared * 1.0 / least(sa.n_sh, sb.n_sh) AS containment
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 1.0 / least(sa.n_sh, sb.n_sh) >= 0.5
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment ≥ 0.5 (|A∩B|/min set size): flags a
+    short document duplicated inside a longer one, which Jaccard's
+    union denominator hides. Single shingle pass, candidate-bounded
+    self-join — same 100 TB shape as dedup_ngram_jaccard."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_containment_pairs
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, threshold=0.5)

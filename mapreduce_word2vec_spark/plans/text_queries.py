@@ -1467,3 +1467,115 @@ def doc_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_logprob",
         F.when(tercile == 1, "head").when(tercile == 2, "middle").otherwise("tail").alias("bucket"),
     )
+
+
+# --- Per-source document cap (domain balancing) ----------------------
+#
+# Web-scale corpora cap any single domain/source's share so one crawl
+# host cannot dominate training (the C4/RefinedWeb "domain cap").
+# Deterministic version: keep each source's top-N documents by the
+# 6-dp-rounded quality score (doc_id tie-break ⇒ engine-exact ranks).
+_SOURCE_CAP = 10
+
+
+@register(
+    "sample_source_cap",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_SQL_TOKENS} AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(ws) AS n_words,
+             len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS n_stop,
+             n_chars, n_punct
+      FROM t
+    ), q AS (
+      SELECT doc_id, source,
+             round(
+               0.4 * least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+               + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
+               + 0.3 * least((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0),
+             6) AS quality
+      FROM m
+    )
+    SELECT doc_id, source, quality, CAST(rank_in_source AS BIGINT) AS rank_in_source
+    FROM (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank_in_source
+      FROM q
+    ) WHERE rank_in_source <= {_SOURCE_CAP}
+    """,
+)
+def sample_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source cap: keep each source's top-N documents by
+    quality (C4/RefinedWeb-style share limiting, made deterministic
+    by ranking on the rounded score with doc_id tie-break). One
+    row_number window per source partition — no global sort; at
+    100 TB the rank state per task is one counter per source seen."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", quality_score_expr(F.col("text")).alias("quality")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    )
+    return (
+        q.select("doc_id", "source", "quality", rn.alias("rank_in_source"))
+        .where(F.col("rank_in_source") <= _SOURCE_CAP)
+        .select(
+            "doc_id", "source", "quality",
+            F.col("rank_in_source").cast("bigint").alias("rank_in_source"),
+        )
+    )
+
+
+# --- Character-entropy quality signal --------------------------------
+
+
+@register(
+    "doc_char_entropy",
+    oracle="""
+    WITH cs AS (
+      SELECT doc_id, split(text, '') AS chars, length(text) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct_chars,
+           round(CASE WHEN n > 0 THEN
+             ln(n) - list_sum(list_transform(list_distinct(chars),
+               c -> CAST(len(list_filter(chars, x -> x = c)) AS DOUBLE)
+                    * ln(len(list_filter(chars, x -> x = c))))) / n
+           END, 6) AS char_entropy
+    FROM cs
+    """,
+)
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the character distribution — a
+    tokenizer-free quality signal: near-zero entropy is repeated-
+    character junk, abnormally high entropy is random-bytes noise
+    (compression-ratio filtering's cheap cousin). Computed as
+    ln(n) − Σ c·ln(c)/n from integer character counts so both engines
+    share the float path only at the final ln/divide. Entirely
+    row-local higher-order functions — zero exchanges at any scale."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    n = F.length("text")
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    )
+    sum_clnc = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log(c.cast("double")),
+    )
+    entropy = F.when(n > 0, F.log(n.cast("double")) - sum_clnc / n)
+    return docs.select(
+        "doc_id",
+        F.size(F.array_distinct(chars)).cast("bigint").alias("n_distinct_chars"),
+        F.round(entropy, 6).alias("char_entropy"),
+    )

@@ -440,3 +440,18 @@ def test_perplexity_bucket_ntile_is_per_lang(spark):
     assert "ntile(3)" in plan
     # the ntile window's exchange hashes lang, not a global singleton
     assert "hashpartitioning(lang" in plan
+
+
+def test_containment_reuses_persisted_shingles_no_cartesian(spark):
+    plan = _plan(spark, "dedup_containment")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # persisted shingle table feeds both sides
+
+
+def test_source_cap_window_is_per_source_and_entropy_is_narrow(spark):
+    plan = _plan(spark, "sample_source_cap")
+    assert "hashpartitioning(source" in plan  # per-source rank, no global sort
+    assert "row_number" in plan
+    plan = _plan(spark, "doc_char_entropy")
+    assert "Exchange" not in plan  # row-local HOFs only
