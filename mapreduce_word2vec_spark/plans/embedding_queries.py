@@ -238,3 +238,41 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return emb.select("vec_id", q8.alias("q8"), err.alias("mean_abs_err"))
+
+
+@register(
+    "emb_matryoshka_truncate",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(embedding[1:16], x -> CAST(x AS DOUBLE)) AS head,
+             list_sum(list_transform(embedding[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS head_sq,
+             list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS full_sq
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CASE WHEN head_sq > 0
+                THEN list_transform(head, x -> round(x / sqrt(head_sq), 6))
+                ELSE list_transform(head, x -> CAST(0.0 AS DOUBLE)) END AS head_unit,
+           round(CASE WHEN full_sq > 0 THEN head_sq / full_sq ELSE 0.0 END, 6) AS energy_kept
+    FROM s
+    """,
+)
+def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation (Kusupati et al. 2022): keep the
+    first 16 of 64 dimensions, L2-renormalize the prefix, and report
+    the squared-norm fraction it retains — the cheap first stage of a
+    truncate-then-rescore retrieval cascade (4× less vector traffic
+    per probe). Row-local HOF arithmetic, zero exchanges."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    head = F.slice(v, 1, 16)
+    head_sq = F.aggregate(head, F.lit(0.0), lambda a, x: a + x * x)
+    full_sq = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    head_unit = F.when(
+        head_sq > 0, F.transform(head, lambda x: F.round(x / F.sqrt(head_sq), 6))
+    ).otherwise(F.transform(head, lambda x: F.lit(0.0)))
+    energy = F.when(full_sq > 0, head_sq / full_sq).otherwise(F.lit(0.0))
+    return emb.select(
+        "vec_id", head_unit.alias("head_unit"), F.round(energy, 6).alias("energy_kept")
+    )

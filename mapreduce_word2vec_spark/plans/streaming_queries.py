@@ -487,3 +487,44 @@ def events_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+@register(
+    "stream_topk_trending",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT window_start, event_type, n,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM c
+    ) WHERE rnk <= 3
+    """,
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending detection: top-3 event types per tumbling window
+    (deterministic n-desc/type-asc rank). Batch mode of the
+    "trending now" streaming pattern — in stream mode the rank runs
+    on watermark-finalized windows downstream of the windowed
+    aggregation. Two keyed exchanges (window agg, per-window rank);
+    rank state per task is one counter per window — no global sort."""
+    from mapreduce_word2vec_spark.streaming.windows import tumbling_counts
+
+    from pyspark.sql import Window as W
+
+    counts = tumbling_counts(read_testdata(spark, sf_dir, "events")).select(
+        "window_start", "event_type", "n"
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    )
+    return (
+        counts.select("window_start", "event_type", "n", rnk.alias("rnk"))
+        .where(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -455,3 +455,10 @@ def test_source_cap_window_is_per_source_and_entropy_is_narrow(spark):
     assert "row_number" in plan
     plan = _plan(spark, "doc_char_entropy")
     assert "Exchange" not in plan  # row-local HOFs only
+
+
+def test_trending_topk_rank_is_per_window_and_matryoshka_narrow(spark):
+    plan = _plan(spark, "stream_topk_trending")
+    assert "hashpartitioning(window_start" in plan  # rank per window, not global
+    plan = _plan(spark, "emb_matryoshka_truncate")
+    assert "Exchange" not in plan
