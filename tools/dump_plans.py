@@ -39,6 +39,10 @@ SHOWCASE = [
     ("emb_pq_quantize", "codebook broadcast; corpus never shuffles for coding"),
     ("events_anomaly_zscore", "per-user stats in ONE window exchange, no stats join-back"),
     ("knn_pq_adc", "broadcast query LUT joined on corpus PQ codes; embedding floats never shuffle"),
+    ("select_dsir_weights", "model counts in FIXED 1024-bucket space (window over bucket exchange); totals broadcast 1-row — no vocab-sized broadcast"),
+    ("dedup_containment", "persisted shingle table feeds both self-join sides; candidates bounded by shared shingles"),
+    ("doc_gopher_filter", "entire rule filter is one codegen'd projection — zero exchanges"),
+    ("stream_topk_trending", "rank partitioned by window_start — trending top-k without a global sort"),
 ]
 
 
