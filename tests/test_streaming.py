@@ -278,3 +278,45 @@ def test_stateful_keep_last_equals_batch_compaction(spark, events_dir):
         *w_cols, "last_event_id"
     )
     assert _rows(final) == _rows(expected)
+
+
+def test_stream_trending_topk_foreachbatch_equals_batch(spark, events_dir):
+    """Trending top-k in stream mode: the windowed counts stream into
+    foreachBatch, where the per-window rank runs as a plain batch
+    window over the (complete-mode) aggregate — ranks over finalized
+    aggregates equal the batch query's."""
+    from pyspark.sql import Window as W
+
+    batch = read_testdata(spark, SF_SMOKE, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+
+    collected = []
+
+    def rank_batch(df, _epoch):
+        rnk = F.row_number().over(
+            W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+        )
+        collected.append(
+            df.select("window_start", "event_type", "n", rnk.alias("rnk"))
+            .where(F.col("rnk") <= 3)
+            .collect()
+        )
+
+    q = (
+        tumbling_counts(stream)
+        .select("window_start", "event_type", "n")
+        .writeStream.outputMode("complete")
+        .foreachBatch(rank_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    from mapreduce_word2vec_spark.plans import catalog
+
+    want = catalog.queries()["stream_topk_trending"](spark, SF_SMOKE).select(
+        "window_start", "event_type", "n"
+    )
+    got_last = [(r.window_start, r.event_type, r.n) for r in collected[-1]]
+    assert sorted(got_last, key=repr) == _rows(want)
