@@ -142,7 +142,8 @@ _PRIORITY = (
 #   q16_supplier_part_counts, q20_promotion_suppliers,
 #   doc_gopher_filter, doc_contamination_fuzzy, select_dsir_weights,
 #   doc_perplexity_bucket, dedup_containment, sample_source_cap,
-#   doc_char_entropy, stream_topk_trending, emb_matryoshka_truncate.
+#   doc_char_entropy, stream_topk_trending, emb_matryoshka_truncate,
+#   knn_matryoshka_cascade, sample_temperature.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -827,3 +827,93 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", "approx_dist")
     )
+
+
+_SQL_DOT16 = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+)
+_SQL_NORM16 = (
+    "sqrt(list_sum(list_transform({v}[1:16], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+)
+
+
+@register(
+    "knn_matryoshka_cascade",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         s1 AS (
+           SELECT query_id, neighbor_id, qe, ce,
+                  {_SQL_DOT16} / ({_SQL_NORM16.format(v="qe")} * {_SQL_NORM16.format(v="ce")}) AS pcos
+           FROM q, c WHERE query_id <> neighbor_id
+         ),
+         cand AS (
+           SELECT query_id, neighbor_id, qe, ce FROM (
+             SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY pcos DESC, neighbor_id) AS rn
+             FROM s1
+           ) WHERE rn <= 50
+         ),
+         s2 AS (
+           SELECT query_id, neighbor_id,
+                  {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos
+           FROM cand
+         )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM (
+      SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM s2
+    ) WHERE rn <= 5
+    """,
+)
+def knn_matryoshka_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval cascade over Matryoshka prefixes (Kusupati
+    et al. 2022): stage 1 scores every candidate on the 16-dim prefix
+    only (4× less arithmetic and — with a prefix-only column at rest —
+    4× less scan traffic), keeps the top-50 per query; stage 2
+    rescores just those 50 with the full 64-dim cosine and emits the
+    top-5. Same broadcast shape as knn_bruteforce (query side
+    broadcast, corpus never shuffled); the stage-2 rescore touches
+    50·Q rows regardless of corpus size."""
+    from pyspark.sql import Window as W
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = emb.select("vec_id", v.alias("vec"))
+    q = base.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qv")
+    )
+    c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def nrm(a):
+        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+    qh, ch = F.slice(F.col("qv"), 1, 16), F.slice(F.col("cv"), 1, 16)
+    s1 = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "qv", "cv",
+            (dot(qh, ch) / (nrm(qh) * nrm(ch))).alias("pcos"),
+        )
+    )
+    rn1 = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("pcos"), "neighbor_id")
+    )
+    cand = s1.withColumn("rn", rn1).where(F.col("rn") <= 50)
+    full_cos = dot(F.col("qv"), F.col("cv")) / (nrm(F.col("qv")) * nrm(F.col("cv")))
+    s2 = cand.select("query_id", "neighbor_id", full_cos.alias("cos"))
+    rn2 = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    )
+    return (
+        s2.withColumn("rn", rn2)
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )

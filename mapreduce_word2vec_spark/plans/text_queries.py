@@ -1579,3 +1579,59 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(chars)).cast("bigint").alias("n_distinct_chars"),
         F.round(entropy, 6).alias("char_entropy"),
     )
+
+
+# --- Temperature-scaled language sampling ----------------------------
+#
+# Multilingual training rebalances language shares as p(l) ∝ n_l^α
+# (mT5/XLM-R temperature sampling): α < 1 upsamples tail languages
+# relative to the head. Deterministic admission version with α = 0.5:
+# per-language admit rate r_l = sqrt(n_min / n_l) (the smallest
+# language keeps everything; one 4× larger keeps half). sqrt and
+# division are IEEE-correctly-rounded in every engine, so the integer
+# admission threshold floor(r_l · 100) is bit-identical across
+# Spark and the oracle — no pow(), whose last-ULP behavior is
+# library-dependent. Admission granularity is 1% — the same [0,100)
+# hash bucket every sampling query shares (its >>16 spread is proven
+# there; a 10^4-granularity variant would need a stronger mixer).
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+    m AS (SELECT min(n_lang) AS n_min FROM c),
+    r AS (
+      SELECT lang, n_lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_lang) * 100) AS BIGINT)
+               AS admit_pct
+      FROM c CROSS JOIN m
+    )
+    SELECT doc_id, lang, CAST(n_lang AS BIGINT) AS n_lang, admit_pct
+    FROM documents JOIN r USING (lang)
+    WHERE {_SAMPLE_BUCKET_SQL} < admit_pct
+    """,
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling (α = 0.5): admit each document with
+    per-language probability floor(100·sqrt(n_min/n_l))% via the
+    overflow-safe doc_id hash — rebalances language SHARE to p(l) ∝ √n_l (mT5-style
+    tail upsampling, expressed as head downsampling so no row is ever
+    duplicated). One tiny per-language aggregate (+1-row min)
+    broadcast back onto the corpus; documents never shuffle, and the
+    sample is stable across runs, engines, and partitionings."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    nmin = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        F.col("n_lang").cast("bigint").alias("n_lang"),
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_lang")) * 100
+        ).alias("admit_pct"),
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .where(_sample_bucket() < F.col("admit_pct"))
+        .select("doc_id", "lang", "n_lang", "admit_pct")
+    )

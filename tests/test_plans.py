@@ -462,3 +462,16 @@ def test_trending_topk_rank_is_per_window_and_matryoshka_narrow(spark):
     assert "hashpartitioning(window_start" in plan  # rank per window, not global
     plan = _plan(spark, "emb_matryoshka_truncate")
     assert "Exchange" not in plan
+
+
+def test_matryoshka_cascade_and_temperature_shapes(spark):
+    """Cascade: corpus never shuffles for stage 1 (query side
+    broadcast); stage-2 rescore rank is per-query. Temperature: the
+    per-lang rate table broadcasts back; documents never shuffle."""
+    plan = _plan(spark, "knn_matryoshka_cascade")
+    assert "BroadcastNestedLoopJoin" in plan  # query side broadcast
+    assert "hashpartitioning(query_id" in plan  # per-query ranks only
+    plan = _plan(spark, "sample_temperature")
+    assert plan.count("BroadcastHashJoin") == 1  # rates joined broadcast
+    # the documents scan side must not hash-shuffle on lang
+    assert "hashpartitioning(lang" in plan  # only the tiny counts agg
