@@ -178,3 +178,72 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{path}/gen=0", f"{path}/gen=1"
     )
     return back.select("n_nationkey", "n_name", "region_name")
+
+
+@register(
+    "source_csv_malformed",
+    oracle="""
+    SELECT CAST(sum(CASE WHEN s_suppkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+           CAST(sum(CASE WHEN s_suppkey % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+           CAST(sum(CASE WHEN s_suppkey % 5 <> 0 THEN s_suppkey ELSE 0 END) AS BIGINT) AS good_key_sum,
+           round(sum(CASE WHEN s_suppkey % 5 <> 0 THEN s_acctbal ELSE 0 END), 6) AS good_bal
+    FROM supplier
+    """,
+)
+def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling: a CSV where every 5th row has a
+    non-numeric supplier key is read in PERMISSIVE mode with a
+    columnNameOfCorruptRecord column; the query separates good from
+    corrupt rows and aggregates only the good ones — the
+    dead-letter-queue pattern for ingesting dirty data at scale
+    (FAILFAST would abort the job on one bad row in 100 TB;
+    DROPMALFORMED would silently lose it). Corruption is keyed on
+    s_suppkey % 5 so the parquet-based oracle can reproduce the split
+    exactly.
+
+    Pruning gotcha (measured here): the CSV parser only parses
+    REFERENCED columns (spark.sql.csv.parser.columnPruning, on by
+    default), so a query that never reads the corrupted column sees
+    n_corrupt = 0 — the bad field is simply never converted. The
+    aggregate therefore touches s_suppkey itself (good_key_sum);
+    real dead-letter pipelines must reference every column whose
+    failure they care about, or disable pruning for the scan."""
+    sup = read_testdata(spark, sf_dir, "supplier")
+    path = _roundtrip_dir("csv_malformed", sf_dir)
+    # Render rows as raw CSV lines, corrupting every 5th key with a
+    # non-numeric token (type-cast failure => corrupt in PERMISSIVE).
+    key = F.when(
+        F.col("s_suppkey") % 5 == 0, F.concat(F.lit("BAD_"), F.col("s_suppkey"))
+    ).otherwise(F.col("s_suppkey").cast("string"))
+    line = F.concat_ws(
+        ",",
+        key,
+        F.regexp_replace(F.col("s_name"), "[,\n]", " "),
+        F.col("s_nationkey").cast("string"),
+        F.col("s_acctbal").cast("string"),
+    )
+    sup.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(
+            "s_suppkey bigint, s_name string, s_nationkey int, "
+            "s_acctbal double, _corrupt string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+    )
+    return back.agg(
+        F.sum(F.when(F.col("_corrupt").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("s_suppkey")).otherwise(0))
+        .cast("bigint")
+        .alias("good_key_sum"),
+        F.round(
+            F.sum(F.when(F.col("_corrupt").isNull(), F.col("s_acctbal")).otherwise(0.0)),
+            6,
+        ).alias("good_bal"),
+    )
