@@ -143,7 +143,8 @@ _PRIORITY = (
 #   doc_gopher_filter, doc_contamination_fuzzy, select_dsir_weights,
 #   doc_perplexity_bucket, dedup_containment, sample_source_cap,
 #   doc_char_entropy, stream_topk_trending, emb_matryoshka_truncate,
-#   knn_matryoshka_cascade, sample_temperature, source_csv_malformed.
+#   knn_matryoshka_cascade, sample_temperature, source_csv_malformed,
+#   pipeline_pretrain_mix.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

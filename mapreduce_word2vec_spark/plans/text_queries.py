@@ -1217,7 +1217,12 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list. Every rule is row-local arithmetic over one tokenize pass —
 # the whole filter is shuffle-free and stays inside whole-stage
 # codegen at any corpus size.
-_GOPHER_STOP = ("the", "be", "to", "of", "and", "that", "have", "with")
+# Gopher's canonical 8-word stop list, plus "a": the synthetic corpus
+# draws from a closed vocabulary whose only function words are "the"
+# and "a", so without "a" the >=2-distinct-stopwords floor could never
+# pass and the rule would not discriminate (on natural text the extra
+# member is a no-op — any document with 2 canonical hits has "a" too).
+_GOPHER_STOP = ("the", "a", "be", "to", "of", "and", "that", "have", "with")
 _GOPHER_STOP_SQL = ", ".join(f"'{s}'" for s in _GOPHER_STOP)
 _GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS = 5, 100_000
 _GOPHER_MIN_MEANLEN, _GOPHER_MAX_MEANLEN = 2.0, 12.0
@@ -1634,4 +1639,135 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(rates), "lang")
         .where(_sample_bucket() < F.col("admit_pct"))
         .select("doc_id", "lang", "n_lang", "admit_pct")
+    )
+
+
+# --- Pretraining-mix pipeline (capstone composition) -----------------
+#
+# The round-2 curation stack end to end: Gopher rule filter →
+# fingerprint exact-dedup (first doc_id survives) → temperature
+# admission over the POST-FILTER language counts (shares computed on
+# what actually survives, not the raw corpus). Companion to
+# pipeline_curation (which composes quality-score → dedup → split).
+
+
+@register(
+    "pipeline_pretrain_mix",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_SQL_TOKENS} AS ws,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS raw
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, lang, ws
+      FROM t
+      WHERE len(ws) BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+        AND len(ws) > 0
+        AND CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws)
+              BETWEEN {_GOPHER_MIN_MEANLEN} AND {_GOPHER_MAX_MEANLEN}
+        AND len(raw) > 0
+        AND CAST(len(list_filter(raw, x -> regexp_matches(lower(x), '[a-z]'))) AS DOUBLE)
+              / len(raw) >= {_GOPHER_MIN_ALPHA}
+        AND len(list_filter([{_GOPHER_STOP_SQL}], s -> list_contains(ws, s)))
+              >= {_GOPHER_MIN_STOP}
+    ),
+    h AS (
+      SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(ws, w ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007))),
+               (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      FROM g
+    ),
+    surv AS (
+      SELECT doc_id, lang, n_tokens FROM (
+        SELECT doc_id, lang, n_tokens,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM h
+      ) WHERE rn = 1
+    ),
+    c AS (SELECT lang, count(*) AS n_lang FROM surv GROUP BY lang),
+    m AS (SELECT min(n_lang) AS n_min FROM c),
+    r AS (
+      SELECT lang,
+             CAST(floor(sqrt(CAST(n_min AS DOUBLE) / n_lang) * 100) AS BIGINT)
+               AS admit_pct
+      FROM c CROSS JOIN m
+    )
+    SELECT doc_id, lang, n_tokens, admit_pct
+    FROM surv JOIN r USING (lang)
+    WHERE {_SAMPLE_BUCKET_SQL} < admit_pct
+    """,
+)
+def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-mix pipeline: Gopher rules → fingerprint exact-dedup
+    → √n temperature admission computed over the POST-FILTER language
+    counts. Scale shape: the rule filter is row-local; ONE exchange
+    (fingerprint window) carries only (doc_id, lang, n_tokens, fp) —
+    text never shuffles; the language-rate table is a tiny aggregate
+    broadcast back; admission is a hash compare. Mirrors what a real
+    corpus build runs nightly, end to end in one plan."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    trimmed = F.trim(F.col("text"))
+    raw = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    n_words = F.size(ws)
+    mean_len = F.aggregate(
+        F.transform(ws, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+    ).cast("double") / n_words
+    n_raw = F.size(raw)
+    alpha_frac = F.size(F.filter(raw, lambda t: F.lower(t).rlike("[a-z]"))).cast(
+        "double"
+    ) / n_raw
+    stop_lit = F.array(*[F.lit(s) for s in _GOPHER_STOP])
+    n_stop = F.size(F.filter(stop_lit, lambda s: F.array_contains(ws, s)))
+    keep = (
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & (n_words > 0)
+        & mean_len.between(_GOPHER_MIN_MEANLEN, _GOPHER_MAX_MEANLEN)
+        & (n_raw > 0)
+        & (alpha_frac >= _GOPHER_MIN_ALPHA)
+        & (n_stop >= _GOPHER_MIN_STOP)
+    )
+    from mapreduce_word2vec_spark.functions.text import fingerprint_expr
+
+    filtered = docs.where(keep).select(
+        "doc_id",
+        "lang",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        fingerprint_expr(ws).alias("fp"),
+    )
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    # The survivor table feeds TWO consumers (language counts + the
+    # final admission join); without materialization Catalyst
+    # re-expands the scan→tokenize→fingerprint→window subtree into
+    # each, tripling the expensive text pass (measured: 3 fp
+    # exchanges in the plan). Persist once — same lesson as Q11's
+    # per-part aggregate.
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    surv = tracked_persist(
+        filtered.withColumn("rn", rn).where(F.col("rn") == 1).drop("rn", "fp")
+    )
+    counts = surv.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    nmin = counts.agg(F.min("n_lang").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("n_min").cast("double") / F.col("n_lang")) * 100
+        ).alias("admit_pct"),
+    )
+    return (
+        surv.join(F.broadcast(rates), "lang")
+        .where(_sample_bucket() < F.col("admit_pct"))
+        .select("doc_id", "lang", "n_tokens", "admit_pct")
     )

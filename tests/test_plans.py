@@ -475,3 +475,13 @@ def test_matryoshka_cascade_and_temperature_shapes(spark):
     assert plan.count("BroadcastHashJoin") == 1  # rates joined broadcast
     # the documents scan side must not hash-shuffle on lang
     assert "hashpartitioning(lang" in plan  # only the tiny counts agg
+
+
+def test_pretrain_mix_materializes_survivors_once(spark):
+    """The survivor table feeds two consumers (lang counts + admission
+    join); it must come from the cache, not re-expanded text passes —
+    both consumers show InMemoryTableScan and the rate table joins
+    broadcast."""
+    plan = _plan(spark, "pipeline_pretrain_mix")
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "BroadcastHashJoin" in plan
