@@ -1771,3 +1771,138 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(_sample_bucket() < F.col("admit_pct"))
         .select("doc_id", "lang", "n_tokens", "admit_pct")
     )
+
+
+# --- Collocation extraction (PMI) ------------------------------------
+
+
+@register(
+    "doc_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
+    uni AS (
+      SELECT word, count(*) AS c FROM (SELECT unnest(ws) AS word FROM toks)
+      GROUP BY word
+    ),
+    bi AS (
+      SELECT w1, w2, count(*) AS c_ab FROM (
+        SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+               unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+        FROM toks
+      ) GROUP BY w1, w2
+    ),
+    tot AS (
+      SELECT (SELECT sum(c) FROM uni) AS n_uni,
+             (SELECT sum(c_ab) FROM bi) AS n_bi
+    ),
+    scored AS (
+      SELECT w1, w2, c_ab,
+             round(ln((CAST(c_ab AS DOUBLE) / n_bi)
+                   / ((CAST(ua.c AS DOUBLE) / n_uni) * (CAST(ub.c AS DOUBLE) / n_uni))), 6) AS pmi
+      FROM bi JOIN uni ua ON bi.w1 = ua.word
+              JOIN uni ub ON bi.w2 = ub.word
+              CROSS JOIN tot
+      WHERE c_ab >= 5
+    )
+    SELECT w1, w2, c_ab, pmi FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, w1, w2) AS rn FROM scored
+    ) WHERE rn <= 100
+    """,
+)
+def doc_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: pointwise mutual information of
+    adjacent word pairs, PMI = ln(p(ab) / p(a)p(b)), count floor 5,
+    top-100 by 6-dp-rounded score (w1/w2 tie-break ⇒ deterministic).
+    Scale shape: one tokenize pass explodes to bigrams; unigram and
+    bigram count tables join on word keys with NO broadcast hint —
+    vocabulary-sized tables exceed any broadcast threshold at web
+    scale, so the plan must stay valid as shuffled hash joins (AQE
+    broadcasts while they still fit); the two corpus totals ride a broadcast
+    1-row aggregate; the final top-100 is a rank cut, bounded output."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(tokens_expr("text").alias("ws"))
+    uni = (
+        toks.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    bi = (
+        toks.select(F.explode(ngrams_expr(F.col("ws"), 2)).alias("gram"))
+        .select(
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bi.agg(F.sum("c_ab").alias("n_bi"))
+    )
+    ua = uni.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_bi"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n_uni"))
+                * (F.col("c_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    scored = (
+        bi.where(F.col("c_ab") >= 5)
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("pmi"), "w1", "w2"))
+    return scored.withColumn("rn", rn).where(F.col("rn") <= 100).drop("rn")
+
+
+# --- Zipf-law fit -----------------------------------------------------
+
+
+@register(
+    "corpus_zipf_slope",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+      GROUP BY word
+    ),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rnk FROM cnt
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_slope,
+           round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS zipf_intercept
+    FROM ranked WHERE rnk <= 1000
+    """,
+)
+def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law diagnostic: least-squares slope of log(frequency) vs
+    log(rank) over the top-1000 word types (natural corpora sit near
+    −1; synthetic/templated text drifts toward 0 — a corpus-level
+    quality fingerprint). One wordcount aggregation, one rank window
+    over the (vocabulary-sized, already-aggregated) count table, and
+    a 1-row regression aggregate."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("c"), "word"))
+    ranked = cnt.withColumn("rnk", rnk).where(F.col("rnk") <= 1000)
+    lc, lr = F.log(F.col("c").cast("double")), F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
+    )

@@ -485,3 +485,15 @@ def test_pretrain_mix_materializes_survivors_once(spark):
     plan = _plan(spark, "pipeline_pretrain_mix")
     assert plan.count("InMemoryTableScan") >= 2
     assert "BroadcastHashJoin" in plan
+
+
+def test_pmi_no_cartesian_and_zipf_single_regression(spark):
+    """PMI joins carry no broadcast hint (vocab outgrows thresholds at
+    scale; AQE decides) and no cartesian product; the final top-100 is
+    a rank cut. Zipf runs one rank window over the aggregated count
+    table and a single regression aggregate."""
+    plan = _plan(spark, "doc_pmi_collocations")
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan
+    plan = _plan(spark, "corpus_zipf_slope")
+    assert "regr_slope" in plan and plan.count("FileScan") == 1
