@@ -144,7 +144,8 @@ _PRIORITY = (
 #   doc_perplexity_bucket, dedup_containment, sample_source_cap,
 #   doc_char_entropy, stream_topk_trending, emb_matryoshka_truncate,
 #   knn_matryoshka_cascade, sample_temperature, source_csv_malformed,
-#   pipeline_pretrain_mix, doc_pmi_collocations, corpus_zipf_slope.
+#   pipeline_pretrain_mix, doc_pmi_collocations, corpus_zipf_slope,
+#   udf_map_in_arrow.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

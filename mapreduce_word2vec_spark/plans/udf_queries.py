@@ -85,3 +85,44 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", adjust("p_retailprice", "p_size").alias("adjusted_price")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the fourth Python-crossing mode (after scalar
+    pandas, grouped agg/map, and mapInPandas): the kernel receives raw
+    ``pyarrow.RecordBatch``es with NO pandas conversion, the right
+    call when the payload is already columnar (vectors, tensors,
+    binary) and pandas materialization would double memory. Kernel
+    computes per-row L2 norms with numpy over the Arrow buffers;
+    per-batch cost is one zero-copy view + one vectorized reduction."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            embs = batch.column("embedding")
+            # flatten() honors list offsets (a sliced batch's raw
+            # values buffer would misalign); reshape via the fixed
+            # dim — zero row-wise Python looping.
+            flat = np.asarray(embs.flatten(), dtype=np.float64)
+            dim = len(flat) // len(batch)
+            l2 = np.sqrt((flat.reshape(len(batch), dim) ** 2).sum(axis=1)).round(6)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, pa.array(l2, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    return emb.mapInArrow(norms, "vec_id bigint, l2_norm double")
