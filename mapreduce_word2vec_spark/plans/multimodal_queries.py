@@ -209,3 +209,53 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("phash", "n_docs", "doc_ids")
     )
+
+
+# --- WebDataset-style shard layout -----------------------------------
+_SHARD_CAP = 8192  # bytes per shard (fixture-sized; 1 GB in practice)
+
+
+@register(
+    "multimodal_shard_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_bytes,
+             sum(n_bytes) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum_bytes
+      FROM b
+    )
+    SELECT doc_id, n_bytes,
+           CAST(floor((cum_bytes - n_bytes) / {_SHARD_CAP}) AS BIGINT) AS shard,
+           CAST((cum_bytes - n_bytes) % {_SHARD_CAP} AS BIGINT) AS offset_in_shard
+    FROM cum
+    """,
+)
+def multimodal_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset/tar-shard layout: assign each media payload a shard
+    id and byte offset from the running byte total (deterministic
+    doc_id order) — the manifest a sequential-read training loader
+    consumes. Same two-pass global-cumsum decomposition as
+    doc_packing; here the simple single-window form is registered and
+    the partitioned-prefix variant is the documented scale path (a
+    truly global ordered window serializes; see select_token_budget
+    for the binned decomposition this would adopt at 100 TB)."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    media = attach_media_expr(docs).select(
+        "doc_id", F.octet_length("payload").cast("long").alias("n_bytes")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = media.withColumn("cum_bytes", F.sum("n_bytes").over(w))
+    start = F.col("cum_bytes") - F.col("n_bytes")
+    return cum.select(
+        "doc_id",
+        "n_bytes",
+        F.floor(start / _SHARD_CAP).cast("bigint").alias("shard"),
+        (start % _SHARD_CAP).cast("bigint").alias("offset_in_shard"),
+    )
