@@ -145,7 +145,8 @@ _PRIORITY = (
 #   doc_char_entropy, stream_topk_trending, emb_matryoshka_truncate,
 #   knn_matryoshka_cascade, sample_temperature, source_csv_malformed,
 #   pipeline_pretrain_mix, doc_pmi_collocations, corpus_zipf_slope,
-#   udf_map_in_arrow, multimodal_shard_layout.
+#   udf_map_in_arrow, multimodal_shard_layout, join_asof_forward,
+#   window_distinct_cumulative.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

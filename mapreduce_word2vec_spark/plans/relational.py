@@ -2443,3 +2443,78 @@ def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name", F.round("qty", 2).alias("qty"))
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH clicks AS (SELECT event_id, ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts,
+                          event_id AS purchase_event_id,
+                          value AS purchase_value
+                   FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.ts, c.event_id, c.value,
+           p.purchase_event_id, p.purchase_value, p.ts AS ts_right
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click enriched with the same user's
+    NEXT purchase at-or-after it (attribution's "time to conversion"
+    direction, vs join_asof's last-prior). Same union-then-window
+    single-shuffle shape — the window just looks forward."""
+    from mapreduce_word2vec_spark.operators.asof import asof_join
+
+    ev = rt(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+        direction="forward",
+    )
+
+
+@register(
+    "window_distinct_cumulative",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(count(DISTINCT user_id) OVER (
+             PARTITION BY event_type ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS distinct_users
+    FROM events
+    """,
+)
+def window_distinct_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct-user count per event type (audience-reach
+    curve). Spark windows reject DISTINCT aggregates; the standard
+    rewrite is size(collect_set()) over the frame — order-insensitive
+    (set semantics), so no tie-break fragility. Scale note: the set
+    state grows with cardinality; the 100 TB variant swaps in an HLL
+    sketch column (agg_hll_sketch's path) at the same plan shape."""
+    from pyspark.sql import Window
+
+    ev = rt(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias("distinct_users"),
+    )
