@@ -43,6 +43,9 @@ SHOWCASE = [
     ("dedup_containment", "persisted shingle table feeds both self-join sides; candidates bounded by shared shingles"),
     ("doc_gopher_filter", "entire rule filter is one codegen'd projection — zero exchanges"),
     ("stream_topk_trending", "rank partitioned by window_start — trending top-k without a global sort"),
+    ("pipeline_pretrain_mix", "survivor table materialized ONCE for its two consumers; text never shuffles"),
+    ("knn_matryoshka_cascade", "stage-1 prefix scoring on broadcast queries; stage-2 rescore bounded at 50/query"),
+    ("doc_pmi_collocations", "vocab-sized count joins carry no broadcast hint; AQE decides while they fit"),
 ]
 
 
