@@ -276,3 +276,30 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id", head_unit.alias("head_unit"), F.round(energy, 6).alias("energy_kept")
     )
+
+
+@register(
+    "emb_dim_variance",
+    oracle="""
+    WITH d AS (
+      SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           round(avg(x), 6) AS mean_,
+           round(var_pop(x), 6) AS var_
+    FROM d GROUP BY dim
+    """,
+)
+def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance across the embedding corpus — the
+    feature-health diagnostic that catches dead dimensions (var ≈ 0)
+    and mis-scaled ones before they poison similarity search.
+    posexplode keys the aggregation by dimension: 64 groups however
+    large the corpus, partial aggregation map-side."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+    return d.groupBy("dim").agg(
+        F.round(F.avg("x"), 6).alias("mean_"),
+        F.round(F.var_pop("x"), 6).alias("var_"),
+    )

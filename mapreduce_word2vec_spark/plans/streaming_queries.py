@@ -528,3 +528,71 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@register(
+    "events_session_funnel",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_type, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      FROM g
+    ), per AS (
+      SELECT user_id, session_idx,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM s GROUP BY user_id, session_idx
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(t_view) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN t_click >= t_view AND t_purchase >= t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+    FROM per
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped conversion funnel: view → click → purchase must
+    happen IN ORDER within one 30-minute-gap session (vs
+    events_funnel's lifetime-per-user scope — session scope is what
+    product analytics actually ships). Composes the sessionization
+    window with the min-timestamp-per-step funnel: two window passes
+    over one user_id exchange, then a per-session aggregate and a
+    1-row rollup."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.streaming.windows import assign_sessions
+
+    ev = read_testdata(spark, sf_dir, "events")
+    s = assign_sessions(ev, gap_minutes=30)
+    per = s.groupBy("user_id", "session_idx").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    return per.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.count("t_view").cast("bigint").alias("n_view"),
+        F.sum(F.when(F.col("t_click") >= F.col("t_view"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.sum(
+            F.when(
+                (F.col("t_click") >= F.col("t_view"))
+                & (F.col("t_purchase") >= F.col("t_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_view_click_purchase"),
+    )

@@ -1906,3 +1906,62 @@ def corpus_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lc, lr), 6).alias("zipf_slope"),
         F.round(F.regr_intercept(lc, lr), 6).alias("zipf_intercept"),
     )
+
+
+# --- Per-document keyword extraction (top-k TF-IDF) -------------------
+
+
+@register(
+    "doc_keywords_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    words AS (SELECT doc_id, unnest(ws) AS word FROM toks),
+    tf AS (SELECT doc_id, word, count(*) AS tf FROM words GROUP BY doc_id, word),
+    df AS (SELECT word, count(DISTINCT doc_id) AS df FROM words GROUP BY word),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, word,
+             round(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tfidf, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT doc_id, word, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, word) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
+def doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-5 terms by TF·IDF
+    (smoothed ln((N+1)/(df+1)), rank on the rounded score with word
+    tie-break). The per-doc rank makes doc_tfidf's scores actionable
+    as document tags. One tokenize pass; DF via a word-keyed
+    aggregate; the 1-row corpus count broadcasts; the rank window
+    partitions by doc_id — no global sort."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "word")
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "word", "tfidf", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -49,14 +49,12 @@ def sliding_counts(
     )
 
 
-def session_counts_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Batch sessionization: gap > ``gap_minutes`` starts a new
-    session (lag + cumulative-sum-of-boundaries — the classic batch
-    formulation; stream mode uses ``session_window`` instead).
-
-    Output keys sessions by (user, session index) with
-    second-truncated bounds so results are comparable across engines
-    regardless of sub-second timestamp precision."""
+def assign_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based session assignment (lag + cumulative sum of
+    boundaries): every event row gains a ``session_idx`` keyed per
+    user. Shared by the session aggregate and any session-scoped
+    analysis (e.g. in-session funnels) — two windows over ONE user_id
+    exchange."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = gap_minutes * 60
     with_gap = events.withColumn(
@@ -69,12 +67,22 @@ def session_counts_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             > gap_s
         ).cast("int"),
     )
-    with_id = with_gap.withColumn(
+    return with_gap.withColumn(
         "session_idx",
         F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def session_counts_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch sessionization: gap > ``gap_minutes`` starts a new
+    session (lag + cumulative-sum-of-boundaries — the classic batch
+    formulation; stream mode uses ``session_window`` instead).
+
+    Output keys sessions by (user, session index) with
+    second-truncated bounds so results are comparable across engines
+    regardless of sub-second timestamp precision."""
     return (
-        with_id.groupBy("user_id", "session_idx")
+        assign_sessions(events, gap_minutes).groupBy("user_id", "session_idx")
         .agg(
             F.count("*").alias("n_events"),
             F.date_trunc("second", F.min("ts")).alias("session_start"),
