@@ -146,7 +146,9 @@ _PRIORITY = (
 #   knn_matryoshka_cascade, sample_temperature, source_csv_malformed,
 #   pipeline_pretrain_mix, doc_pmi_collocations, corpus_zipf_slope,
 #   udf_map_in_arrow, multimodal_shard_layout, join_asof_forward,
-#   window_distinct_cumulative.
+#   window_distinct_cumulative, events_session_funnel,
+#   doc_keywords_topk, emb_dim_variance, basket_part_lift,
+#   customer_rfm_segments.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -2518,3 +2518,134 @@ def window_distinct_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.size(F.collect_set("user_id").over(w)).cast("bigint").alias("distinct_users"),
     )
+
+
+@register(
+    "basket_part_lift",
+    oracle="""
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pf AS (SELECT l_partkey, count(*) AS n_p FROM items GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT part_a, part_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round((CAST(n_ab AS DOUBLE) / n_orders)
+                 / ((CAST(pa.n_p AS DOUBLE) / n_orders)
+                    * (CAST(pb.n_p AS DOUBLE) / n_orders)), 6) AS lift
+    FROM pairs
+    JOIN pf pa ON part_a = pa.l_partkey
+    JOIN pf pb ON part_b = pb.l_partkey
+    CROSS JOIN n
+    WHERE n_ab >= 2
+    """,
+)
+def basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association lift: for part pairs co-occurring in
+    >= 2 orders, lift = P(ab) / (P(a)·P(b)) (the Apriori screening
+    step). Pair enumeration is an order-keyed self-join — pairs per
+    order are quadratic in BASKET size (bounded, ~7 for TPC-H), never
+    in table size; part frequencies join on part keys with no
+    broadcast hint (part dimension outgrows thresholds at scale); the
+    order count rides a broadcast 1-row aggregate."""
+    li = rt(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    n = li.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pf = items.groupBy("l_partkey").agg(F.count("*").alias("n_p"))
+    a = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    pa = pf.select(F.col("l_partkey").alias("part_a"), F.col("n_p").alias("n_a"))
+    pb = pf.select(F.col("l_partkey").alias("part_b"), F.col("n_p").alias("n_b"))
+    lift = F.round(
+        (F.col("n_ab").cast("double") / F.col("n_orders"))
+        / (
+            (F.col("n_a").cast("double") / F.col("n_orders"))
+            * (F.col("n_b").cast("double") / F.col("n_orders"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select("part_a", "part_b", F.col("n_ab").cast("bigint").alias("n_ab"), lift.alias("lift"))
+    )
+
+
+@register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT max(o_orderdate) AS d_max FROM orders),
+    base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate), d_max) AS recency_days,
+             count(*) AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders CROSS JOIN mx
+      GROUP BY o_custkey, d_max
+    )
+    SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score || f_score || m_score AS VARCHAR) AS segment
+    FROM (
+      SELECT custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days ASC, custkey) AS r_score,
+             ntile(4) OVER (ORDER BY frequency DESC, custkey) AS f_score,
+             ntile(4) OVER (ORDER BY monetary DESC, custkey) AS m_score
+      FROM base
+    )
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile scores on recency /
+    frequency / monetary (2-dp monetary + custkey tie-breaks ⇒
+    engine-exact ntiles), concatenated into the classic segment code.
+    The ntile windows run GLOBAL — but over the customer-level
+    aggregate, not the orders table; at billions of customers the
+    same scores come from an approx_percentile threshold broadcast
+    (documented alternative), identical output schema."""
+    from pyspark.sql import Window
+
+    o = rt(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("d_max"))
+    base = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.first("d_max"), F.max("o_orderdate")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.asc("recency_days"), "custkey"))
+    f = F.ntile(4).over(Window.orderBy(F.desc("frequency"), "custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), "custkey"))
+    scored = base.select(
+        "custkey",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
