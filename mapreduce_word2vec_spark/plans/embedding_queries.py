@@ -303,3 +303,40 @@ def emb_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("x"), 6).alias("mean_"),
         F.round(F.var_pop("x"), 6).alias("var_"),
     )
+
+
+@register(
+    "emb_power_iteration",
+    oracle="""
+    WITH s AS (
+      SELECT embedding,
+             list_sum(list_transform(embedding, e -> CAST(e AS DOUBLE))) / sqrt(64.0) AS sc
+      FROM embeddings
+    ),
+    y AS (
+      SELECT i - 1 AS dim, sum(CAST(embedding[i] AS DOUBLE) * sc) AS yv
+      FROM s, unnest(range(1, len(embedding) + 1)) AS t(i)
+      GROUP BY i
+    ),
+    n AS (SELECT sqrt(sum(yv * yv)) AS nrm FROM y)
+    SELECT CAST(dim AS INT) AS dim, round(yv / nrm, 6) AS component
+    FROM y CROSS JOIN n
+    """,
+)
+def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One MATRIX-FREE power-iteration step toward the corpus's top
+    principal direction: y = Σ_x x·(xᵀv₀) with the deterministic
+    uniform start v₀ = 1/√d — the Gram matrix is never materialized
+    (y_j accumulates directly), which is the right distributed-linear-
+    algebra shape when d² outgrows a task: per-row work is one dot
+    product + one scaled copy, the aggregation is d groups map-side,
+    and the normalizer is a broadcast 1-row aggregate."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sc = F.aggregate(v, F.lit(0.0), lambda a, x: a + x) / F.lit(8.0)  # sqrt(64)
+    scaled = emb.select(F.posexplode(v).alias("dim", "x"), sc.alias("sc"))
+    y = scaled.groupBy("dim").agg(F.sum(F.col("x") * F.col("sc")).alias("yv"))
+    n = y.agg(F.sqrt(F.sum(F.col("yv") * F.col("yv"))).alias("nrm"))
+    return y.crossJoin(F.broadcast(n)).select(
+        "dim", F.round(F.col("yv") / F.col("nrm"), 6).alias("component")
+    )

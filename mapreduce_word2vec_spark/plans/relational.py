@@ -2649,3 +2649,43 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH firstm AS (
+      SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST(date_diff('month', cohort_month,
+                          date_trunc('month', o_orderdate)) AS BIGINT) AS age_months,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN firstm USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers grouped by first-order
+    month, revenue and active count tracked by month age — the
+    orders-side companion of events_retention. The cohort dimension
+    joins back on custkey with no broadcast hint (customer cardinality
+    outgrows thresholds); both aggregations are partial map-side."""
+    o = rt(spark, sf_dir, "orders")
+    firstm = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+    )
+    joined = o.join(firstm, "o_custkey")
+    age = F.months_between(
+        F.date_trunc("month", F.col("o_orderdate")), F.col("cohort_month")
+    ).cast("bigint")
+    return (
+        joined.select("o_custkey", "o_totalprice", "cohort_month", age.alias("age_months"))
+        .groupBy("cohort_month", "age_months")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("active_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
