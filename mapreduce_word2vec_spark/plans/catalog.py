@@ -148,7 +148,8 @@ _PRIORITY = (
 #   udf_map_in_arrow, multimodal_shard_layout, join_asof_forward,
 #   window_distinct_cumulative, events_session_funnel,
 #   doc_keywords_topk, emb_dim_variance, basket_part_lift,
-#   customer_rfm_segments, orders_cohort_ltv, emb_power_iteration.
+#   customer_rfm_segments, orders_cohort_ltv, emb_power_iteration,
+#   events_gap_distribution, doc_ngram_novelty.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

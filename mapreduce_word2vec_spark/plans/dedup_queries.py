@@ -818,3 +818,47 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     return ngram_containment_pairs(docs, threshold=0.5)
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    grams AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS gram FROM toks
+    ),
+    firstseen AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first_doc = doc_id THEN 1.0 ELSE 0.0 END) / count(*), 6)
+             AS novelty
+    FROM grams JOIN firstseen USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-order novelty: the fraction of a document's distinct
+    3-grams whose FIRST occurrence (by doc_id order) is this document
+    — low scores mark documents that mostly repeat earlier corpus
+    content (streaming-dedup admission's scoring function, and a
+    curriculum-ordering diagnostic). First-seen owner via a gram-keyed
+    min aggregate; the join back is gram-keyed with no broadcast hint
+    (the gram table IS the corpus's n-gram vocabulary)."""
+    from mapreduce_word2vec_spark.functions.text import ngrams_expr, tokens_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(ngrams_expr(tokens_expr("text"), 3))
+        ).alias("gram"),
+    )
+    firstseen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firstseen, "gram")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_grams"),
+        F.sum(novel).cast("bigint").alias("n_novel"),
+        F.round(F.sum(novel.cast("double")) / F.count("*"), 6).alias("novelty"),
+    )

@@ -596,3 +596,47 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "events_gap_distribution",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+                                              ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(avg(gap_s), 6) AS mean_gap_s,
+           round(median(gap_s), 6) AS p50_gap_s,
+           round(quantile_cont(gap_s, 0.95), 6) AS p95_gap_s
+    FROM g GROUP BY event_type
+    """,
+)
+def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap distribution per event type (mean/p50/p95
+    seconds) — the arrival-process diagnostic behind watermark and
+    session-gap tuning: pick the session gap / watermark delay from
+    the observed p95, not a guess. Gaps are measured in exact
+    microseconds (unix_micros ≡ DuckDB epoch_us — a plain cast to
+    long truncates sub-second digits and shifts every percentile).
+    One lag window and one aggregate over the same event_type
+    exchange."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1_000_000.0
+        ).alias("gap_s"),
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
+        F.round(F.percentile("gap_s", F.lit(0.95)), 6).alias("p95_gap_s"),
+    )
