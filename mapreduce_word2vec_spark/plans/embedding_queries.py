@@ -340,3 +340,53 @@ def emb_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return y.crossJoin(F.broadcast(n)).select(
         "dim", F.round(F.col("yv") / F.col("nrm"), 6).alias("component")
     )
+
+
+@register(
+    "emb_anisotropy",
+    oracle="""
+    WITH s AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+    ),
+    m AS (
+      SELECT i, avg(v[i]) AS mu, avg(v[i] * v[i]) AS sq
+      FROM s, unnest(range(1, len(v) + 1)) AS t(i)
+      GROUP BY i
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_vectors,
+           round(sum(mu * mu), 6) AS mean_norm_sq,
+           round(sum(sq), 6) AS mean_sq_norm,
+           round(sum(mu * mu) / sum(sq), 6) AS anisotropy
+    FROM m
+    """,
+)
+def emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding anisotropy (the "cone effect"): ‖μ‖² / E[‖x‖²] —
+    near 0 for directionally spread embeddings, toward 1 when the
+    corpus collapses into a narrow cone (a known failure mode that
+    silently degrades cosine retrieval). Per-dimension means/squares
+    via posexplode (d groups map-side at any corpus size), folded to
+    one row."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    d = emb.select(F.posexplode(v).alias("i", "x"))
+    m = d.groupBy("i").agg(
+        F.avg("x").alias("mu"), F.avg(F.col("x") * F.col("x")).alias("sq")
+    )
+    n = emb.agg(F.count("*").alias("n_vectors"))
+    return (
+        m.agg(
+            F.round(F.sum(F.col("mu") * F.col("mu")), 6).alias("mean_norm_sq"),
+            F.round(F.sum("sq"), 6).alias("mean_sq_norm"),
+            F.round(
+                F.sum(F.col("mu") * F.col("mu")) / F.sum("sq"), 6
+            ).alias("anisotropy"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n_vectors").cast("bigint").alias("n_vectors"),
+            "mean_norm_sq",
+            "mean_sq_norm",
+            "anisotropy",
+        )
+    )

@@ -2689,3 +2689,27 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "merge_delete_apply",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 7 = 0)
+    """,
+)
+def merge_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC delete application — the D in CDC, completing the merge
+    family (upsert / SCD2 / compact / delete): a tombstone batch
+    (finished orders with key % 7 = 0, standing in for a changelog's
+    delete set) is applied to the target as a LEFT ANTI join on the
+    key. Delta/Iceberg MERGE ... WHEN MATCHED THEN DELETE executes
+    this same anti-join underneath; the tombstone side is a fraction
+    of the target and broadcastable when small — left unhinted so AQE
+    decides from its actual size."""
+    o = rt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    tombstones = o.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0)
+    ).select("o_orderkey")
+    return o.join(tombstones, "o_orderkey", "left_anti")

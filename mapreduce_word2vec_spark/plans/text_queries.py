@@ -1965,3 +1965,41 @@ def doc_keywords_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("doc_id", "word", "tfidf", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# --- Corpus length histogram -----------------------------------------
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN n_chars >= 500 THEN 11
+                ELSE floor(n_chars / 50) + 1 END AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length histogram: 10 equal-width buckets over [0, 500)
+    chars plus an overflow bucket — the summary a curation dashboard
+    plots before choosing truncation/packing thresholds. The bucket
+    index is shared integer arithmetic (floor(n/50)+1, overflow=11;
+    DuckDB has no width_bucket) — row-local, ≤ 11 groups at any
+    corpus size."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.when(F.col("n_chars") >= 500, F.lit(11))
+            .otherwise(F.floor(F.col("n_chars") / 50) + 1)
+            .alias("bucket"),
+            "n_chars",
+        )
+        .groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
