@@ -150,7 +150,8 @@ _PRIORITY = (
 #   doc_keywords_topk, emb_dim_variance, basket_part_lift,
 #   customer_rfm_segments, orders_cohort_ltv, emb_power_iteration,
 #   events_gap_distribution, doc_ngram_novelty, merge_delete_apply,
-#   emb_anisotropy, doc_length_histogram.
+#   emb_anisotropy, doc_length_histogram, events_json_key_agg,
+#   window_moving_median.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

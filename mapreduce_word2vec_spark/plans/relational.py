@@ -2713,3 +2713,34 @@ def merge_delete_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % 7 == 0)
     ).select("o_orderkey")
     return o.join(tombstones, "o_orderkey", "left_anti")
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    SELECT event_id, user_id,
+           round(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+             AS med7
+    FROM events
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-event moving median per user — the robust smoother
+    that mean-based running aggregates can't provide (one outlier
+    poisons a mean window; the median shrugs). Exact percentile over
+    a bounded row frame: per-row cost is the 7-element frame, state
+    bounded by the frame, partitions keyed by user."""
+    from pyspark.sql import Window
+
+    ev = rt(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med7"),
+    )

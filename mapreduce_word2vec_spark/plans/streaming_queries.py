@@ -640,3 +640,31 @@ def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
         F.round(F.percentile("gap_s", F.lit(0.95)), 6).alias("p95_gap_s"),
     )
+
+
+@register(
+    "events_json_key_agg",
+    oracle="""
+    SELECT CAST(CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS BIGINT) AS k_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation keyed by a field EXTRACTED from a JSON payload
+    column (the semi-structured grouping path: extraction runs
+    row-local inside the scan projection, so only the small extracted
+    key + value reach the exchange — the raw JSON string never
+    shuffles)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).cast("bigint").alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
