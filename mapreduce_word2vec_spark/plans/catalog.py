@@ -151,7 +151,8 @@ _PRIORITY = (
 #   customer_rfm_segments, orders_cohort_ltv, emb_power_iteration,
 #   events_gap_distribution, doc_ngram_novelty, merge_delete_apply,
 #   emb_anisotropy, doc_length_histogram, events_json_key_agg,
-#   window_moving_median.
+#   window_moving_median, dedup_split_leakage,
+#   supplier_concentration_hhi.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -862,3 +862,63 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(novel).cast("bigint").alias("n_novel"),
         F.round(F.sum(novel.cast("double")) / F.count("*"), 6).alias("novelty"),
     )
+
+
+@register(
+    "dedup_split_leakage",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             shared * 1.0 / (sa.n_sh + sb.n_sh - shared) AS jaccard
+      FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id
+      JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    splits AS (
+      SELECT doc_id,
+             CASE WHEN ((((doc_id % 4294967296) * 40503) % 4294967296 >> 16) % 100) < 80 THEN 'train'
+                  WHEN ((((doc_id % 4294967296) * 40503) % 4294967296 >> 16) % 100) < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT id_a, id_b, round(jaccard, 6) AS jaccard,
+           sa.split AS split_a, sb.split AS split_b
+    FROM pairs
+    JOIN splits sa ON id_a = sa.doc_id
+    JOIN splits sb ON id_b = sb.doc_id
+    WHERE sa.split <> sb.split
+    """,
+)
+def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE detector: near-duplicate pairs (Jaccard ≥
+    0.6) whose members land in DIFFERENT splits of the deterministic
+    80/10/10 assignment — the eval-contamination failure mode that
+    silently inflates benchmark scores (dedup must run across split
+    boundaries, not within them). Reuses the single-pass shingle
+    self-join; the split labels join back on doc_id."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.plans.text_queries import split_train_val_test
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    splits = split_train_val_test(spark, sf_dir).select("doc_id", "split")
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .where(F.col("split_a") != F.col("split_b"))
+    )

@@ -2744,3 +2744,44 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("med7"),
     )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH s AS (
+      SELECT p_type, l_suppkey, sum(l_extendedprice) AS rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY p_type, l_suppkey
+    ),
+    t AS (SELECT p_type, sum(rev) AS total FROM s GROUP BY p_type)
+    SELECT p_type,
+           CAST(count(*) AS BIGINT) AS n_suppliers,
+           round(sum((rev / total) * (rev / total)), 6) AS hhi
+    FROM s JOIN t USING (p_type)
+    GROUP BY p_type
+    """,
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration index: Herfindahl–Hirschman (Σ share²) of
+    supplier revenue within each part type — the supply-chain-risk
+    rollup (HHI → 1 means one supplier owns the type). Two keyed
+    aggregations sharing the (p_type, suppkey) exchange; the per-type
+    totals join back keyed, part dimension broadcast by size."""
+    li = rt(spark, sf_dir, "lineitem")
+    p = rt(spark, sf_dir, "part").select("p_partkey", "p_type")
+    s = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type", "l_suppkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    t = s.groupBy("p_type").agg(F.sum("rev").alias("total"))
+    share = F.col("rev") / F.col("total")
+    return (
+        s.join(t, "p_type")
+        .groupBy("p_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+    )
