@@ -668,3 +668,59 @@ def events_json_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+@register(
+    "events_disorder",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value, ts,
+             max(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS high_water
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN ts < high_water THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           round(sum(CASE WHEN ts < high_water THEN 1.0 ELSE 0.0 END) / count(*), 6)
+             AS late_frac,
+           round(max(CASE WHEN ts < high_water
+                     THEN (epoch_us(high_water) - epoch_us(ts)) / 1000000.0
+                     ELSE 0.0 END), 6) AS max_lateness_s
+    FROM r GROUP BY event_type
+    """,
+)
+def events_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time disorder profile: treating event_id as arrival
+    order, how many events arrive with a timestamp BEHIND the running
+    event-time high-water mark, and by how much at worst — the
+    empirical basis for choosing a watermark delay (set it ≥ the
+    observed max lateness or accept drops). One running-max window
+    and one aggregate on the same event_type exchange; microsecond-
+    exact lateness (unix_micros, not second-truncating casts)."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    )
+    late = F.col("ts") < F.col("high_water")
+    lateness = (F.unix_micros("high_water") - F.unix_micros("ts")) / 1_000_000.0
+    return r.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.round(
+            F.sum(F.when(late, 1.0).otherwise(0.0)) / F.count("*"), 6
+        ).alias("late_frac"),
+        F.round(F.max(F.when(late, lateness).otherwise(0.0)), 6).alias(
+            "max_lateness_s"
+        ),
+    )
