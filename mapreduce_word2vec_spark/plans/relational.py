@@ -2785,3 +2785,46 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(share * share), 6).alias("hhi"),
         )
     )
+
+
+@register(
+    "orders_backlog_curve",
+    oracle="""
+    WITH ship AS (
+      SELECT l_orderkey, max(l_shipdate) AS shipped_date FROM lineitem GROUP BY l_orderkey
+    ),
+    deltas AS (
+      SELECT o_orderdate AS d, 1 AS delta FROM orders
+      UNION ALL
+      SELECT shipped_date AS d, -1 AS delta
+      FROM orders JOIN ship ON o_orderkey = l_orderkey
+    )
+    SELECT CAST(d AS DATE) AS d,
+           CAST(sum(sum(delta)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS open_orders
+    FROM deltas GROUP BY d
+    """,
+)
+def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog over time — the interval-concurrency
+    pattern (how many orders are simultaneously in flight): +1 at
+    order date, −1 at final ship date, daily net deltas, then one
+    running sum. The per-day pre-aggregation bounds the ordered
+    window's input to distinct dates (≤ a few thousand rows at any
+    order volume) — the global cumsum never sees the fact table."""
+    from pyspark.sql import Window
+
+    o = rt(spark, sf_dir, "orders")
+    li = rt(spark, sf_dir, "lineitem")
+    ship = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("shipped_date"))
+    plus = o.select(F.col("o_orderdate").alias("d"), F.lit(1).alias("delta"))
+    minus = (
+        o.join(ship, o.o_orderkey == ship.l_orderkey)
+        .select(F.col("shipped_date").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = plus.unionByName(minus).groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        F.col("d").cast("date").alias("d"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    )
