@@ -152,7 +152,8 @@ _PRIORITY = (
 #   events_gap_distribution, doc_ngram_novelty, merge_delete_apply,
 #   emb_anisotropy, doc_length_histogram, events_json_key_agg,
 #   window_moving_median, dedup_split_leakage,
-#   supplier_concentration_hhi, events_disorder, orders_backlog_curve.
+#   supplier_concentration_hhi, events_disorder, orders_backlog_curve,
+#   dedup_cluster_sizes.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -218,9 +218,9 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("est_jaccard", F.round("est_jaccard", 6))
 
 
-@register(
-    "dedup_clusters",
-    oracle="""
+# Recursive-CTE connected components over the Jaccard >= 0.6 edge
+# list — shared by dedup_clusters and the cluster-size histogram.
+_CLUSTERS_CTE = """
     WITH RECURSIVE edges AS (
       WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
                                                w -> regexp_matches(w, '^[a-z]+$')) AS ws FROM documents),
@@ -241,10 +241,17 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s, d FROM sym
       UNION
       SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
+    ),
+    comp AS (
+      SELECT s AS node, least(s, min(d)) AS component
+      FROM reach GROUP BY s
     )
-    SELECT s AS node, least(s, min(d)) AS component
-    FROM reach GROUP BY s
-    """,
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=_CLUSTERS_CTE + "SELECT node, component FROM comp",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components (min-label
@@ -921,4 +928,52 @@ def dedup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .where(F.col("split_a") != F.col("split_b"))
+    )
+
+
+@register(
+    "dedup_cluster_sizes",
+    oracle=_CLUSTERS_CTE
+    + """,
+    per AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component),
+    hist AS (SELECT cluster_size, count(*) AS n_clusters FROM per GROUP BY cluster_size),
+    singles AS (
+      SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n1
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters
+    FROM hist
+    UNION ALL
+    SELECT 1, n1 FROM singles WHERE n1 > 0
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-burden report: histogram of near-dup cluster sizes
+    (singletons included as size 1) — the summary that tells you
+    whether duplication is a long tail of pairs or a few giant
+    clusters, which changes the dedup strategy (survivor picking vs
+    cluster capping). Components from the iterative operator; two
+    tiny aggregations on top."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.operators.graph import connected_components
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    comp = connected_components(ngram_jaccard_pairs(docs, threshold=0.6))
+    per = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    hist = per.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+    n_docs = docs.agg(F.count("*").alias("n"))
+    n_clustered = comp.agg(F.count("*").alias("c"))
+    singles = (
+        n_docs.crossJoin(n_clustered)
+        .select((F.col("n") - F.col("c")).alias("n_clusters"))
+        .where(F.col("n_clusters") > 0)
+        .select(F.lit(1).cast("bigint").alias("cluster_size"), "n_clusters")
+    )
+    return hist.select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+    ).unionByName(
+        singles.select(
+            "cluster_size", F.col("n_clusters").cast("bigint").alias("n_clusters")
+        )
     )
