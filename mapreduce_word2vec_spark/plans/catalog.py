@@ -153,7 +153,8 @@ _PRIORITY = (
 #   emb_anisotropy, doc_length_histogram, events_json_key_agg,
 #   window_moving_median, dedup_split_leakage,
 #   supplier_concentration_hhi, events_disorder, orders_backlog_curve,
-#   dedup_cluster_sizes.
+#   dedup_cluster_sizes, customer_order_streaks,
+#   events_markov_transitions.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -2828,3 +2828,61 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("date").alias("d"),
         F.sum("net").over(w).cast("bigint").alias("open_orders"),
     )
+
+
+@register(
+    "customer_order_streaks",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             date_trunc('month', o_orderdate) AS m
+      FROM orders
+    ),
+    grp AS (
+      SELECT o_custkey, m,
+             date_diff('month', DATE '1990-01-01', m)
+               - row_number() OVER (PARTITION BY o_custkey ORDER BY m) AS island
+      FROM months
+    ),
+    runs AS (
+      SELECT o_custkey, count(*) AS run_len, min(m) AS run_start
+      FROM grp GROUP BY o_custkey, island
+    )
+    SELECT o_custkey AS custkey,
+           CAST(max(run_len) AS BIGINT) AS longest_streak_months,
+           CAST(min(run_start) FILTER (WHERE run_len = (
+             SELECT max(run_len) FROM runs r2 WHERE r2.o_custkey = runs.o_custkey
+           )) AS DATE) AS best_streak_start
+    FROM runs GROUP BY o_custkey
+    """,
+)
+def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest streak of CONSECUTIVE
+    order months (month ordinal minus row_number is constant within an
+    island — the classic trick, no self-join). Distinct months first
+    (bounded rows per customer), one rank window, two keyed
+    aggregations; earliest start breaks ties deterministically."""
+    from pyspark.sql import Window
+
+    o = rt(spark, sf_dir, "orders")
+    months = o.select(
+        "o_custkey", F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).distinct()
+    ordinal = F.months_between(F.col("m"), F.lit("1990-01-01").cast("timestamp")).cast(
+        "long"
+    )
+    rn = F.row_number().over(Window.partitionBy("o_custkey").orderBy("m"))
+    grp = months.select("o_custkey", "m", (ordinal - rn).alias("island"))
+    runs = grp.groupBy("o_custkey", "island").agg(
+        F.count("*").alias("run_len"), F.min("m").alias("run_start")
+    )
+    best = runs.groupBy("o_custkey").agg(F.max("run_len").alias("longest"))
+    return (
+        runs.join(best, "o_custkey")
+        .where(F.col("run_len") == F.col("longest"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("run_len").cast("bigint").alias("longest_streak_months"),
+            F.min("run_start").cast("date").alias("best_streak_start"),
+        )
+    )

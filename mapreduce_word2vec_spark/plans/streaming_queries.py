@@ -724,3 +724,47 @@ def events_disorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_lateness_s"
         ),
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cnt AS (
+      SELECT cur, nxt, count(*) AS n FROM seq WHERE nxt IS NOT NULL
+      GROUP BY cur, nxt
+    ),
+    tot AS (SELECT cur, sum(n) AS row_total FROM cnt GROUP BY cur)
+    SELECT cur, nxt, CAST(n AS BIGINT) AS n,
+           round(n * 1.0 / row_total, 6) AS p
+    FROM cnt JOIN tot USING (cur)
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior:
+    P(next event type | current), estimated from per-user event
+    sequences — the building block behind next-action prediction and
+    behavioral anomaly scoring. One lead window per user, a
+    (cur, nxt)-keyed count, and row-normalization against a
+    |types|²-bounded table."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    cnt = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("cur").agg(F.sum("n").alias("row_total"))
+    return cnt.join(tot, "cur").select(
+        "cur",
+        "nxt",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+    )
