@@ -154,7 +154,7 @@ _PRIORITY = (
 #   window_moving_median, dedup_split_leakage,
 #   supplier_concentration_hhi, events_disorder, orders_backlog_curve,
 #   dedup_cluster_sizes, customer_order_streaks,
-#   events_markov_transitions.
+#   events_markov_transitions, customer_pareto_deciles, events_dau_wau.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

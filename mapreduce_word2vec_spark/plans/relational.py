@@ -2886,3 +2886,55 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("run_start").cast("date").alias("best_streak_start"),
         )
     )
+
+
+@register(
+    "customer_pareto_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev,
+             ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+      FROM rev
+    ),
+    t AS (SELECT sum(rev) AS total FROM rev)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(rev), 2) AS decile_rev,
+           round(sum(sum(rev)) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 / any_value(total), 6) AS cum_share
+    FROM ranked CROSS JOIN t
+    GROUP BY decile, total
+    """,
+)
+def customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto/Lorenz): customers in revenue
+    deciles with each decile's cumulative share of total — the
+    \"top 10% drive X%\" curve. The ntile runs over the customer-level
+    aggregate (2-dp revenue + custkey tie-break ⇒ engine-exact);
+    the final cumsum window sees only 10 rows."""
+    from pyspark.sql import Window
+
+    o = rt(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    decile = F.ntile(10).over(Window.orderBy(F.desc("rev"), "o_custkey"))
+    ranked = rev.select("rev", decile.alias("decile"))
+    t = rev.agg(F.sum("rev").alias("total"))
+    per = (
+        ranked.groupBy("decile")
+        .agg(F.count("*").cast("bigint").alias("n_customers"),
+             F.round(F.sum("rev"), 2).alias("decile_rev"))
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per.crossJoin(F.broadcast(t))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_customers",
+            "decile_rev",
+            F.round(F.sum("decile_rev").over(w) / F.col("total"), 6).alias("cum_share"),
+        )
+    )

@@ -768,3 +768,51 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
     )
+
+
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM du),
+    dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+    wau AS (
+      SELECT days.d, count(DISTINCT du.user_id) AS wau
+      FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+      GROUP BY days.d
+    )
+    SELECT d, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           round(dau * 1.0 / wau, 6) AS stickiness
+    FROM dau JOIN wau USING (d)
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the growth
+    dashboard's core ratio. Shape: the fact table collapses to
+    DISTINCT (day, user) FIRST (bounded by users × days, not events);
+    WAU re-counts that table through a 7-day range join (≤ 7×
+    expansion of the collapsed table, never of raw events)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count("*").alias("dau"))
+    joined = days.alias("a").join(
+        du.alias("b"),
+        (F.col("b.d") >= F.date_sub(F.col("a.d"), 6)) & (F.col("b.d") <= F.col("a.d")),
+    )
+    wau = joined.groupBy(F.col("a.d").alias("d")).agg(
+        F.countDistinct("b.user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            "d",
+            F.col("dau").cast("bigint").alias("dau"),
+            F.col("wau").cast("bigint").alias("wau"),
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
