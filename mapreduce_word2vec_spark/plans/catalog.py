@@ -154,7 +154,8 @@ _PRIORITY = (
 #   window_moving_median, dedup_split_leakage,
 #   supplier_concentration_hhi, events_disorder, orders_backlog_curve,
 #   dedup_cluster_sizes, customer_order_streaks,
-#   events_markov_transitions, customer_pareto_deciles, events_dau_wau.
+#   events_markov_transitions, customer_pareto_deciles, events_dau_wau,
+#   multimodal_payload_hash_dedup, corpus_vocab_stats.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -259,3 +259,39 @@ def multimodal_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(start / _SHARD_CAP).cast("bigint").alias("shard"),
         (start % _SHARD_CAP).cast("bigint").alias("offset_in_shard"),
     )
+
+
+@register(
+    "multimodal_payload_hash_dedup",
+    oracle="""
+    WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+    SELECT content_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM h GROUP BY content_hash HAVING count(*) >= 2
+    """,
+)
+def multimodal_payload_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup of media payloads (SHA-256 over the
+    raw bytes) — the cheap first pass every media pipeline runs
+    before perceptual hashing: byte-identical payloads collapse
+    regardless of filename/metadata. Hash computed in the scan
+    projection (binary never shuffles — only the 32-byte digest);
+    groups of ≥ 2 are the duplicate sets. The oracle hashes the same
+    UTF-8 bytes via DuckDB's VARCHAR sha256 (payload = text bytes by
+    construction)."""
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    media = attach_media_expr(docs)
+    h = media.select(
+        "doc_id", F.sha2(F.col("payload"), 256).alias("content_hash")
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -2003,3 +2003,45 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
+
+
+# --- Vocabulary growth statistics ------------------------------------
+
+
+@register(
+    "corpus_vocab_stats",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+      GROUP BY word
+    )
+    SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           round(sum(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END) / count(*), 6)
+             AS hapax_ratio,
+           round(count(*) * 1.0 / sum(c), 6) AS type_token_ratio
+    FROM cnt
+    """,
+)
+def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth statistics: token/type counts, hapax
+    legomena share, and type-token ratio — the Heaps'-law-side
+    companion to corpus_zipf_slope (templated corpora show abnormally
+    low hapax ratios; OCR noise shows abnormally high). One wordcount
+    aggregation folded to a single row."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    hapax = F.when(F.col("c") == 1, 1).otherwise(0)
+    return cnt.agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum(hapax).cast("bigint").alias("n_hapax"),
+        F.round(F.sum(hapax.cast("double")) / F.count("*"), 6).alias("hapax_ratio"),
+        F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
+    )
