@@ -155,7 +155,8 @@ _PRIORITY = (
 #   supplier_concentration_hhi, events_disorder, orders_backlog_curve,
 #   dedup_cluster_sizes, customer_order_streaks,
 #   events_markov_transitions, customer_pareto_deciles, events_dau_wau,
-#   multimodal_payload_hash_dedup, corpus_vocab_stats.
+#   multimodal_payload_hash_dedup, corpus_vocab_stats,
+#   events_error_bursts.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -816,3 +816,52 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
         )
     )
+
+
+@register(
+    "events_error_bursts",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors
+      FROM events GROUP BY 1
+    ),
+    stats AS (
+      SELECT avg(n_errors) AS mu, stddev_pop(n_errors) AS sigma FROM w
+    )
+    SELECT window_start, CAST(n_errors AS BIGINT) AS n_errors,
+           round((n_errors - mu) / sigma, 6) AS zscore
+    FROM w CROSS JOIN stats
+    WHERE n_errors > mu + 2 * sigma
+    """,
+)
+def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection: 5-minute windows whose error count
+    exceeds the fleet mean by 2σ (window-level alerting, vs
+    events_anomaly_zscore's per-user scope). The window aggregate is
+    the only event-scale pass; the mean/σ normalizer is a 1-row
+    aggregate over the (bounded) window table broadcast back."""
+    ev = read_testdata(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+                "n_errors"
+            )
+        )
+        .select(F.col("w.start").alias("window_start"), "n_errors")
+    )
+    stats = w.agg(
+        F.avg("n_errors").alias("mu"), F.stddev_pop("n_errors").alias("sigma")
+    )
+    return (
+        w.crossJoin(F.broadcast(stats))
+        .where(F.col("n_errors") > F.col("mu") + 2 * F.col("sigma"))
+        .select(
+            "window_start",
+            F.col("n_errors").cast("bigint").alias("n_errors"),
+            F.round((F.col("n_errors") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "zscore"
+            ),
+        )
+    )
