@@ -497,3 +497,47 @@ def test_pmi_no_cartesian_and_zipf_single_regression(spark):
     assert "row_number" in plan
     plan = _plan(spark, "corpus_zipf_slope")
     assert "regr_slope" in plan and plan.count("FileScan") == 1
+
+
+def test_closing_block_plan_contracts(spark):
+    """Table-driven scale contracts for the closing round-2 operators:
+    each entry pins the property that keeps the plan viable at 100 TB
+    (no cartesian blowups, ranks partitioned on their natural key,
+    keyed — not global — exchanges where required)."""
+    requirements = {
+        # name: (must_contain, must_not_contain)
+        "events_session_funnel": (["hashpartitioning(user_id"], ["CartesianProduct"]),
+        "doc_keywords_topk": (["hashpartitioning(doc_id"], ["CartesianProduct"]),
+        "emb_dim_variance": (["partial"], ["CartesianProduct", "SortMergeJoin"]),
+        "emb_power_iteration": (["partial"], ["CartesianProduct"]),
+        "emb_anisotropy": (["partial"], ["CartesianProduct"]),
+        "basket_part_lift": (["hashpartitioning(l_orderkey"], ["CartesianProduct"]),
+        "orders_cohort_ltv": (["hashpartitioning(o_custkey"], ["CartesianProduct"]),
+        "events_markov_transitions": (
+            ["hashpartitioning(user_id"],
+            ["CartesianProduct"],
+        ),
+        "customer_order_streaks": (
+            ["hashpartitioning(o_custkey"],
+            ["CartesianProduct"],
+        ),
+        "events_disorder": (["hashpartitioning(event_type"], ["CartesianProduct"]),
+        "events_gap_distribution": (
+            ["hashpartitioning(event_type"],
+            ["CartesianProduct"],
+        ),
+        "window_moving_median": (["hashpartitioning(user_id"], ["CartesianProduct"]),
+        "events_json_key_agg": (["partial"], ["CartesianProduct"]),
+        "merge_delete_apply": (["LeftAnti"], ["CartesianProduct"]),
+        "multimodal_payload_hash_dedup": (["sha2"], ["CartesianProduct"]),
+        "corpus_vocab_stats": (["partial"], ["CartesianProduct"]),
+        "doc_ngram_novelty": (["hashpartitioning(gram"], ["CartesianProduct"]),
+        "doc_length_histogram": (["partial"], ["Exchange rangepartitioning"]),
+        "events_error_bursts": (["partial"], ["CartesianProduct"]),
+    }
+    for name, (must, must_not) in requirements.items():
+        plan = _plan(spark, name)
+        for frag in must:
+            assert frag in plan, f"{name}: missing {frag!r}"
+        for frag in must_not:
+            assert frag not in plan, f"{name}: forbidden {frag!r} present"
