@@ -2938,3 +2938,45 @@ def customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("decile_rev").over(w) / F.col("total"), 6).alias("cum_share"),
         )
     )
+
+
+@register(
+    "orders_mom_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             round(sum(o_totalprice), 2) AS revenue,
+             CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           round(revenue / lag(revenue) OVER (ORDER BY month) - 1.0, 6) AS mom_growth
+    FROM m
+    """,
+)
+def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the reporting staple: one
+    monthly aggregate (map-side partial over the fact table), then a
+    lag window over the bounded month table (hundreds of rows at any
+    order volume; the global order-by never touches facts)."""
+    from pyspark.sql import Window
+
+    o = rt(spark, sf_dir, "orders")
+    m = (
+        o.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+        )
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").cast("bigint").alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") / F.lag("revenue").over(w) - 1.0, 6).alias(
+            "mom_growth"
+        ),
+    )

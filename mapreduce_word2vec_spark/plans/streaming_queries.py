@@ -865,3 +865,48 @@ def events_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "events_time_to_convert",
+    oracle="""
+    WITH per AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT (epoch_us(t_purchase) - epoch_us(t_click)) / 1000000.0 AS ttc_s
+      FROM per WHERE t_purchase >= t_click
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(median(ttc_s), 6) AS p50_s,
+           round(quantile_cont(ttc_s, 0.9), 6) AS p90_s,
+           round(avg(ttc_s), 6) AS mean_s
+    FROM conv
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: latency from a user's first click to first
+    at-or-after purchase (p50/p90/mean seconds, µs-exact timestamps)
+    — the metric behind funnel-latency dashboards. One per-user
+    aggregate carries two conditional mins; the percentile fold runs
+    over the user-level table."""
+    ev = read_testdata(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    ttc = (F.unix_micros("t_purchase") - F.unix_micros("t_click")) / 1_000_000.0
+    conv = per.where(F.col("t_purchase") >= F.col("t_click")).select(
+        ttc.alias("ttc_s")
+    )
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        F.round(F.percentile("ttc_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("ttc_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.avg("ttc_s"), 6).alias("mean_s"),
+    )
