@@ -168,3 +168,122 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corpus_statistics_replication_laws(spark):
+    """EXACT mathematical predictions under k-fold corpus replication
+    (k=3) — the strongest form of scale evidence for the corpus-
+    statistics operators, because any partitioning/shuffle artifact
+    breaks an exact equality:
+
+    - PMI is scale-INVARIANT: every count triples, every probability
+      ratio is unchanged — identical (pair, pmi) sets.
+    - The Zipf slope is scale-invariant; the intercept shifts by
+      exactly ln(k) (log-counts translate, ranks are unchanged).
+    - Hapax legomena COLLAPSE: every word occurs >= k times, so the
+      replicated hapax count is exactly 0; types unchanged; tokens
+      exactly k x.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+    from tests.conftest import SF_SMOKE
+
+    docs = read_testdata(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    k = 3
+    big = docs
+    for _ in range(k - 1):
+        big = big.unionAll(docs)
+
+    def vocab_stats(df):
+        cnt = (
+            df.select(F.explode(tokens_expr("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("c"))
+        )
+        row = cnt.agg(
+            F.sum("c").alias("tokens"),
+            F.count("*").alias("types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax"),
+        ).collect()[0]
+        return row.tokens, row.types, row.hapax
+
+    t1, ty1, h1 = vocab_stats(docs)
+    tk, tyk, hk = vocab_stats(big)
+    assert tk == k * t1 and tyk == ty1 and hk == 0
+
+    def zipf(df):
+        from pyspark.sql import Window
+
+        cnt = (
+            df.select(F.explode(tokens_expr("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("c"))
+        )
+        rnk = F.row_number().over(Window.orderBy(F.desc("c"), "word"))
+        ranked = cnt.withColumn("rnk", rnk).where(F.col("rnk") <= 1000)
+        lc, lr = F.log(F.col("c").cast("double")), F.log(F.col("rnk").cast("double"))
+        r = ranked.agg(
+            F.regr_slope(lc, lr).alias("s"), F.regr_intercept(lc, lr).alias("i")
+        ).collect()[0]
+        return r.s, r.i
+
+    s1, i1 = zipf(docs)
+    sk, ik = zipf(big)
+    assert abs(sk - s1) < 1e-9
+    assert abs(ik - (i1 + math.log(k))) < 1e-9
+
+    def pmi_pairs(df):
+        from mapreduce_word2vec_spark.plans import catalog
+
+        # reuse the registered query's logic via a temp view is
+        # overkill — recompute the bounded top-100 form inline
+        from mapreduce_word2vec_spark.functions.text import ngrams_expr
+
+        toks = df.select(tokens_expr("text").alias("ws"))
+        uni = (
+            toks.select(F.explode("ws").alias("w")).groupBy("w").agg(F.count("*").alias("c"))
+        )
+        bi_all = (
+            toks.select(F.explode(ngrams_expr(F.col("ws"), 2)).alias("g"))
+            .groupBy("g")
+            .agg(F.count("*").alias("c_ab"))
+        )
+        # totals over ALL bigrams (the count floor applies only to the
+        # scored pairs — filtering first would let the floor change the
+        # probability denominator between scales)
+        tot = uni.agg(F.sum("c").alias("nu")).crossJoin(
+            bi_all.agg(F.sum("c_ab").alias("nb"))
+        )
+        bi = bi_all.where(F.col("c_ab") >= 5)
+        w1 = F.split_part(F.col("g"), F.lit(" "), F.lit(1))
+        w2 = F.split_part(F.col("g"), F.lit(" "), F.lit(2))
+        sc = (
+            bi.select(w1.alias("w1"), w2.alias("w2"), "c_ab")
+            .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("ca")), "w1")
+            .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("cb")), "w2")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "w1",
+                "w2",
+                F.round(
+                    F.log(
+                        (F.col("c_ab") / F.col("nb"))
+                        / ((F.col("ca") / F.col("nu")) * (F.col("cb") / F.col("nu")))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+        )
+        return {(r.w1, r.w2): r.pmi for r in sc.collect()}
+
+    p1 = pmi_pairs(docs)
+    pk = pmi_pairs(big)
+    # count floor c_ab >= 5 admits MORE pairs at 3x; on the common
+    # pairs PMI must be bit-identical after rounding
+    assert p1 and set(p1) <= set(pk)
+    for pair, v in p1.items():
+        assert abs(pk[pair] - v) < 2e-6, pair
