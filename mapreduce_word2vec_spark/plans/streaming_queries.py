@@ -791,21 +791,28 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU / trailing-7-day WAU / stickiness per day — the growth
     dashboard's core ratio. Shape: the fact table collapses to
-    DISTINCT (day, user) FIRST (bounded by users × days, not events);
-    WAU re-counts that table through a 7-day range join (≤ 7×
-    expansion of the collapsed table, never of raw events)."""
+    DISTINCT (day, user) FIRST (bounded by users × days, not
+    events); each collapsed row then EXPLODES into the ≤ 7 window
+    days it counts toward (sequence + explode — a pure-inequality
+    range join would plan as a nested loop over days × rows), and
+    WAU is an equi-keyed distinct count. The final semi-join keeps
+    only days the corpus actually contains."""
     ev = read_testdata(spark, sf_dir, "events")
     du = ev.select(
         F.date_trunc("day", F.col("ts")).cast("date").alias("d"), "user_id"
     ).distinct()
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(F.count("*").alias("dau"))
-    joined = days.alias("a").join(
-        du.alias("b"),
-        (F.col("b.d") >= F.date_sub(F.col("a.d"), 6)) & (F.col("b.d") <= F.col("a.d")),
+    covers = du.select(
+        F.explode(
+            F.sequence(F.col("d"), F.date_add(F.col("d"), 6))
+        ).alias("d"),
+        "user_id",
     )
-    wau = joined.groupBy(F.col("a.d").alias("d")).agg(
-        F.countDistinct("b.user_id").alias("wau")
+    wau = (
+        covers.join(days, "d", "left_semi")
+        .groupBy("d")
+        .agg(F.countDistinct("user_id").alias("wau"))
     )
     return (
         dau.join(wau, "d")

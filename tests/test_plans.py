@@ -541,3 +541,12 @@ def test_closing_block_plan_contracts(spark):
             assert frag in plan, f"{name}: missing {frag!r}"
         for frag in must_not:
             assert frag not in plan, f"{name}: forbidden {frag!r} present"
+
+
+def test_dau_wau_has_no_nested_loop(spark):
+    """WAU must come from the bounded 7-day explode + equi-keyed
+    count — a pure-inequality range join would plan as a nested loop
+    over days x (day,user) rows."""
+    plan = _plan(spark, "events_dau_wau")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
