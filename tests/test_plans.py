@@ -550,3 +550,20 @@ def test_dau_wau_has_no_nested_loop(spark):
     plan = _plan(spark, "events_dau_wau")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_priority_window_names_all_registered_and_oracle_backed(spark):
+    """all_queries() silently SKIPS unknown _PRIORITY names — a typo
+    would shrink the driver's verified window without any failure.
+    Every priority name must resolve to a registered query, and all
+    but the two known no-oracle entries must carry an oracle (a
+    no-oracle query inside the window wastes a verified slot)."""
+    from mapreduce_word2vec_spark.plans.catalog import _PRIORITY
+
+    qs = catalog.all_queries()
+    known_no_oracle = set()
+    for name in _PRIORITY:
+        assert name in qs, f"priority name {name!r} not registered"
+        if qs[name].oracle is None:
+            known_no_oracle.add(name)
+    assert not known_no_oracle, f"no-oracle queries waste window slots: {known_no_oracle}"
