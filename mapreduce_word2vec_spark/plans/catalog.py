@@ -156,7 +156,8 @@ _PRIORITY = (
 #   dedup_cluster_sizes, customer_order_streaks,
 #   events_markov_transitions, customer_pareto_deciles, events_dau_wau,
 #   multimodal_payload_hash_dedup, corpus_vocab_stats,
-#   events_error_bursts, orders_mom_growth, events_time_to_convert.
+#   events_error_bursts, orders_mom_growth, events_time_to_convert,
+#   agg_approx_topk_words.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

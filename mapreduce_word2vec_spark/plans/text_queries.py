@@ -2045,3 +2045,32 @@ def corpus_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(hapax.cast("double")) / F.count("*"), 6).alias("hapax_ratio"),
         F.round(F.count("*") / F.sum("c"), 6).alias("type_token_ratio"),
     )
+
+
+# --- Sketch-based frequent items -------------------------------------
+
+
+@register(
+    "agg_approx_topk_words",
+    oracle=f"""
+    SELECT word, CAST(c AS BIGINT) AS n FROM (
+      SELECT word, count(*) AS c
+      FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+      GROUP BY word ORDER BY c DESC LIMIT 9
+    )
+    """,
+)
+def agg_approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch top-k (approx_top_k): the mergeable
+    heavy-hitter path whose sketch is EXACT while distinct items fit
+    its capacity — true for any closed vocabulary at fixture scale,
+    so the exact-SQL oracle applies; past capacity the same plan
+    degrades gracefully to approximate counts. k=9 is chosen so no
+    count tie straddles the cut at either oracle scale (a boundary
+    tie would make the returned SET engine-dependent)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens_expr("text")).alias("word"))
+    sk = words.agg(F.expr("approx_top_k(word, 9)").alias("top"))
+    return sk.select(F.explode("top").alias("e")).select(
+        F.col("e.item").alias("word"), F.col("e.count").cast("bigint").alias("n")
+    )
