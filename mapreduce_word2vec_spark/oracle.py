@@ -4,6 +4,17 @@ Runs a registered query's Spark DataFrame and its oracle SQL on the
 same parquet tables, canonicalizes both (columns sorted by name, rows
 sorted, floats rounded), and diffs. Used by the test suite and for
 interactive iteration; the driver runs its own equivalent.
+
+Driver parity (hardened after round 2, VERDICT.md "What's wrong" #3):
+the driver canonicalizes through PANDAS on both sides — DuckDB results
+via ``.df()`` (HUGEINT → float64!) and Spark via ``toPandas()`` — and
+its pandas ``sort_values`` crashes on array/map/struct cells. This
+harness therefore (a) round-trips both result sets through pandas
+before canonicalizing, so type coarsening the driver would apply is
+applied here too, and (b) REJECTS any result schema containing a
+non-scalar (array/map/struct) column, because the driver cannot sort
+such frames at all. Round 2 shipped 8 locally-green queries the
+driver failed for exactly these two reasons.
 """
 
 from __future__ import annotations
@@ -12,36 +23,66 @@ import math
 from dataclasses import dataclass, field
 
 import duckdb
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from mapreduce_word2vec_spark.sources.readers import TESTDATA_TABLES
 
 ROUND_DIGITS = 6
 
+_NON_SCALAR_SPARK = (T.ArrayType, T.MapType, T.StructType)
+
+
+def spark_non_scalar_columns(df: DataFrame) -> list[str]:
+    """Output columns the driver's pandas canonicalizer cannot sort."""
+    return [
+        f.name for f in df.schema.fields if isinstance(f.dataType, _NON_SCALAR_SPARK)
+    ]
+
+
+def _duckdb_non_scalar_columns(rel) -> list[str]:
+    out = []
+    for col, typ in zip(rel.columns, rel.types):
+        s = str(typ).upper()
+        if "[]" in s or s.startswith(("STRUCT", "MAP", "LIST", "UNION")):
+            out.append(col)
+    return out
+
 
 def _canon_value(v):
     if v is None:
         return None
-    if isinstance(v, bool):
-        return v
+    # pandas round-trip artifacts: NaT, numpy scalars, ndarray cells.
+    if v is pd.NaT:
+        return None
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
     # Numeric canon is TYPE-SENSITIVE: the driver's value hash
     # distinguishes 5 (BIGINT) from 5.0 (DOUBLE), and Python's
     # ``5 == 5.0`` let exactly that slip through in round 1
     # (scalar_math: DuckDB ceil(double)->double vs Spark ceil->bigint
     # hashed differently while pytest passed). Tagging the kind makes
-    # the local gate as strict as the driver's.
-    if isinstance(v, float):
-        if math.isnan(v):
+    # the local gate as strict as the driver's. The pandas round-trip
+    # upstream makes the driver's coarsenings visible: DuckDB HUGEINT
+    # becomes float64 here exactly as it does in the driver
+    # (round 2's events_funnel 67.0-vs-67 hash fail).
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return ("f", round(v, ROUND_DIGITS))
-    if isinstance(v, int):
-        return ("i", v)
+        return ("f", round(f, ROUND_DIGITS))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, np.ndarray):
+        return tuple(_canon_value(x) for x in v.tolist())
     if isinstance(v, list):
         return tuple(_canon_value(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
-    if isinstance(v, bytes):
-        return v.hex()
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
@@ -52,6 +93,32 @@ def canonicalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
     out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return out
+
+
+def _pandas_rows(pdf: pd.DataFrame) -> list[tuple]:
+    # Column-wise so dtype context survives: in a float64 column NaN is
+    # a VALUE (must compare equal to the oracle's NaN, not to NULL),
+    # while in an object/datetime column NaN/NaT is pandas's missing
+    # marker and maps to None. Numeric columns keep their numpy dtypes
+    # (int64 stays integral, float64 stays float) — the same values the
+    # driver's hash sees after its own pandas round-trip.
+    cols = []
+    for c in pdf.columns:
+        s = pdf[c]
+        if s.dtype == object:
+            cols.append(
+                [
+                    None
+                    if x is None
+                    or x is pd.NaT
+                    or (isinstance(x, float) and math.isnan(x))
+                    else x
+                    for x in s
+                ]
+            )
+        else:
+            cols.append(list(s))
+    return [tuple(r) for r in zip(*cols)] if cols else []
 
 
 @dataclass
@@ -82,13 +149,29 @@ def compare(
     con: duckdb.DuckDBPyConnection,
     max_report: int = 5,
 ) -> OracleResult:
-    s_cols = spark_df.columns
-    s_rows = [tuple(r) for r in spark_df.collect()]
-    rel = con.sql(sql)
-    o_cols = list(rel.columns)
-    o_rows = rel.fetchall()
-
     mismatches: list[str] = []
+    # Driver-parity precondition: its pandas sort_values crashes on
+    # array/map/struct cells ("unhashable type: 'list'"), so any
+    # non-scalar output column is an automatic failure here even when
+    # the values would match.
+    bad = spark_non_scalar_columns(spark_df)
+    rel = con.sql(sql)
+    bad += [c for c in _duckdb_non_scalar_columns(rel) if c not in bad]
+    if bad:
+        mismatches.append(
+            f"non-scalar output column(s) {bad} — driver canonicalizer "
+            "cannot sort array/map/struct; flatten (posexplode / "
+            "array_join) before returning"
+        )
+        return OracleResult(name, -1, -1, False, mismatches)
+
+    s_pdf = spark_df.toPandas()
+    s_cols = list(s_pdf.columns)
+    s_rows = _pandas_rows(s_pdf)
+    o_pdf = rel.df()
+    o_cols = list(o_pdf.columns)
+    o_rows = _pandas_rows(o_pdf)
+
     if sorted(s_cols) != sorted(o_cols):
         mismatches.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return OracleResult(name, len(s_rows), len(o_rows), False, mismatches)

@@ -50,114 +50,99 @@ _loaded = False
 
 # The driver's CORRECTNESS check covers only the FIRST 50 registrations
 # (CORRECTNESS_r01.json is exactly the first 50 in catalog order), so
-# registration order is verification budget. Round 1 spent the window
-# on text+relational; this list rotates the window for round 2 onto the
-# 50 oracle-backed queries that have no driver row yet — one green row
-# per §2.B family representative (relational gaps, embedding,
-# similarity, dedup, streaming, multimodal, UDF, sources) plus the
-# re-checks for this round's fixes (scalar_math, events_retention,
-# dedup_embedding_cosine). Everything not listed keeps its original
-# registration order behind these; queries verified in an earlier
-# round stay registered (and pytest-gated) but yield their slot.
+# registration order is verification budget. Rounds 1–2 verified 89
+# distinct queries green; this round-3 window (a) re-checks the 8
+# round-2 rows burned by the two driver-canonicalizer interactions
+# (raw array outputs, HUGEINT oracle typing — both fixed, see
+# VERDICT.md r2), (b) promotes the 5 rotation candidates that shared
+# the array shape (now flattened), (c) spends the rest on
+# never-driver-tested names led by the LLM-ops flagships, and (d)
+# keeps a green sentinel per already-verified family so regressions
+# surface. Everything not listed keeps its original registration order
+# behind these; queries verified in an earlier round stay registered
+# (and pytest-gated) but yield their slot.
 _PRIORITY = (
-    # relational queries with no round-1 driver row + the scalar_math fix
-    "scalar_math",
-    "join_right_outer",
+    # --- re-checks: the 8 non-green round-2 rows, all fixed ---
     "agg_percentile",
-    "sort_nulls_ordering",
     "array_functions",
     "map_functions",
-    "scalar_misc",
-    "pivot_status",
-    "subquery_in_exists",
-    "merge_upsert",
-    "udtf_split_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_volume",
-    "q19_disjunctive",
-    # embedding ops
     "emb_label_mean",
     "emb_normalize",
     "emb_quantize",
-    # similarity search
-    "knn_bruteforce",
-    "knn_sign_lsh",
-    "knn_ivf_probe",
-    # dedup / corpus safety
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_clusters",
-    "dedup_survivors",
-    "dedup_ngram_spans",
-    "doc_redact_pii",
-    "doc_contamination",
-    # streaming (batch-mode oracles)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup_first",
-    "stream_interval_join",
-    "stream_cumulative",
-    "events_funnel",
-    "events_retention",
-    # multimodal
-    "multimodal_meta",
     "multimodal_decode",
-    # UDF surface
-    "udf_scalar_pandas",
-    "udf_grouped_agg",
-    "udf_grouped_map",
-    # source round-trips
+    "events_funnel",
+    # --- sketches upgraded from rows-only to contract oracles ---
+    "agg_approx_distinct",
+    "agg_hll_sketch",
+    # --- rotation candidates that shared the array shape (flattened) ---
+    "doc_inverted_index",
+    "emb_matryoshka_truncate",
+    "emb_pq_quantize",
+    "multimodal_dedup_phash",
+    "multimodal_payload_hash_dedup",
+    # --- LLM-ops flagships, never driver-tested ---
+    "hybrid_search_rrf",
+    "dedup_semantic_clustered",
+    "knn_ivf_pq",
+    "knn_pq_adc",
+    "pipeline_pretrain_mix",
+    "doc_gopher_filter",
+    "select_dsir_weights",
+    "graph_pagerank",
+    # --- TPC-H part 3, never driver-tested ---
+    "q2_min_cost_supplier",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q16_supplier_part_counts",
+    "q20_promotion_suppliers",
+    # --- green sentinels (one per already-verified family) ---
+    "doc_wordcount",
+    "knn_bruteforce",
+    "dedup_exact",
     "source_csv_roundtrip",
-    "source_json_roundtrip",
-    "source_text_lines",
-    # deterministic stratified sampling (new this round)
-    "sample_stratified_hash",
+    # --- never-driver-tested breadth ---
+    "udf_map_in_arrow",
+    "source_orc_roundtrip",
+    "source_partitioned_roundtrip",
+    "source_schema_evolution",
+    "source_csv_malformed",
+    "doc_chunking",
+    "doc_packing",
+    "select_token_budget",
+    "doc_char_entropy",
+    "sample_temperature",
+    "dedup_containment",
+    "dedup_split_leakage",
+    "doc_contamination_fuzzy",
+    "knn_matryoshka_cascade",
+    "graph_triangles",
+    "events_dau_wau",
+    "stream_topk_trending",
+    "join_asof_forward",
 )
 
-# Round-3 rotation plan: once CORRECTNESS_r02 lands green for the
-# window above, swap the verified names out and promote the round-2
-# additions that have oracles but no driver row yet, e.g.:
-#   hybrid_search_rrf, dedup_semantic_clustered, emb_pq_quantize,
-#   knn_pq_adc, doc_top_terms_per_source, doc_inverted_index,
-#   corpus_report, diff_snapshots, agg_mad, agg_mode,
-#   events_compact_last, events_anomaly_zscore,
-#   events_latency_percentiles, multimodal_audio_windows,
-#   multimodal_resize, source_orc_roundtrip, source_schema_evolution,
-#   graph_triangles, q12_priority_delay, q21_late_suppliers,
-#   merge_scd2, join_range, sample_mixture_epochs,
-#   select_token_budget, incr_agg_merge, emb_kmeans_iter,
-#   graph_pagerank, agg_hll_sketch, doc_chunking, doc_packing,
-#   doc_unigram_logprob, doc_bigram_logprob, events_resample_ffill,
-#   source_partitioned_roundtrip, q7/q8/q13/q15/q17/q22,
-#   dedup_lsh_eval, knn_ivf_pq, multimodal_dedup_phash,
-#   skew_salted_join, corpus_report, graph_triangles,
-#   q2_min_cost_supplier, q9_product_type_profit, q11_important_stock,
-#   q16_supplier_part_counts, q20_promotion_suppliers,
-#   doc_gopher_filter, doc_contamination_fuzzy, select_dsir_weights,
-#   doc_perplexity_bucket, dedup_containment, sample_source_cap,
-#   doc_char_entropy, stream_topk_trending, emb_matryoshka_truncate,
-#   knn_matryoshka_cascade, sample_temperature, source_csv_malformed,
-#   pipeline_pretrain_mix, doc_pmi_collocations, corpus_zipf_slope,
-#   udf_map_in_arrow, multimodal_shard_layout, join_asof_forward,
-#   window_distinct_cumulative, events_session_funnel,
-#   doc_keywords_topk, emb_dim_variance, basket_part_lift,
-#   customer_rfm_segments, orders_cohort_ltv, emb_power_iteration,
-#   events_gap_distribution, doc_ngram_novelty, merge_delete_apply,
-#   emb_anisotropy, doc_length_histogram, events_json_key_agg,
-#   window_moving_median, dedup_split_leakage,
-#   supplier_concentration_hhi, events_disorder, orders_backlog_curve,
-#   dedup_cluster_sizes, customer_order_streaks,
-#   events_markov_transitions, customer_pareto_deciles, events_dau_wau,
-#   multimodal_payload_hash_dedup, corpus_vocab_stats,
-#   events_error_bursts, orders_mom_growth, events_time_to_convert,
-#   agg_approx_topk_words.
+# Round-4 rotation plan: once CORRECTNESS_r03 lands green, swap the
+# verified names out and promote the remaining never-driver-tested
+# oracle-backed names (~55), e.g.: doc_top_terms_per_source,
+# corpus_report, doc_bigram_logprob, doc_unigram_logprob,
+# doc_perplexity_bucket, sample_source_cap, sample_mixture_epochs,
+# doc_pmi_collocations, corpus_zipf_slope, doc_keywords_topk,
+# doc_length_histogram, corpus_vocab_stats, agg_approx_topk_words,
+# fuzzy_name_pairs, unpivot_lineitem, subquery_scalar,
+# skew_salted_agg, skew_salted_join, q7/q8/q12/q13/q15/q17/q21/q22,
+# merge_scd2, merge_delete_apply, diff_snapshots, agg_mode,
+# join_asof_forward, join_range, window_distinct_cumulative,
+# window_moving_median, basket_part_lift, customer_rfm_segments,
+# orders_cohort_ltv, supplier_concentration_hhi, orders_backlog_curve,
+# customer_order_streaks, customer_pareto_deciles, orders_mom_growth,
+# emb_norm_stats, emb_dim_variance, emb_power_iteration,
+# emb_anisotropy, emb_kmeans_iter, dedup_lsh_eval, doc_ngram_novelty,
+# dedup_cluster_sizes, events_resample_ffill, events_compact_last,
+# events_anomaly_zscore, incr_agg_merge, events_latency_percentiles,
+# events_session_funnel, events_gap_distribution, events_json_key_agg,
+# events_disorder, events_markov_transitions, events_error_bursts,
+# events_time_to_convert, multimodal_audio_windows, multimodal_resize,
+# multimodal_shard_layout.
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 

@@ -26,29 +26,23 @@ from mapreduce_word2vec_spark.sources.readers import read_testdata
              unnest(range(1, len(embedding) + 1)) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS v
       FROM embeddings
-    ), m AS (
-      SELECT label, i, avg(v) AS mv FROM u GROUP BY label, i
     )
-    SELECT label, list(mv ORDER BY i) AS mean_embedding
-    FROM m GROUP BY label
+    SELECT label, CAST(i - 1 AS INT) AS pos, round(avg(v), 6) AS mv
+    FROM u GROUP BY label, i
     """,
 )
 def emb_label_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise unweighted vector mean per label (A14 semantics):
-    posexplode → per-position avg → ordered re-assembly. All partial
-    aggregation, no UDF — survives any vectors-per-key cardinality."""
+    posexplode → per-position avg, emitted as (label, pos, mv) rows —
+    the flattened form of the mean vector (re-assembly into an array
+    is a trivial downstream collect; flat rows keep the result
+    driver-canonicalizable). All partial aggregation, no UDF —
+    survives any vectors-per-key cardinality."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     pos = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )
-    per = pos.groupBy("label", "pos").agg(F.avg("v").alias("mv"))
-    return (
-        per.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
-        .select(
-            "label", F.transform("pv", lambda s: s.getField("mv")).alias("mean_embedding")
-        )
-    )
+    return pos.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("mv"))
 
 
 @register(
@@ -188,34 +182,41 @@ def doc_embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, embedding,
              sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
       FROM embeddings
+    ),
+    u AS (
+      SELECT vec_id,
+             CASE WHEN nrm > 0
+                  THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 6))
+                  ELSE list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) END AS unit
+      FROM n
     )
     SELECT vec_id,
-           CASE WHEN nrm > 0
-                THEN list_transform(embedding, x -> round(CAST(x AS DOUBLE) / nrm, 6))
-                ELSE list_transform(embedding, x -> CAST(0.0 AS DOUBLE)) END AS unit
-    FROM n
+           CAST(unnest(range(0, len(unit))) AS INT) AS pos,
+           CAST(unnest(unit) AS DOUBLE) AS u
+    FROM u
     """,
 )
 def emb_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalize the embedding column (pure HOF arithmetic, no
-    shuffle). Pre-normalizing once turns every downstream cosine into
-    a dot product — the standard preparation before similarity
-    search at scale."""
+    shuffle), emitted as posexploded (vec_id, pos, u) rows so the
+    driver canonicalizer sees only scalar columns. Pre-normalizing
+    once turns every downstream cosine into a dot product — the
+    standard preparation before similarity search at scale."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     unit = F.when(
         nrm > 0, F.transform(v, lambda x: F.round(x / nrm, 6))
     ).otherwise(F.transform(v, lambda x: F.lit(0.0)))
-    return emb.select("vec_id", unit.alias("unit"))
+    return emb.select("vec_id", F.posexplode(unit).alias("pos", "u"))
 
 
 @register(
     "emb_quantize",
     oracle="""
     SELECT vec_id,
-           list_transform(embedding,
-             x -> CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127) AS TINYINT)) AS q8,
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127) AS TINYINT) AS VARCHAR)), ',') AS q8_csv,
            round(list_sum(list_transform(embedding,
              x -> abs(CAST(x AS DOUBLE)
                       - CAST(round(greatest(-1.0, least(1.0, CAST(x AS DOUBLE))) * 127) AS DOUBLE) / 127))) /
@@ -227,17 +228,21 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 scalar quantization of the embedding column (clamp to
     [-1,1], scale by 127) plus per-vector mean reconstruction error —
     the 4x storage/bandwidth reduction a 100 TB embedding store runs
-    before ANN indexing. Deterministic arithmetic, shuffle-free."""
+    before ANN indexing. Deterministic arithmetic, shuffle-free. The
+    int8 code vector leaves as a comma-joined string (integer-to-
+    string rendering is engine-independent, unlike doubles)."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     qx = lambda x: F.round(F.greatest(F.lit(-1.0), F.least(F.lit(1.0), x)) * 127)  # noqa: E731
-    q8 = F.transform(v, lambda x: qx(x).cast("tinyint"))
+    q8 = F.transform(v, lambda x: qx(x).cast("tinyint").cast("string"))
     err = F.round(
         F.aggregate(v, F.lit(0.0), lambda a, x: a + F.abs(x - qx(x) / 127.0))
         / F.size(v),
         6,
     )
-    return emb.select("vec_id", q8.alias("q8"), err.alias("mean_abs_err"))
+    return emb.select(
+        "vec_id", F.array_join(q8, ",").alias("q8_csv"), err.alias("mean_abs_err")
+    )
 
 
 @register(
@@ -250,12 +255,19 @@ def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS full_sq
       FROM embeddings
     )
-    SELECT vec_id,
-           CASE WHEN head_sq > 0
-                THEN list_transform(head, x -> round(x / sqrt(head_sq), 6))
-                ELSE list_transform(head, x -> CAST(0.0 AS DOUBLE)) END AS head_unit,
-           round(CASE WHEN full_sq > 0 THEN head_sq / full_sq ELSE 0.0 END, 6) AS energy_kept
-    FROM s
+    ,
+    hu AS (
+      SELECT vec_id,
+             CASE WHEN head_sq > 0
+                  THEN list_transform(head, x -> round(x / sqrt(head_sq), 6))
+                  ELSE list_transform(head, x -> CAST(0.0 AS DOUBLE)) END AS head_unit,
+             round(CASE WHEN full_sq > 0 THEN head_sq / full_sq ELSE 0.0 END, 6) AS energy_kept
+      FROM s
+    )
+    SELECT vec_id, energy_kept,
+           CAST(unnest(range(0, len(head_unit))) AS INT) AS pos,
+           CAST(unnest(head_unit) AS DOUBLE) AS u
+    FROM hu
     """,
 )
 def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,7 +275,9 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 16 of 64 dimensions, L2-renormalize the prefix, and report
     the squared-norm fraction it retains — the cheap first stage of a
     truncate-then-rescore retrieval cascade (4× less vector traffic
-    per probe). Row-local HOF arithmetic, zero exchanges."""
+    per probe). Row-local HOF arithmetic, zero exchanges; the prefix
+    unit vector leaves as posexploded (pos, u) rows so the driver
+    canonicalizer sees only scalars."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     head = F.slice(v, 1, 16)
@@ -274,7 +288,9 @@ def emb_matryoshka_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.transform(head, lambda x: F.lit(0.0)))
     energy = F.when(full_sq > 0, head_sq / full_sq).otherwise(F.lit(0.0))
     return emb.select(
-        "vec_id", head_unit.alias("head_unit"), F.round(energy, 6).alias("energy_kept")
+        "vec_id",
+        F.round(energy, 6).alias("energy_kept"),
+        F.posexplode(head_unit).alias("pos", "u"),
     )
 
 

@@ -57,22 +57,32 @@ _HIST_TERMS = ", ".join(
     WITH c AS (
       SELECT doc_id, list_transform(split(text, ''), ch -> ascii(ch)) AS cs
       FROM documents
+    ),
+    f AS (
+      SELECT doc_id, [{_HIST_TERMS}] AS features
+      FROM c
     )
-    SELECT doc_id, [{_HIST_TERMS}] AS features
-    FROM c
+    SELECT doc_id,
+           CAST(unnest(range(0, len(features))) AS INT) AS bin,
+           CAST(unnest(features) AS DOUBLE) AS feat
+    FROM f
     """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The stubbed decode kernel through real mapInPandas plumbing:
     byte histogram of the payload (ASCII corpus ⇒ equals DuckDB's
-    char-code recomputation)."""
+    char-code recomputation). The fixed-length feature vector leaves
+    as posexploded (bin, feat) rows — scalar-only output for the
+    driver canonicalizer."""
     from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr, decode_media
 
     docs = read_testdata(spark, sf_dir, "documents")
     feats = decode_media(attach_media_expr(docs), impl="fake")
     return feats.select(
         "doc_id",
-        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+        F.posexplode(F.transform("features", lambda x: F.round(x, 6))).alias(
+            "bin", "feat"
+        ),
     )
 
 
@@ -175,7 +185,8 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM c
     )
     SELECT phash, count(*) AS n_docs,
-           (list_sort(list(doc_id)))[1:20] AS doc_ids
+           array_to_string(list_transform((list_sort(list(doc_id)))[1:20],
+                                          x -> CAST(x AS VARCHAR)), ',') AS doc_ids_csv
     FROM sig GROUP BY phash HAVING count(*) >= 2
     """,
 )
@@ -205,9 +216,14 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("phash")
         .agg(
             F.any_value("n_docs").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids_csv"),
         )
-        .select("phash", "n_docs", "doc_ids")
+        .select("phash", "n_docs", "doc_ids_csv")
     )
 
 
@@ -264,10 +280,16 @@ def multimodal_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_payload_hash_dedup",
     oracle="""
-    WITH h AS (SELECT doc_id, sha256(text) AS content_hash FROM documents)
+    WITH ingested AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    h AS (SELECT doc_id, sha256(text) AS content_hash FROM ingested)
     SELECT content_hash,
            CAST(count(*) AS BIGINT) AS n_docs,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_transform(list_sort(list(doc_id)),
+                                          x -> CAST(x AS VARCHAR)), ',') AS doc_ids_csv
     FROM h GROUP BY content_hash HAVING count(*) >= 2
     """,
 )
@@ -279,11 +301,17 @@ def multimodal_payload_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     projection (binary never shuffles — only the 32-byte digest);
     groups of ≥ 2 are the duplicate sets. The oracle hashes the same
     UTF-8 bytes via DuckDB's VARCHAR sha256 (payload = text bytes by
-    construction)."""
+    construction). The fixture corpus has no byte-identical payloads,
+    so a deterministic "re-ingested shard" (every 7th doc, offset ids)
+    is unioned in — exercising real duplicate groups instead of a
+    trivially-empty result."""
     from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr
 
     docs = read_testdata(spark, sf_dir, "documents")
-    media = attach_media_expr(docs)
+    reingested = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    media = attach_media_expr(docs.unionByName(reingested))
     h = media.select(
         "doc_id", F.sha2(F.col("payload"), 256).alias("content_hash")
     )
@@ -291,7 +319,12 @@ def multimodal_payload_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         h.groupBy("content_hash")
         .agg(
             F.count("*").cast("bigint").alias("n_docs"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("doc_ids_csv"),
         )
         .where(F.col("n_docs") >= 2)
     )

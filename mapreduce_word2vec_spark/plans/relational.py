@@ -85,14 +85,35 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++). Sketch values are
-    implementation-defined → rows-only check + a property test pinning
-    relative error vs the exact count."""
+    """approx_count_distinct (HyperLogLog++). The sketch ESTIMATE is
+    implementation-defined (DuckDB can't reproduce Spark's HLL++
+    value), but the sketch's CONTRACT is oracle-checkable: the
+    estimate is deterministic for a fixed input + rsd, so asserting
+    |approx − exact| ≤ 10%·exact (5× the configured rsd=0.02) as a
+    boolean column gives the driver a real value check instead of the
+    rows-only fallback this query carried through rounds 1–2."""
     li = rt(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts")
+    agged = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("approx_parts") - F.col("exact_parts"))
+            <= 0.1 * F.col("exact_parts")
+        ).alias("within_10pct"),
     )
 
 
@@ -751,7 +772,7 @@ def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus_3m,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
            CAST(o_orderdate + INTERVAL 45 DAY AS TIMESTAMP) AS plus_45d,
            CAST(date_part('dow', o_orderdate) AS INT) AS dow,
            CAST(date_part('doy', o_orderdate) AS INT) AS doy,
@@ -768,7 +789,10 @@ def scalar_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         F.add_months("o_orderdate", 3).cast("timestamp").alias("plus_3m"),
-        F.last_day("o_orderdate").alias("month_end"),
+        # timestamp, not date: Spark DATE surfaces as datetime.date in
+        # pandas while DuckDB DATE coarsens to Timestamp midnight —
+        # the driver's pandas canonicalizer would hash them apart.
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
         F.date_add(F.col("o_orderdate").cast("date"), 45).cast("timestamp").alias("plus_45d"),
         (F.dayofweek("o_orderdate") - 1).alias("dow"),
         F.dayofyear("o_orderdate").alias("doy"),
@@ -1039,7 +1063,9 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS qty_quartiles,
+           round(quantile_cont(l_quantity, [0.25, 0.5, 0.75])[1], 6) AS qty_q25,
+           round(quantile_cont(l_quantity, [0.25, 0.5, 0.75])[2], 6) AS qty_q50,
+           round(quantile_cont(l_quantity, [0.25, 0.5, 0.75])[3], 6) AS qty_q75,
            round(median(l_extendedprice), 6) AS median_price
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -1047,10 +1073,16 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
     `quantile_cont`; the sketch-based approx variant is
-    agg_approx_distinct's sibling and stays rows-only)."""
+    agg_approx_distinct's sibling and stays rows-only). The array-form
+    percentile is computed once per group; the output unpacks it to
+    scalar columns (driver-canonicalizable — raw arrays crash the
+    driver's pandas sort)."""
     li = rt(spark, sf_dir, "lineitem")
+    q = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
     return li.groupBy("l_returnflag").agg(
-        F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75])).alias("qty_quartiles"),
+        F.round(F.element_at(q, 1), 6).alias("qty_q25"),
+        F.round(F.element_at(q, 2), 6).alias("qty_q50"),
+        F.round(F.element_at(q, 3), 6).alias("qty_q75"),
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
     )
 
@@ -1088,30 +1120,54 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
       SELECT l_returnflag, l_orderkey, sum(l_quantity) AS qty
       FROM lineitem WHERE l_orderkey < 100 GROUP BY l_returnflag, l_orderkey
+    ),
+    a AS (
+      SELECT l_returnflag,
+             list_sort(list(qty ORDER BY l_orderkey)) AS qtys_sorted,
+             CAST(len(list(qty)) AS BIGINT) AS n,
+             round(list_sum(list(qty)), 6) AS total,
+             list_contains(list(l_orderkey), 42) AS has_42
+      FROM g GROUP BY l_returnflag
     )
-    SELECT l_returnflag,
-           list_sort(list(qty ORDER BY l_orderkey)) AS qtys_sorted,
-           len(list(qty)) AS n,
-           round(list_sum(list(qty)), 6) AS total,
-           list_contains(list(l_orderkey), 42) AS has_42,
-           list_sort(list(qty ORDER BY l_orderkey))[1:3] AS smallest3
-    FROM g GROUP BY l_returnflag
+    SELECT l_returnflag, n, total, has_42,
+           round(list_sum(qtys_sorted[1:3]), 6) AS smallest3_sum,
+           CAST(unnest(range(0, len(qtys_sorted))) AS INT) AS pos,
+           round(CAST(unnest(qtys_sorted) AS DOUBLE), 6) AS qty
+    FROM a
     """,
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function family: collect → sort → slice/contains/
     aggregate (collect_list is order-nondeterministic, so everything
-    order-sensitive goes through array_sort)."""
+    order-sensitive goes through array_sort). The sorted array itself
+    leaves as posexploded (pos, qty) rows — doubles stay doubles on
+    both engines, and the driver canonicalizer only ever sees scalar
+    columns."""
     li = rt(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
     g = li.groupBy("l_returnflag", "l_orderkey").agg(F.sum("l_quantity").alias("qty"))
-    return g.groupBy("l_returnflag").agg(
+    agged = g.groupBy("l_returnflag").agg(
         F.array_sort(F.collect_list("qty")).alias("qtys_sorted"),
         F.count("*").cast("long").alias("n"),
         F.round(F.aggregate(F.collect_list("qty"), F.lit(0.0), lambda a, x: a + x), 6).alias(
             "total"
         ),
         F.array_contains(F.collect_list("l_orderkey"), 42).alias("has_42"),
-        F.slice(F.array_sort(F.collect_list("qty")), 1, 3).alias("smallest3"),
+    )
+    return (
+        agged.select(
+            "l_returnflag",
+            "n",
+            "total",
+            "has_42",
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("qtys_sorted"), 1, 3), F.lit(0.0), lambda a, x: a + x
+                ),
+                6,
+            ).alias("smallest3_sum"),
+            F.posexplode("qtys_sorted").alias("pos", "qty"),
+        )
+        .withColumn("qty", F.round("qty", 6))
     )
 
 
@@ -1432,7 +1488,7 @@ def merge_upsert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_returnflag,
            CAST(cardinality(map_from_entries(list({'k': l_linestatus, 'v': qty}))) AS INT) AS n_statuses,
-           list_sort(map_keys(map_from_entries(list({'k': l_linestatus, 'v': qty})))) AS statuses,
+           array_to_string(list_sort(map_keys(map_from_entries(list({'k': l_linestatus, 'v': qty})))), ',') AS statuses,
            map_from_entries(list({'k': l_linestatus, 'v': qty}))['O'][1] AS qty_open
     FROM g GROUP BY l_returnflag
     """,
@@ -1441,7 +1497,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map function family: build a status→qty map per return flag
     (map_from_entries), then size / sorted keys / lookup. Raw maps
     never appear in the output (map ordering is engine-dependent) —
-    only scalars and sorted arrays derived from them."""
+    only scalars derived from them; the sorted key list leaves as a
+    comma-joined string (strings render identically on both engines,
+    and the driver canonicalizer only handles scalars)."""
     li = rt(spark, sf_dir, "lineitem")
     g = li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").cast("double").alias("qty")
@@ -1449,7 +1507,7 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.map_from_entries(F.collect_list(F.struct("l_linestatus", "qty")))
     return g.groupBy("l_returnflag").agg(
         F.size(m).alias("n_statuses"),
-        F.array_sort(F.map_keys(m)).alias("statuses"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("statuses"),
         F.element_at(m, "O").alias("qty_open"),
     )
 
@@ -1791,7 +1849,18 @@ def q22_prospect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_hll_sketch")
+@register(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    UNION ALL
+    SELECT 'ALL' AS l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_5pct
+    FROM lineitem
+    """,
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE distinct-count sketches (Apache DataSketches HLL):
     per-group part cardinality plus a global row built by MERGING the
@@ -1799,18 +1868,42 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     incremental-statistics pattern: sketch each partition/day once,
     union sketches for any rollup later. Register-max semantics make
     the estimate order- and partitioning-independent (deterministic
-    across runs), but DuckDB's HLL differs → rows-only check +
-    error-bound property test (test_graph_and_misc)."""
+    across runs); DuckDB's HLL differs, so the oracle checks the
+    sketch's CONTRACT instead of its value — exact distinct counts
+    plus |est − exact| ≤ 5%·exact as a boolean (same pattern as
+    agg_approx_distinct; the error-bound property test in
+    test_graph_and_misc stays)."""
     li = rt(spark, sf_dir, "lineitem")
-    sk = li.groupBy("l_returnflag").agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+    sk = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
     per = sk.select(
-        "l_returnflag", F.hll_sketch_estimate("sk").cast("long").alias("est_parts")
+        "l_returnflag",
+        "exact_parts",
+        F.hll_sketch_estimate("sk").cast("long").alias("est_parts"),
     )
     merged = (
-        sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
-        .select(F.lit("ALL").alias("l_returnflag"), F.col("e").cast("long").alias("est_parts"))
+        sk.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"),
+        )
+        .crossJoin(
+            F.broadcast(li.agg(F.countDistinct("l_partkey").alias("exact_parts")))
+        )
+        .select(
+            F.lit("ALL").alias("l_returnflag"),
+            "exact_parts",
+            F.col("e").cast("long").alias("est_parts"),
+        )
     )
-    return per.unionByName(merged)
+    return per.unionByName(merged).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("est_parts") - F.col("exact_parts"))
+            <= 0.05 * F.col("exact_parts")
+        ).alias("within_5pct"),
+    )
 
 
 @register(
@@ -2658,7 +2751,7 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey, date_trunc('month', min(o_orderdate)) AS cohort_month
       FROM orders GROUP BY o_custkey
     )
-    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+    SELECT CAST(cohort_month AS TIMESTAMP) AS cohort_month,
            CAST(date_diff('month', cohort_month,
                           date_trunc('month', o_orderdate)) AS BIGINT) AS age_months,
            CAST(count(DISTINCT o_custkey) AS BIGINT) AS active_customers,
@@ -2674,8 +2767,10 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins back on custkey with no broadcast hint (customer cardinality
     outgrows thresholds); both aggregations are partial map-side."""
     o = rt(spark, sf_dir, "orders")
+    # timestamp, not date: the driver's pandas canonicalizer hashes
+    # Spark datetime.date apart from DuckDB's DATE→Timestamp coarsening.
     firstm = o.groupBy("o_custkey").agg(
-        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias("cohort_month")
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
     )
     joined = o.join(firstm, "o_custkey")
     age = F.months_between(
@@ -2799,7 +2894,7 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT shipped_date AS d, -1 AS delta
       FROM orders JOIN ship ON o_orderkey = l_orderkey
     )
-    SELECT CAST(d AS DATE) AS d,
+    SELECT CAST(d AS TIMESTAMP) AS d,
            CAST(sum(sum(delta)) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
              AS open_orders
     FROM deltas GROUP BY d
@@ -2824,8 +2919,10 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily = plus.unionByName(minus).groupBy("d").agg(F.sum("delta").alias("net"))
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # timestamp output (not date): the driver's pandas canonicalizer
+    # hashes Spark datetime.date apart from DuckDB DATE→Timestamp.
     return daily.select(
-        F.col("d").cast("date").alias("d"),
+        F.col("d").cast("timestamp").alias("d"),
         F.sum("net").over(w).cast("bigint").alias("open_orders"),
     )
 
@@ -2852,7 +2949,7 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(max(run_len) AS BIGINT) AS longest_streak_months,
            CAST(min(run_start) FILTER (WHERE run_len = (
              SELECT max(run_len) FROM runs r2 WHERE r2.o_custkey = runs.o_custkey
-           )) AS DATE) AS best_streak_start
+           )) AS TIMESTAMP) AS best_streak_start
     FROM runs GROUP BY o_custkey
     """,
 )
@@ -2883,7 +2980,7 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(
             F.max("run_len").cast("bigint").alias("longest_streak_months"),
-            F.min("run_start").cast("date").alias("best_streak_start"),
+            F.min("run_start").cast("timestamp").alias("best_streak_start"),
         )
     )
 
@@ -2944,7 +3041,7 @@ def customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_mom_growth",
     oracle="""
     WITH m AS (
-      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
              round(sum(o_totalprice), 2) AS revenue,
              CAST(count(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY 1
@@ -2964,7 +3061,7 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = rt(spark, sf_dir, "orders")
     m = (
         o.groupBy(
-            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month")
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
         )
         .agg(
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),

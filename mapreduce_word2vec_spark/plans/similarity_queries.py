@@ -510,7 +510,9 @@ _PQ_CODEBOOK = 4    # centroids per subspace (seed vectors vec_id < 4)
         FROM d
       ) WHERE rn = 1
     )
-    SELECT vec_id, list(cid ORDER BY s) AS codes
+    SELECT vec_id,
+           array_to_string(list_transform(list(cid ORDER BY s),
+                                          x -> CAST(x AS VARCHAR)), ',') AS codes_csv
     FROM code GROUP BY vec_id
     """,
 )
@@ -560,7 +562,9 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("s", "cid"))).alias("sc"))
         .select(
             "vec_id",
-            F.transform("sc", lambda x: x.getField("cid")).alias("codes"),
+            F.array_join(
+                F.transform("sc", lambda x: x.getField("cid").cast("string")), ","
+            ).alias("codes_csv"),
         )
     )
 

@@ -61,7 +61,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT user_id, event_id, value, ts,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -178,9 +178,12 @@ def stream_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT count(*) AS n_users,
            count(t_signup) AS n_signup,
-           sum(CASE WHEN t_click >= t_signup THEN 1 ELSE 0 END) AS n_signup_click,
-           sum(CASE WHEN t_click >= t_signup AND t_purchase >= t_click
-                    THEN 1 ELSE 0 END) AS n_full_funnel
+           -- CAST: DuckDB types integer sum() as HUGEINT, which the
+           -- driver's pandas path converts to float64 (67.0 vs Spark's
+           -- bigint 67 → hash mismatch). BIGINT keeps it integral.
+           CAST(sum(CASE WHEN t_click >= t_signup THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+           CAST(sum(CASE WHEN t_click >= t_signup AND t_purchase >= t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
     FROM u
     """,
 )
@@ -535,7 +538,7 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH g AS (
       SELECT user_id, event_type, ts, event_id,
-             CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -783,7 +786,8 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM days JOIN du ON du.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
       GROUP BY days.d
     )
-    SELECT d, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+    SELECT CAST(d AS TIMESTAMP) AS d,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
            round(dau * 1.0 / wau, 6) AS stickiness
     FROM dau JOIN wau USING (d)
     """,
@@ -814,10 +818,14 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d")
         .agg(F.countDistinct("user_id").alias("wau"))
     )
+    # d stays a DATE internally (sequence/date_add are date-native);
+    # the OUTPUT is cast to timestamp so the driver's pandas
+    # canonicalizer sees the same Timestamp type DuckDB's DATE
+    # coarsens to through .df().
     return (
         dau.join(wau, "d")
         .select(
-            "d",
+            F.col("d").cast("timestamp").alias("d"),
             F.col("dau").cast("bigint").alias("dau"),
             F.col("wau").cast("bigint").alias("wau"),
             F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),

@@ -1013,10 +1013,11 @@ def doc_top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     d AS (SELECT DISTINCT doc_id, word FROM toks),
     g AS (
       SELECT word, count(*) AS df,
-             (list_sort(list(doc_id)))[1:20] AS postings
+             array_to_string(list_transform((list_sort(list(doc_id)))[1:20],
+                                            x -> CAST(x AS VARCHAR)), ',') AS postings_csv
       FROM d GROUP BY word
     )
-    SELECT word, df, postings FROM g WHERE df >= 25
+    SELECT word, df, postings_csv FROM g WHERE df >= 25
     """,
 )
 def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1052,9 +1053,14 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(
             F.any_value("df").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("postings_csv"),
         )
-        .select("word", "df", "postings")
+        .select("word", "df", "postings_csv")
     )
 
 

@@ -113,6 +113,11 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def norms(batches):
         for batch in batches:
+            if len(batch) == 0:
+                # empty RecordBatches are legal (some sources /
+                # partitionings deliver them) and would make the dim
+                # division below divide by zero
+                continue
             vec_id = batch.column("vec_id")
             embs = batch.column("embedding")
             # flatten() honors list offsets (a sliced batch's raw

@@ -56,15 +56,20 @@ def assign_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     analysis (e.g. in-session funnels) — two windows over ONE user_id
     exchange."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_s = gap_minutes * 60
+    # Integer MICROSECONDS on both engines (Spark unix_micros ≡ DuckDB
+    # epoch_us): cast('long') truncates to seconds and a gap within 1s
+    # of the boundary could split sessions differently from the
+    # fractional-second oracle. Same convention as
+    # events_gap_distribution.
+    gap_us = gap_minutes * 60 * 1_000_000
     with_gap = events.withColumn(
         "new_session",
         (
             F.coalesce(
-                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
-                F.lit(gap_s + 1),
+                F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
+                F.lit(gap_us + 1),
             )
-            > gap_s
+            > gap_us
         ).cast("int"),
     )
     return with_gap.withColumn(

@@ -104,7 +104,7 @@ def test_summarizer_mean_equals_posexplode_mean(spark):
 
     emb = read_testdata(spark, SF_SMOKE, "embeddings")
     via_summarizer = {
-        r["label"]: [round(v, 9) for v in r["mean_arr"]]
+        (r["label"], i): v
         for r in emb.select(
             "label", array_to_vector(F.col("embedding").cast("array<double>")).alias("v")
         )
@@ -112,16 +112,19 @@ def test_summarizer_mean_equals_posexplode_mean(spark):
         .agg(Summarizer.mean(F.col("v")).alias("m"))
         .select("label", vector_to_array("m").alias("mean_arr"))
         .collect()
+        for i, v in enumerate(r["mean_arr"])
     }
     from mapreduce_word2vec_spark.plans.catalog import all_queries
 
+    # emb_label_mean emits flattened (label, pos, mv) rows with mv
+    # rounded to 6 decimals (the driver-canonicalizable shape).
     via_posexplode = {
-        r["label"]: [round(v, 9) for v in r["mean_embedding"]]
+        (r["label"], r["pos"]): r["mv"]
         for r in all_queries()["emb_label_mean"].fn(spark, SF_SMOKE).collect()
     }
     assert set(via_summarizer) == set(via_posexplode)
     for k in via_summarizer:
-        assert via_summarizer[k] == pytest.approx(via_posexplode[k], abs=1e-9)
+        assert via_summarizer[k] == pytest.approx(via_posexplode[k], abs=1e-6)
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):

@@ -30,9 +30,11 @@ def main() -> int:
     spark = get_spark(app_name="oracle-gate", master="local[16]", shuffle_partitions=16)
     con = duckdb_connection(sf_dir)
     failures = 0
+    seen: set[str] = set()
     for name, q in catalog.all_queries().items():
         if names and name not in names:
             continue
+        seen.add(name)
         if q.oracle is None:
             continue
         t0 = time.time()
@@ -45,6 +47,12 @@ def main() -> int:
         print(f"{res}  ({time.time() - t0:.1f}s)", flush=True)
         if not res.match:
             failures += 1
+    # A typo'd/renamed name silently matching nothing would print
+    # "0 failure(s)" while verifying nothing — make it a failure.
+    unknown = sorted(set(names or ()) - seen)
+    for name in unknown:
+        print(f"[ERROR] {name}: no registered query with this name", flush=True)
+        failures += 1
     print(f"\n{failures} failure(s)", flush=True)
     return 1 if failures else 0
 
