@@ -3077,3 +3077,64 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mom_growth"
         ),
     )
+
+
+_Z_TERMS = " + ".join(
+    f"((( l_partkey & 255) >> {j} & 1) * {1 << (2 * j)})"
+    f" + (((l_suppkey & 255) >> {j} & 1) * {1 << (2 * j + 1)})"
+    for j in range(8)
+)
+
+
+@register(
+    "layout_zorder",
+    oracle=f"""
+    WITH g AS (
+      SELECT l_partkey & 255 AS px, l_suppkey & 255 AS sy,
+             CAST({_Z_TERMS} AS BIGINT) AS z
+      FROM lineitem
+    )
+    SELECT CAST(z >> 8 AS INT) AS file_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(px) AS INT) AS px_min, CAST(max(px) AS INT) AS px_max,
+           CAST(min(sy) AS INT) AS sy_min, CAST(max(sy) AS INT) AS sy_max
+    FROM g GROUP BY 1
+    """,
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering manifest — the write-side layout
+    operator behind multi-dimensional file skipping (what Delta's
+    OPTIMIZE ZORDER BY computes): interleave the low 8 bits of two
+    join keys into a 16-bit Morton code, group rows into 256 file
+    buckets by its top byte, and emit each bucket's per-dimension
+    min/max — the footer stats a reader prunes against.
+
+    The manifest itself PROVES the layout property: every bucket's
+    (px, sy) ranges span at most a 16x16 grid cell, so a predicate on
+    EITHER key dimension eliminates ~15/16 of files — against the
+    1-dimensional sort where the secondary key's range per file is
+    unbounded. At 100 TB this replaces the groupBy with
+    repartitionByRange(z) + sortWithinPartitions(z) before the
+    parquet write; the aggregation here is the deterministic,
+    oracle-able core (pure integer bit arithmetic, one exchange on
+    the 8-bit bucket id)."""
+    li = rt(spark, sf_dir, "lineitem")
+    px = F.col("l_partkey").bitwiseAND(F.lit(255))
+    sy = F.col("l_suppkey").bitwiseAND(F.lit(255))
+    z = F.lit(0).cast("long")
+    for j in range(8):
+        z = z + F.shiftrightunsigned(px, j).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * j))
+        z = z + F.shiftrightunsigned(sy, j).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (2 * j + 1)
+        )
+    g = li.select(px.alias("px"), sy.alias("sy"), z.alias("z"))
+    return (
+        g.groupBy(F.shiftrightunsigned("z", 8).cast("int").alias("file_bucket"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("px").cast("int").alias("px_min"),
+            F.max("px").cast("int").alias("px_max"),
+            F.min("sy").cast("int").alias("sy_min"),
+            F.max("sy").cast("int").alias("sy_max"),
+        )
+    )

@@ -230,6 +230,50 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Compose the two registered oracles (registry lookups are safe here:
+# both queries registered above in this module) so the recall oracle
+# can never drift from the queries it evaluates.
+from mapreduce_word2vec_spark.plans.catalog import _REGISTRY as _REG  # noqa: E402
+
+_BF_SQL = _REG["knn_bruteforce"].oracle
+_IVF_SQL = _REG["knn_ivf_probe"].oracle
+
+
+@register(
+    "knn_ivf_recall",
+    oracle=f"""
+    WITH exact AS ({_BF_SQL}),
+    approx AS ({_IVF_SQL})
+    SELECT e.query_id,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / 5.0, 6) AS recall_at_5
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index evaluation: recall@5 of the IVF probe against exact
+    brute-force top-5 per query — the acceptance metric every vector
+    index ships with (the similarity-search analogue of
+    dedup_lsh_eval's dedup recall). Composes the two registered
+    queries and their oracles verbatim, so the metric can never
+    diverge from the operators it grades. Scale shape: both inputs
+    are top-k-bounded (queries × 5 rows), so the join and rollup are
+    driver-trivial regardless of corpus size — the expensive parts
+    are the underlying searches, already graded separately."""
+    exact = knn_bruteforce_q(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = knn_ivf_probe(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.count("hit").cast("bigint").alias("n_hits"),
+        F.round(F.count("hit") / 5.0, 6).alias("recall_at_5"),
+    )
+
+
 @register(
     "emb_kmeans_iter",
     oracle="""

@@ -466,3 +466,32 @@ def test_hll_sketch_merge_error_bound(spark):
     for k, want in exact.items():
         assert rows[k]["exact_parts"] == want, (k, rows[k], want)
         assert rows[k]["within_5pct"], (k, rows[k])
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The Z-order manifest's pruning property: bucketing by the top
+    byte of the 16-bit Morton code confines every bucket to one 16x16
+    grid cell, so BOTH key dimensions have bounded min/max per file —
+    the invariant multi-dimensional file skipping relies on (a 1-D
+    sort bounds only the leading key)."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = catalog.all_queries()["layout_zorder"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["px_max"] - r["px_min"] <= 15, r
+        assert r["sy_max"] - r["sy_min"] <= 15, r
+
+
+def test_ivf_recall_bounded_and_consistent(spark):
+    """recall@5 rows: one per query vector, hits within [0, 5], the
+    ratio consistent with the hit count, and recall can only come
+    from neighbors the exact search also returned (sanity of the
+    composition — the metric grades the probe, not itself)."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = catalog.all_queries()["knn_ivf_recall"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 5, r
+        assert abs(r["recall_at_5"] - r["n_hits"] / 5.0) < 1e-9, r
