@@ -3138,3 +3138,65 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sy").cast("int").alias("sy_max"),
         )
     )
+
+
+@register(
+    "scalar_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_value,
+           TRUE AS missing_is_null
+    FROM events WHERE event_type = 'purchase'
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT-typed semi-structured access (Spark 4's native JSON
+    path, ~8x faster than string re-parsing per field): parse_json
+    once in the scan projection, then typed variant_get extraction.
+    The variant itself never leaves the query (engine-specific binary
+    encoding) — only extracted scalars; the oracle re-derives them
+    with DuckDB's JSON functions. try_variant_get of an absent path
+    must be NULL, asserted as a boolean so the null-semantics contract
+    is hash-checked, not just typed."""
+    e = rt(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k_value"),
+        F.try_variant_get(v, "$.absent_key", "int").isNull().alias("missing_is_null"),
+    )
+
+
+@register(
+    "join_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) l
+    """,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — the SQL-standard top-N-per-group
+    join surface (each customer's 2 largest orders). Catalyst
+    decorrelates the LATERAL + LIMIT into a partitioned rank window
+    over ONE orders exchange — the same physical plan the explicit
+    row_number formulation produces, which is why this stays viable
+    when the per-group subquery would naively re-scan orders once per
+    customer."""
+    rt(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) l
+        """
+    )

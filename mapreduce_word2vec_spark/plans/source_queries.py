@@ -247,3 +247,48 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("good_bal"),
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH g AS (
+      SELECT s.s AS sensor_id, r.r AS reading_idx,
+             20.0 + ((s.s * 31 + r.r * 7) % 100) / 10.0 AS temp_c
+      FROM (SELECT unnest(range(0, 8)) AS s) s
+      CROSS JOIN (SELECT unnest(range(0, 1000)) AS r) r
+    )
+    SELECT CAST(sensor_id AS INT) AS sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           round(min(temp_c), 6) AS min_temp,
+           round(max(temp_c), 6) AS max_temp,
+           round(avg(temp_c), 6) AS avg_temp
+    FROM g GROUP BY sensor_id
+    """,
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXTENSIBLE source surface: a custom Python DataSource
+    (Spark 4 DataSource API) scanned in parallel via its declared
+    InputPartitions, then aggregated. The deterministic generator
+    makes the whole scan oracle-able — DuckDB re-evaluates the same
+    closed formula over range(). A real connector swaps the formula
+    for a per-shard connection; the partition/schema/registration
+    plumbing this query exercises is identical (sf_dir unused: the
+    source IS the data)."""
+    from mapreduce_word2vec_spark.sources.python_datasource import (
+        register_sensor_source,
+    )
+
+    register_sensor_source(spark)
+    readings = (
+        spark.read.format("sensor_sim")
+        .option("sensors", 8)
+        .option("readings", 1000)
+        .load()
+    )
+    return readings.groupBy("sensor_id").agg(
+        F.count("*").cast("bigint").alias("n_readings"),
+        F.round(F.min("temp_c"), 6).alias("min_temp"),
+        F.round(F.max("temp_c"), 6).alias("max_temp"),
+        F.round(F.avg("temp_c"), 6).alias("avg_temp"),
+    )

@@ -1,0 +1,65 @@
+"""Custom Python data source (Spark 4 DataSource API).
+
+The reference reads only text files (``MapRedWord2Vec.scala:61``
+TextInputFormat); a complete engine also needs the EXTENSIBLE source
+surface — the API a user implements to scan systems Spark has no
+built-in connector for (internal services, simulators, bespoke
+stores). This module implements it end to end with a deterministic
+sensor-reading generator so the scan is oracle-able: the same closed
+formula is re-evaluated by DuckDB over ``range()``.
+
+Scale shape: ``partitions()`` declares the parallelism contract —
+each ``InputPartition`` carries only its sensor slice, so N executors
+scan N disjoint shards with no coordination, exactly like file splits.
+The generator is pure arithmetic; a real connector would open its
+shard's connection in ``read()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+N_SHARDS = 4
+
+
+def sensor_temp(sensor_id: int, reading_idx: int) -> float:
+    """Closed-form deterministic reading — the cross-engine contract
+    (IEEE double divide, identical in DuckDB)."""
+    return 20.0 + ((sensor_id * 31 + reading_idx * 7) % 100) / 10.0
+
+
+class SensorDataSource(DataSource):
+    """``spark.read.format("sensor_sim")`` — options: sensors, readings."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sensor_sim"
+
+    def schema(self) -> str:
+        return "sensor_id int, reading_idx int, temp_c double"
+
+    def reader(self, schema) -> "SensorReader":
+        return SensorReader(self.options)
+
+
+class SensorReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_sensors = int(options.get("sensors", 8))
+        self.n_readings = int(options.get("readings", 1000))
+
+    def partitions(self):
+        return [InputPartition(i) for i in range(N_SHARDS)]
+
+    def read(self, partition):
+        shard = partition.value
+        for s in range(self.n_sensors):
+            if s % N_SHARDS != shard:
+                continue
+            for r in range(self.n_readings):
+                yield (s, r, sensor_temp(s, r))
+
+
+def register_sensor_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is fine —
+    latest registration wins per the DataSource API contract)."""
+    spark.dataSource.register(SensorDataSource)

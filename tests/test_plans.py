@@ -589,3 +589,27 @@ def test_oracle_backed_schemas_are_driver_canonicalizable(spark):
         if cols:
             bad[name] = cols
     assert not bad, f"non-scalar outputs would fail the driver: {bad}"
+
+
+def test_lateral_topn_decorrelates_to_window(spark):
+    """The LATERAL + LIMIT top-N-per-group must decorrelate into a
+    rank window with WindowGroupLimit (partial top-2 per group
+    map-side) over ONE orders scan — never a per-customer rescan or
+    a cartesian expansion."""
+    plan = _plan(spark, "join_lateral_topn")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FileScan parquet") == 2  # one per table
+
+
+def test_python_datasource_declares_parallel_partitions(spark):
+    """The custom DataSource's partitions() contract must surface as
+    actual scan parallelism (one task per declared InputPartition)."""
+    from mapreduce_word2vec_spark.sources.python_datasource import (
+        N_SHARDS,
+        register_sensor_source,
+    )
+
+    register_sensor_source(spark)
+    df = spark.read.format("sensor_sim").option("sensors", 8).load()
+    assert df.rdd.getNumPartitions() == N_SHARDS
