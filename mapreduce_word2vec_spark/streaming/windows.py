@@ -247,3 +247,49 @@ def stateful_keep_last(events: DataFrame) -> DataFrame:
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_running_counts_tws(events: DataFrame) -> DataFrame:
+    """Running per-type totals via ``transformWithStateInPandas`` —
+    the Spark 4 StatefulProcessor API (successor surface to
+    :func:`stateful_running_counts`'s applyInPandasWithState: typed
+    per-key state handles, timers, TTL, multiple state variables).
+
+    ENVIRONMENT-GATED: the TransformWithState Python driver worker
+    requires the ``protobuf`` package (its state-server protocol);
+    this container does not ship it, so the operator raises
+    ImportError where unavailable and the paired test skips. The
+    applyInPandasWithState twin above covers the same semantics and
+    IS exercised everywhere."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the python protobuf package"
+        ) from e
+    import pandas as pd  # noqa: F811
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.count = handle.getValueState("count", "total long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            total = self.count.get()[0] if self.count.exists() else 0
+            for pdf in rows:
+                total += len(pdf)
+            self.count.update((total,))
+            yield pd.DataFrame({"event_type": [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=RunningCount(),
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

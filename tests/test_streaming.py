@@ -320,3 +320,57 @@ def test_stream_trending_topk_foreachbatch_equals_batch(spark, events_dir):
     )
     got_last = [(r.window_start, r.event_type, r.n) for r in collected[-1]]
     assert sorted(got_last, key=repr) == _rows(want)
+
+
+def test_transform_with_state_running_counts(spark):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor) running
+    counts equal the batch groupBy — skipped where the python
+    protobuf package (the API's state-server protocol dependency) is
+    not installed; applyInPandasWithState covers the same semantics
+    unconditionally (test_stateful_running_counts)."""
+    import pytest
+
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("python protobuf not available in this environment")
+
+    import shutil
+    import tempfile
+
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+    from mapreduce_word2vec_spark.streaming.windows import (
+        stateful_running_counts_tws,
+    )
+    from tests.conftest import SF_SMOKE
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    d = tempfile.mkdtemp(prefix="tws_")
+    try:
+        base = read_testdata(spark, SF_SMOKE, "events")
+        base.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(base.schema).parquet(d)
+        q = (
+            stateful_running_counts_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_tws")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = {
+            r["event_type"]: r["total"]
+            for r in spark.sql("SELECT * FROM t_tws").collect()
+        }
+        want = {
+            r["event_type"]: r["count"]
+            for r in base.groupBy("event_type").count().collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
