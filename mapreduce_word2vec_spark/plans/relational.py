@@ -3200,3 +3200,72 @@ def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) l
         """
     )
+
+
+@register(
+    "scalar_regex",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '[0-9]+') AS cust_digits,
+           regexp_matches(c_name, '^Customer#') AS is_customer,
+           CAST(len(regexp_extract_all(c_name, '0')) AS INT) AS n_zeros,
+           regexp_replace(c_name, '0+', '#', 'g') AS compressed,
+           array_to_string(regexp_extract_all(c_name, '[0-9]{3}'), ',') AS triplets_csv
+    FROM customer WHERE c_custkey < 500
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family: extract / match / count / global replace /
+    extract-all. Two cross-engine contracts pinned here: Spark's
+    regexp_replace is global by default while DuckDB needs the
+    explicit 'g' flag (a measured round-2 class of oracle bug), and
+    extract-all results leave as a joined CSV (never a raw array —
+    driver canonicalizer contract)."""
+    c = rt(spark, sf_dir, "customer").where(F.col("c_custkey") < 500)
+    return c.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), "[0-9]+", 0).alias("cust_digits"),
+        F.col("c_name").rlike("^Customer#").alias("is_customer"),
+        F.regexp_count(F.col("c_name"), F.lit("0")).cast("int").alias("n_zeros"),
+        F.regexp_replace(F.col("c_name"), "0+", "#").alias("compressed"),
+        F.array_join(
+            F.regexp_extract_all(F.col("c_name"), F.lit("[0-9]{3}"), 0), ","
+        ).alias("triplets_csv"),
+    )
+
+
+@register(
+    "scalar_try_functions",
+    oracle="""
+    SELECT o_orderkey,
+           round(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice / (o_orderkey % 3) END, 6) AS safe_ratio,
+           TRY_CAST(o_orderpriority AS INT) AS prio_as_int,
+           TRY_CAST(split_part(o_orderpriority, '-', 1) AS INT) AS prio_num,
+           CAST(NULL AS BIGINT) AS overflow_add
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* ANSI-safe scalar family (Spark 4's graceful-null
+    error handling, matching DuckDB TRY_CAST semantics): try_divide by
+    a sometimes-zero denominator, try_cast of a non-numeric string
+    (NULL, not error — '5-LOW' has no leading-int cast), try_cast of
+    its numeric prefix (succeeds), and try_add at bigint overflow
+    (NULL; the oracle states the contract as a literal). These are the
+    operators that let a 100 TB pipeline survive dirty rows without
+    per-row exception handling."""
+    o = rt(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 3), 6
+        ).alias("safe_ratio"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("prio_as_int"),
+        F.expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").alias(
+            "prio_num"
+        ),
+        F.try_add(F.col("o_orderkey") + 1, F.lit(9223372036854775807)).alias(
+            "overflow_add"
+        ),
+    )
