@@ -46,6 +46,9 @@ SHOWCASE = [
     ("pipeline_pretrain_mix", "survivor table materialized ONCE for its two consumers; text never shuffles"),
     ("knn_matryoshka_cascade", "stage-1 prefix scoring on broadcast queries; stage-2 rescore bounded at 50/query"),
     ("doc_pmi_collocations", "vocab-sized count joins carry no broadcast hint; AQE decides while they fit"),
+    ("layout_zorder", "Morton-code bucketing: one exchange on the 8-bit bucket id; the manifest IS the pruning proof"),
+    ("join_lateral_topn", "LATERAL+LIMIT decorrelated to WindowGroupLimit — partial top-N per group map-side, no per-group rescans"),
+    ("knn_ivf_recall", "both inputs top-k-bounded; evaluation joins (queries x k)-row lists, never rescans the corpus"),
 ]
 
 
