@@ -2080,3 +2080,65 @@ def agg_approx_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.select(F.explode("top").alias("e")).select(
         F.col("e.item").alias("word"), F.col("e.count").cast("bigint").alias("n")
     )
+
+
+_EPOCH_SALT = 1_000_003  # prime; keeps (doc_id + salt*epoch) far under 2^63
+_SHUFFLE_EPOCHS = 2
+_SHUFFLE_SHARDS = 8
+# Same overflow-safe multiplicative hash as _SAMPLE_BUCKET_SQL, salted
+# by epoch so every epoch gets an independent permutation.
+_EPOCH_HASH_SQL = (
+    f"((((doc_id + epoch * {_EPOCH_SALT}) % {_SAMPLE_HASH_M})"
+    f" * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M})"
+)
+
+
+@register(
+    "layout_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(range(0, {_SHUFFLE_EPOCHS})) AS epoch),
+    h AS (
+      SELECT CAST(epoch AS INT) AS epoch, doc_id,
+             {_EPOCH_HASH_SQL} AS h
+      FROM documents CROSS JOIN e
+    )
+    SELECT epoch,
+           CAST((h >> 16) % {_SHUFFLE_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY epoch, (h >> 16) % {_SHUFFLE_SHARDS}
+             ORDER BY h, doc_id) AS BIGINT) AS position,
+           doc_id
+    FROM h
+    """,
+)
+def layout_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch global shuffle layout — the training
+    data-loader contract: every (epoch, shard, position) triple names
+    exactly one document, reproducible across runs, engines, and
+    partitionings (df.sample/orderBy(rand()) are neither). The
+    epoch-salted multiplicative hash gives each epoch an independent
+    permutation, so multi-epoch training never replays one order.
+
+    Scale shape: this is a SHUFFLE WITHOUT A GLOBAL SORT — one
+    exchange on (epoch, shard) and a per-shard local sort by hash
+    (at 100 TB: repartition(epoch, shard) +
+    sortWithinPartitions(h) before the shard write); resumption is a
+    (shard, position) seek, not a replay."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    epochs = spark.range(_SHUFFLE_EPOCHS).select(F.col("id").cast("int").alias("epoch"))
+    h = (
+        (F.col("doc_id") + F.col("epoch") * _EPOCH_SALT) % _SAMPLE_HASH_M
+    ) * _SAMPLE_HASH_A % _SAMPLE_HASH_M
+    hashed = docs.crossJoin(F.broadcast(epochs)).select(
+        "epoch", "doc_id", h.alias("h")
+    )
+    shard = (F.shiftright("h", 16) % _SHUFFLE_SHARDS).cast("int")
+    w = Window.partitionBy("epoch", shard).orderBy("h", "doc_id")
+    return hashed.select(
+        "epoch",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("position"),
+        "doc_id",
+    )

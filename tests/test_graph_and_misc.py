@@ -495,3 +495,32 @@ def test_ivf_recall_bounded_and_consistent(spark):
     for r in rows:
         assert 0 <= r["n_hits"] <= 5, r
         assert abs(r["recall_at_5"] - r["n_hits"] / 5.0) < 1e-9, r
+
+
+def test_epoch_shuffle_is_deterministic_and_epochs_differ(spark):
+    """The epoch-shuffle layout must be (a) a bijection per epoch —
+    every document appears exactly once, positions within a shard are
+    dense from 1 — and (b) a DIFFERENT permutation per epoch (the
+    epoch salt's whole point: multi-epoch training must not replay
+    one order)."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = catalog.all_queries()["layout_epoch_shuffle"].fn(spark, SF_SMOKE).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    assert set(by_epoch) == {0, 1}
+    n_docs = len(by_epoch[0])
+    for epoch, rs in by_epoch.items():
+        assert len(rs) == n_docs
+        assert len({r["doc_id"] for r in rs}) == n_docs  # bijection
+        shard_positions = {}
+        for r in rs:
+            shard_positions.setdefault(r["shard"], set()).add(r["position"])
+        for shard, ps in shard_positions.items():
+            assert ps == set(range(1, len(ps) + 1)), (epoch, shard)  # dense
+    order = {
+        e: [r["doc_id"] for r in sorted(rs, key=lambda r: (r["shard"], r["position"]))]
+        for e, rs in by_epoch.items()
+    }
+    assert order[0] != order[1]
