@@ -3269,3 +3269,148 @@ def scalar_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflow_add"
         ),
     )
+
+
+@register(
+    "table_stats_profile",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, count(*) AS n,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+           count(DISTINCT l_quantity) AS ndv,
+           round(min(l_quantity), 6) AS min_num, round(max(l_quantity), 6) AS max_num
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(*),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           count(DISTINCT l_extendedprice),
+           round(min(l_extendedprice), 6), round(max(l_extendedprice), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', count(*),
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           count(DISTINCT l_returnflag), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', count(*),
+           CAST(count(*) - count(l_shipdate) AS BIGINT),
+           count(DISTINCT l_shipdate), NULL, NULL
+    FROM lineitem
+    """,
+)
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-statistics profiling — the ANALYZE TABLE pass that feeds
+    a cost-based optimizer and every data-quality dashboard: per
+    column row count / null count / distinct count / numeric min-max.
+    All metrics fold in ONE scan of the fact table (a single
+    aggregate row, melted to per-column rows afterwards) — the
+    n-columns-n-scans formulation this replaces is the naive trap at
+    100 TB. Non-numeric min/max stay NULL rather than round-tripping
+    engine-specific value rendering. ndv is exact here (oracle
+    determinism); the approx_count_distinct swap for wide tables is
+    the documented production path (agg_approx_distinct's contract)."""
+    li = rt(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.count("*").alias("n"),
+        *[
+            a
+            for c in ("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
+            for a in (
+                (F.count("*") - F.count(c)).cast("bigint").alias(f"{c}_nulls"),
+                F.countDistinct(c).alias(f"{c}_ndv"),
+            )
+        ],
+        F.round(F.min("l_quantity"), 6).alias("l_quantity_min"),
+        F.round(F.max("l_quantity"), 6).alias("l_quantity_max"),
+        F.round(F.min("l_extendedprice"), 6).alias("l_extendedprice_min"),
+        F.round(F.max("l_extendedprice"), 6).alias("l_extendedprice_max"),
+    )
+    return row.selectExpr(
+        """stack(4,
+             'l_quantity', n, l_quantity_nulls, l_quantity_ndv,
+                 l_quantity_min, l_quantity_max,
+             'l_extendedprice', n, l_extendedprice_nulls, l_extendedprice_ndv,
+                 l_extendedprice_min, l_extendedprice_max,
+             'l_returnflag', n, l_returnflag_nulls, l_returnflag_ndv,
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             'l_shipdate', n, l_shipdate_nulls, l_shipdate_ndv,
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+           ) AS (column_name, n, n_null, ndv, min_num, max_num)"""
+    )
+
+
+@register(
+    "table_quality_checks",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_accepted',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_qty_positive',
+           CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'customer_name_not_null',
+           CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM customer
+    """,
+)
+def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the dbt-test /
+    Deequ shape): key uniqueness, referential integrity (anti-join
+    count), accepted values, range, and not-null — one row per check
+    with its violation count. Each check is a single aggregate or
+    anti-join; the FK check's anti-join broadcasts nothing by hint
+    (AQE sizes it), and every other check folds map-side. The suite
+    runs as ONE union job so a 100 TB nightly validation is one
+    cluster pass per fact table, not one per rule."""
+    o = rt(spark, sf_dir, "orders")
+    li = rt(spark, sf_dir, "lineitem")
+    c = rt(spark, sf_dir, "customer")
+
+    def one(name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("v").cast("bigint").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_pk_unique",
+            o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("v")),
+        ),
+        one(
+            "lineitem_fk_orders",
+            li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+            .agg(F.count("*").alias("v")),
+        ),
+        one(
+            "orders_status_accepted",
+            o.agg(
+                F.sum(
+                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+                ).alias("v")
+            ),
+        ),
+        one(
+            "lineitem_qty_positive",
+            li.agg(F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("v")),
+        ),
+        one(
+            "customer_name_not_null",
+            c.agg(F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("v")),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out

@@ -613,3 +613,11 @@ def test_python_datasource_declares_parallel_partitions(spark):
     register_sensor_source(spark)
     df = spark.read.format("sensor_sim").option("sensors", 8).load()
     assert df.rdd.getNumPartitions() == N_SHARDS
+
+
+def test_stats_profile_single_scan(spark):
+    """The column profiler must fold ALL per-column metrics in ONE
+    pass of the fact table (melted afterwards) — the n-columns-n-scans
+    formulation is the naive trap at 100 TB."""
+    plan = _plan(spark, "table_stats_profile")
+    assert plan.count("FileScan parquet") == 1
