@@ -3414,3 +3414,46 @@ def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS exact_p99,
+           TRUE AS p50_within_band,
+           TRUE AS p99_within_band
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the mergeable
+    percentile the production path uses when exact percentile state
+    would blow task memory. Like agg_approx_distinct, the ESTIMATE is
+    engine-specific but the CONTRACT is oracle-checkable: at accuracy
+    10000 the sketch guarantees rank error <= n/10000, so the estimate
+    must land within the exact p±1% quantile band — asserted as
+    booleans next to the exact values."""
+    li = rt(spark, sf_dir, "lineitem")
+    agged = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("exact_p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("exact_p99"),
+        F.percentile("l_extendedprice", F.lit(0.49)).alias("lo50"),
+        F.percentile("l_extendedprice", F.lit(0.51)).alias("hi50"),
+        F.percentile("l_extendedprice", F.lit(0.98)).alias("lo99"),
+        F.percentile("l_extendedprice", F.lit(1.0)).alias("hi99"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "exact_p50",
+        "exact_p99",
+        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
+            "p50_within_band"
+        ),
+        ((F.col("a99") >= F.col("lo99")) & (F.col("a99") <= F.col("hi99"))).alias(
+            "p99_within_band"
+        ),
+    )
