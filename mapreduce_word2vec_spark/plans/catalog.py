@@ -123,7 +123,11 @@ _PRIORITY = (
 
 # Round-4 rotation plan: once CORRECTNESS_r03 lands green, swap the
 # verified names out and promote the remaining never-driver-tested
-# oracle-backed names (~55), e.g.: doc_top_terms_per_source,
+# oracle-backed names (~65), starting with the round-3 additions —
+# layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
+# scalar_regex, scalar_try_functions, source_python_datasource,
+# join_lateral_topn, table_stats_profile, table_quality_checks,
+# agg_approx_percentile — then e.g.: doc_top_terms_per_source,
 # corpus_report, doc_bigram_logprob, doc_unigram_logprob,
 # doc_perplexity_bucket, sample_source_cap, sample_mixture_epochs,
 # doc_pmi_collocations, corpus_zipf_slope, doc_keywords_topk,
