@@ -292,3 +292,65 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("temp_c"), 6).alias("max_temp"),
         F.round(F.avg("temp_c"), 6).alias("avg_temp"),
     )
+
+
+@register(
+    "source_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(l_extendedprice), 2) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed (hash-clustered) tables + co-located join — the
+    write-once-join-free pattern for fact tables joined repeatedly on
+    one key: both sides bucketBy(8, orderkey) + sortBy, so the join
+    consumes the on-disk bucketing and plans with ZERO exchanges on
+    the join key (plan-asserted in tests; only the tiny final rollup
+    shuffles). At 100 TB this converts every recurring
+    lineitem-orders join from two full-table shuffles into a local
+    merge per bucket — the biggest single shuffle saving a warehouse
+    layout can buy. Results are identical to the plain join, which is
+    what the oracle checks."""
+    import uuid
+
+    o = read_testdata(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # EXTERNAL tables at a unique temp path per invocation: bucket
+    # metadata lives in the session catalog, while a fixed managed
+    # name would collide with a previous session's leftover warehouse
+    # directory (LOCATION_ALREADY_EXISTS). The tables must outlive
+    # this function (the returned DataFrame is lazy), so no cleanup
+    # here — OS tmp reaping owns the data files.
+    suffix = uuid.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="mrw2v_buckets_")
+    t_o, t_li = f"mrw2v_b_orders_{suffix}", f"mrw2v_b_lineitem_{suffix}"
+    (
+        o.write.bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", f"{base}/{t_o}")
+        .saveAsTable(t_o)
+    )
+    (
+        li.write.bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", f"{base}/{t_li}")
+        .saveAsTable(t_li)
+    )
+    bo = spark.table(t_o)
+    bl = spark.table(t_li)
+    return (
+        bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )

@@ -621,3 +621,19 @@ def test_stats_profile_single_scan(spark):
     formulation is the naive trap at 100 TB."""
     plan = _plan(spark, "table_stats_profile")
     assert plan.count("FileScan parquet") == 1
+
+
+def test_bucketed_join_has_no_join_exchange(spark):
+    """Both join sides are bucketed on the join key, so the
+    SortMergeJoin must consume the on-disk bucketing with ZERO
+    exchanges on the key — only the final small rollup shuffles.
+    (Broadcast disabled so the bucket-preserving SMJ path is what
+    gets planned, as it would be for two fact-sized tables.)"""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "source_bucketed_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # rollup only

@@ -290,3 +290,47 @@ def test_corpus_statistics_replication_laws(spark):
     assert p1 and set(p1) <= set(pk)
     for pair, v in p1.items():
         assert abs(pk[pair] - v) < 2e-6, pair
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling — the automatic sibling of the manual
+    salting in skew_salted_join: with one key owning 90% of the left
+    side and the skew thresholds scaled to the fixture, AQE must
+    re-plan the SortMergeJoin with skew=true (hot partition split
+    across tasks) and the result must equal the non-adaptive run."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum("w").alias("s")
+        )
+        row = j.collect()[0]
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:500]
+        # correctness against the same join without AQE skew handling
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plain = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum("w").alias("s")
+        ).collect()[0]
+        assert (row["n"], row["s"]) == (plain["n"], plain["s"])
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
