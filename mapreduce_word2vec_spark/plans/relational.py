@@ -3457,3 +3457,92 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p99_within_band"
         ),
     )
+
+
+@register(
+    "agg_decimal_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS total_exact,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation — the money-column surface: cast the
+    2-dp price to DECIMAL(18,2) and sum WITHOUT float drift (a double
+    sum of millions of 2-dp values accumulates ulps; a decimal sum is
+    exact by construction, and both engines agree digit for digit).
+    The decimal leaves as its canonical string — the pandas round-trip
+    coarsens Spark decimals to objects and DuckDB decimals to floats,
+    so string form is the only driver-stable carrier of exactness."""
+    o = rt(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string")
+        .alias("total_exact"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+# Shared polynomial hash (functions.text.string_hash_expr ≡ the DuckDB
+# list_reduce fold) applied to the hashing-trick featurizer below.
+_FH_SQL_STRHASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(split({s}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+_FH_BUCKETS = 64
+
+
+@register(
+    "ml_feature_hash_buckets",
+    oracle=f"""
+    WITH f AS (
+      SELECT c.c_custkey,
+             'seg=' || c.c_mktsegment AS f1,
+             'nation=' || n.n_name AS f2
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    e AS (
+      SELECT c_custkey, f1 AS feat FROM f
+      UNION ALL
+      SELECT c_custkey, f2 FROM f
+    ),
+    h AS (
+      SELECT CAST({_FH_SQL_STRHASH.format(s="feat")} % {_FH_BUCKETS} AS INT) AS bucket
+      FROM e
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_hits
+    FROM h GROUP BY bucket
+    """,
+)
+def ml_feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (feature hashing) — fixed-width featurization
+    of unbounded categorical vocabularies: each 'name=value' feature
+    string hashes into one of 64 buckets, no vocabulary dictionary to
+    build, broadcast, or keep consistent across training runs. Uses
+    the engine's shared polynomial hash (NOT murmur3 `hash()`, which
+    is engine-private and would be oracle-opaque), so bucket ids are
+    reproducible across engines and runs — the property that makes
+    hashed features joinable between a Spark trainer and any other
+    scorer. Scale shape: pure projection + one bucket-keyed count,
+    dimension broadcast by size."""
+    from mapreduce_word2vec_spark.functions.text import string_hash_expr
+
+    c = rt(spark, sf_dir, "customer")
+    n = rt(spark, sf_dir, "nation")
+    f = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.concat(F.lit("seg="), F.col("c_mktsegment")).alias("f1"),
+        F.concat(F.lit("nation="), F.col("n_name")).alias("f2"),
+    )
+    e = f.select("c_custkey", F.col("f1").alias("feat")).unionByName(
+        f.select("c_custkey", F.col("f2").alias("feat"))
+    )
+    bucket = (string_hash_expr(F.col("feat")) % _FH_BUCKETS).cast("int")
+    return (
+        e.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+    )
