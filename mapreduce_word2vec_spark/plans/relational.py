@@ -3546,3 +3546,49 @@ def ml_feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count("*").cast("bigint").alias("n_hits"))
     )
+
+
+@register(
+    "join_anti_customers",
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join with a NON-EMPTY result (customers with no URGENT
+    orders — every fixture customer has SOME order, so the plain
+    no-orders anti-join is empty): the original join_anti
+    registration verifies the operator but returns zero rows on this
+    data, which makes its driver hash trivially satisfied. This
+    variant gives the anti-join family a value-verified member."""
+    c = rt(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        rt(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@register(
+    "set_except_nonempty",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT with a NON-EMPTY result (customers with open orders but
+    no finished ones) — the value-verified companion of set_except,
+    whose fixture result is empty."""
+    o = rt(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep
+    # customers whose O-order count merely exceeds their F-order count.
+    return open_c.subtract(fin_c)
