@@ -331,6 +331,133 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_resample_interpolate",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, ts, event_id, value
+      FROM events
+    ),
+    obs AS (
+      SELECT user_id, h, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id, h
+                                     ORDER BY ts DESC, event_id DESC) AS rn
+        FROM b
+      ) WHERE rn = 1
+    ),
+    span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
+      FROM span
+    ),
+    j AS (
+      SELECT g.user_id, g.h, o.value,
+             last_value(o.value IGNORE NULLS) OVER w_prev AS prev_v,
+             last_value(CASE WHEN o.value IS NOT NULL THEN g.h END IGNORE NULLS)
+               OVER w_prev AS prev_h,
+             first_value(o.value IGNORE NULLS) OVER w_next AS next_v,
+             first_value(CASE WHEN o.value IS NOT NULL THEN g.h END IGNORE NULLS)
+               OVER w_next AS next_h
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+      WINDOW
+        w_prev AS (PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING),
+        w_next AS (PARTITION BY g.user_id ORDER BY g.h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, h AS hour,
+           -- explicit HALF-UP rounding (floor(x*1e6 + 0.5)/1e6):
+           -- interpolation at dyadic fractions lands EXACTLY on
+           -- x.xxxxxx5 boundaries, where round() tie-breaks differ
+           -- across engines (Spark half-up, DuckDB half-even)
+           floor(CASE
+             WHEN value IS NOT NULL THEN value
+             WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+               prev_v + (next_v - prev_v)
+                 * (CAST(date_diff('hour', prev_h, h) AS DOUBLE)
+                    / CAST(date_diff('hour', prev_h, next_h) AS DOUBLE))
+             ELSE prev_v
+           END * 1000000 + 0.5) / 1000000 AS value_interp
+    FROM j
+    """,
+)
+def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + LINEAR interpolation — the gap-fill
+    companion of events_resample_ffill for continuous measures (a
+    carried-forward sensor reading lies; a line between the
+    surrounding observations doesn't). Same scale shape as the ffill
+    form: per-(user, hour) last observation in one window pass, the
+    grid explodes from per-user 2-column spans, and BOTH the
+    look-back and look-ahead windows ride the same user_id
+    partitioning — one events exchange + one grid exchange total.
+    The interpolation fraction divides integer hour offsets, so both
+    engines compute identical doubles before the shared round."""
+    from pyspark.sql import Window
+
+    e = read_testdata(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_last = Window.partitionBy("user_id", "h").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    obs = (
+        b.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("user_id", "h", "value")
+    )
+    span = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("value").isNotNull(), F.col("h"))
+    j = (
+        grid.join(obs, ["user_id", "h"], "left")
+        .withColumn("prev_v", F.last("value", ignorenulls=True).over(w_prev))
+        .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(w_prev))
+        .withColumn("next_v", F.first("value", ignorenulls=True).over(w_next))
+        .withColumn("next_h", F.first(obs_h, ignorenulls=True).over(w_next))
+    )
+    hours = lambda a, b_: (  # noqa: E731
+        (F.unix_timestamp(b_) - F.unix_timestamp(a)) / F.lit(3600)
+    ).cast("double")
+    interp = (
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * (
+                hours(F.col("prev_h"), F.col("h"))
+                / hours(F.col("prev_h"), F.col("next_h"))
+            ),
+        )
+        .otherwise(F.col("prev_v"))
+    )
+    # Explicit half-up rounding shared with the oracle: interpolated
+    # values land exactly on x.xxxxxx5 (dyadic fractions), where
+    # round() tie-breaking diverges across engines.
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        (F.floor(interp * 1_000_000 + 0.5) / 1_000_000).alias("value_interp"),
+    )
+
+
+@register(
     "events_compact_last",
     oracle="""
     SELECT user_id, event_type, event_id AS last_event_id,
