@@ -131,3 +131,72 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return emb.mapInArrow(norms, "vec_id bigint, l2_norm double")
+
+
+def _order_recon(key, orders_pdf: pd.DataFrame, lines_pdf: pd.DataFrame) -> pd.DataFrame:
+    # COGROUPED_MAP kernel: both sides of one order key arrive as
+    # pandas frames; reconcile the order header against its lines.
+    okey = int(key[0])
+    header_price = (
+        float(orders_pdf["o_totalprice"].iloc[0]) if len(orders_pdf) else None
+    )
+    gross = float(
+        (lines_pdf["l_extendedprice"] * (1.0 - lines_pdf["l_discount"])
+         * (1.0 + lines_pdf["l_tax"])).sum()
+    ) if len(lines_pdf) else 0.0
+    return pd.DataFrame(
+        {
+            "o_orderkey": [okey],
+            "n_lines": [int(len(lines_pdf))],
+            "header_price": [round(header_price, 6) if header_price is not None else None],
+            "gross_charges": [round(gross, 6)],
+        }
+    )
+
+
+@register(
+    "udf_cogrouped_map",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+           round(any_value(o.o_totalprice), 6) AS header_price,
+           round(coalesce(sum(l.l_extendedprice * (1.0 - l.l_discount)
+                              * (1.0 + l.l_tax)), 0.0), 6) AS gross_charges
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey < 2000
+    GROUP BY o.o_orderkey
+    """,
+)
+def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map applyInPandas — the last Python-crossing mode
+    (after scalar / grouped-agg / grouped-map / mapInPandas /
+    mapInArrow): both relations' rows for one key arrive together as
+    two pandas frames, the shape for per-key reconciliation and
+    custom merge logic that SQL joins can't express directly. The
+    kernel here (order header vs summed line charges) IS
+    SQL-expressible on purpose, so the whole crossing is
+    oracle-checked. Scale shape: one exchange per side on the
+    cogroup key, kernel state bounded by one key's rows.
+
+    Float caveat: pandas sums a group's charges sequentially while
+    SQL's sum order is partition-dependent — gross charges per order
+    are <~60 lines, so the 6-dp round absorbs the summation-order
+    ulps at any scale of ORDERS (group size, not table size, bounds
+    the error)."""
+    o = read_testdata(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") < 2000
+    ).select("o_orderkey", "o_totalprice")
+    li = read_testdata(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") < 2000
+    ).select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            _order_recon,
+            schema=(
+                "o_orderkey long, n_lines bigint, "
+                "header_price double, gross_charges double"
+            ),
+        )
+    )
