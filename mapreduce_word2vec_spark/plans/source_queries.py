@@ -354,3 +354,119 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "source_json_nested",
+    oracle="""
+    WITH caps AS (
+      SELECT c_nationkey, c_custkey,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS rn
+      FROM customer
+    )
+    SELECT n.n_nationkey, n.n_name, r.r_name,
+           CAST(c.rn - 1 AS INT) AS pos, c.c_custkey
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    JOIN caps c ON c.c_nationkey = n.n_nationkey
+    WHERE c.rn <= 5
+    """,
+)
+def source_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-JSON ingestion: build a document per nation — a struct
+    (`info {name, region}`) plus an array (first 5 customer keys) —
+    write it as JSON lines, read it back with the nested schema, and
+    FLATTEN (dot-path projection + posexplode) to scalars. This is
+    the log-processing shape the flat roundtrips don't cover: struct
+    fields and arrays must survive the writer, the reader, and
+    column-pruned extraction. The oracle reconstructs the flattened
+    rows straight from the base tables, so any fidelity loss in the
+    nested round-trip mismatches."""
+    from pyspark.sql import Window
+
+    n = read_testdata(spark, sf_dir, "nation")
+    r = read_testdata(spark, sf_dir, "region")
+    c = read_testdata(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_custkey")
+    caps = (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .groupBy("c_nationkey")
+        .agg(F.sort_array(F.collect_list("c_custkey")).alias("customers"))
+    )
+    nested = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(caps, n.n_nationkey == F.col("c_nationkey"))
+        .select(
+            "n_nationkey",
+            F.struct(
+                F.col("n_name").alias("name"), F.col("r_name").alias("region")
+            ).alias("info"),
+            "customers",
+        )
+    )
+    path = _roundtrip_dir("json_nested", sf_dir)
+    nested.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "n_nationkey int, info struct<name:string, region:string>, "
+        "customers array<bigint>"
+    ).json(path)
+    return back.select(
+        "n_nationkey",
+        F.col("info.name").alias("n_name"),
+        F.col("info.region").alias("r_name"),
+        F.posexplode("customers").alias("pos", "c_custkey"),
+    )
+
+
+@register(
+    "source_csv_dialect",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(length(c_name || ';"' || c_mktsegment || '"'
+                    || chr(10) || CAST(c_custkey AS VARCHAR))) AS BIGINT) AS tricky_chars,
+           CAST(sum(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    """,
+)
+def source_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect hard mode: a field containing the DELIMITER, the
+    QUOTE character, and an embedded NEWLINE must survive
+    write-then-read intact (semicolon-separated, quoted, multiLine
+    read — the option set real-world dirty CSV needs; a quoting bug
+    silently truncates rows or shifts columns). The oracle recomputes
+    the expected per-row string lengths from the base table, so any
+    fidelity loss in the dialect round-trip shows as a count or
+    checksum mismatch."""
+    c = read_testdata(spark, sf_dir, "customer")
+    tricky = F.concat(
+        F.col("c_name"),
+        F.lit(';"'),
+        F.col("c_mktsegment"),
+        F.lit('"\n'),
+        F.col("c_custkey").cast("string"),
+    )
+    out = c.select("c_custkey", tricky.alias("tricky"))
+    path = _roundtrip_dir("csv_dialect", sf_dir)
+    (
+        out.write.mode("overwrite")
+        .option("header", True)
+        .option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("c_custkey long, tricky string")
+        .option("header", True)
+        .option("sep", ";")
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("multiLine", True)
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.length("tricky")).cast("bigint").alias("tricky_chars"),
+        F.sum("c_custkey").cast("bigint").alias("key_sum"),
+    )
