@@ -49,6 +49,10 @@ SHOWCASE = [
     ("layout_zorder", "Morton-code bucketing: one exchange on the 8-bit bucket id; the manifest IS the pruning proof"),
     ("join_lateral_topn", "LATERAL+LIMIT decorrelated to WindowGroupLimit — partial top-N per group map-side, no per-group rescans"),
     ("knn_ivf_recall", "both inputs top-k-bounded; evaluation joins (queries x k)-row lists, never rescans the corpus"),
+    ("source_bucketed_join", "both sides bucketed on the key: SortMergeJoin with ZERO join exchanges — only the final rollup shuffles"),
+    ("udf_cogrouped_map", "one exchange per side on the cogroup key; Python kernel state bounded by one key's rows"),
+    ("events_resample_interpolate", "look-back and look-ahead fill windows ride ONE user_id exchange; grid explodes from per-user spans"),
+    ("table_stats_profile", "ALL per-column metrics folded in ONE fact scan, melted afterwards"),
 ]
 
 
