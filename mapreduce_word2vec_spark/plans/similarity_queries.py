@@ -965,3 +965,66 @@ def knn_matryoshka_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+@register(
+    "emb_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label, embedding AS qe
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, label AS c_label, embedding AS ce
+               FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+                  {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos
+           FROM q JOIN c ON q.q_label <> c.c_label
+         ),
+         r AS (
+           SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+           FROM s
+         )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the data miner behind contrastive
+    embedding training (in-batch negatives are too easy; the
+    negatives that move the loss are the HIGHEST-cosine vectors of a
+    DIFFERENT class): top-5 cross-label neighbors per query. Same
+    broadcast-queries/corpus-streams shape as knn_bruteforce with the
+    label-exclusion predicate fused into the scoring join, so
+    mining cost equals one search pass — no post-filter re-ranking."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("qe"),
+        norm_expr("embedding").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("ce"),
+        norm_expr("embedding").alias("cn"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_label") != F.col("c_label"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot_expr("qe", "ce") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .drop("rn")
+        .withColumn("cos", F.round("cos", 6))
+    )
