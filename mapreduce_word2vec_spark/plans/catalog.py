@@ -123,11 +123,15 @@ _PRIORITY = (
 
 # Round-4 rotation plan: once CORRECTNESS_r03 lands green, swap the
 # verified names out and promote the remaining never-driver-tested
-# oracle-backed names (~65), starting with the round-3 additions —
+# oracle-backed names (~75), starting with the round-3 additions —
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,
-# agg_approx_percentile — then e.g.: doc_top_terms_per_source,
+# agg_approx_percentile, agg_decimal_exact, ml_feature_hash_buckets,
+# source_bucketed_join, join_anti_customers, set_except_nonempty,
+# events_resample_interpolate, udf_cogrouped_map, source_json_nested,
+# source_csv_dialect, emb_hard_negatives — then e.g.:
+# doc_top_terms_per_source,
 # corpus_report, doc_bigram_logprob, doc_unigram_logprob,
 # doc_perplexity_bucket, sample_source_cap, sample_mixture_epochs,
 # doc_pmi_collocations, corpus_zipf_slope, doc_keywords_topk,
