@@ -1052,3 +1052,53 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("ttc_s", F.lit(0.9)), 6).alias("p90_s"),
         F.round(F.avg("ttc_s"), 6).alias("mean_s"),
     )
+
+
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    WITH k AS (
+      SELECT event_type,
+             CAST(time_bucket(INTERVAL '15 minutes', ts) AS TIMESTAMP) AS bar_start,
+             value,
+             printf('%020d%010d', epoch_us(ts), event_id) AS okey
+      FROM events
+    )
+    SELECT event_type, bar_start,
+           round(min_by(value, okey), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max_by(value, okey), 6) AS close,
+           CAST(count(*) AS BIGINT) AS n_ticks
+    FROM k GROUP BY event_type, bar_start
+    """,
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — the canonical time-series downsample
+    (metrics, market data, sensor rollups): per (type, 15-minute bar)
+    the first / highest / lowest / last value. open/close use
+    min_by/max_by over a zero-padded (epoch_us, event_id) composite
+    string key, so tie-breaking is total and IDENTICAL across engines
+    (bare min_by(value, ts) is nondeterministic under timestamp
+    collisions — the subtle bug class this query pins). One
+    partial-aggregated exchange regardless of tick volume."""
+    e = read_testdata(spark, sf_dir, "events")
+    okey = F.format_string(
+        "%020d%010d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        e.select(
+            "event_type",
+            F.window("ts", "15 minutes").alias("w"),
+            "value",
+            okey.alias("okey"),
+        )
+        .groupBy("event_type", F.col("w.start").alias("bar_start"))
+        .agg(
+            F.round(F.min_by("value", "okey"), 6).alias("open"),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max_by("value", "okey"), 6).alias("close"),
+            F.count("*").cast("bigint").alias("n_ticks"),
+        )
+    )
