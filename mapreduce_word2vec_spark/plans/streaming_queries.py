@@ -1102,3 +1102,55 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_ticks"),
         )
     )
+
+
+@register(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, value, epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,6)) AS v,
+             CAST(nxt - t AS BIGINT) AS dt
+      FROM o WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           round(CAST(sum(v * dt) AS DOUBLE) / CAST(sum(dt) AS DOUBLE), 6) AS twap
+    FROM seg GROUP BY user_id
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) — the billing/metrics rollup where
+    a reading counts for how LONG it held, not how often it was
+    sampled. Numerically hardened for cross-engine hashing: a plain
+    double Σ(value·Δt) depends on summation order (engine- and
+    partitioning-dependent ulps), so each value is fixed to
+    DECIMAL(18,6) and the products accumulate EXACTLY in decimal ×
+    integer-microsecond segments; only the final single division runs
+    in IEEE doubles, identical on both engines. One lead window + one
+    keyed aggregation on the same user_id exchange."""
+    from pyspark.sql import Window
+
+    e = read_testdata(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.unix_micros(F.col("ts")).alias("t"),
+        F.lead(F.unix_micros(F.col("ts"))).over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    seg = o.select("user_id", "v", (F.col("nxt") - F.col("t")).alias("dt"))
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt")).cast("double")
+            / F.sum("dt").cast("double"),
+            6,
+        ).alias("twap"),
+    )
