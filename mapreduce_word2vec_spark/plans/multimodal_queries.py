@@ -86,11 +86,43 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frames")
+_FRAME_HASH = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(split(chunk, ''), c -> CAST(ascii(c) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 1000000007)"
+)
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, text,
+             greatest(1, length(text) // 4) AS step
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, step, unnest(range(0, 4)) AS frame_idx FROM p
+    ),
+    c AS (
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             substring(text, CAST(frame_idx * step + 1 AS INT), CAST(step AS INT)) AS chunk
+      FROM f
+    )
+    SELECT doc_id, frame_idx,
+           {_FRAME_HASH} AS frame_hash,
+           CAST(length(chunk) AS BIGINT) AS frame_bytes
+    FROM c
+    """,
+)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling of "video" payloads → (doc, frame, hash, bytes).
-    Deterministic but byte-slicing is easier property-tested than
-    SQL-replicated → rows-only check."""
+    """Frame sampling of "video" payloads → (doc, frame, hash, bytes)
+    through the real mapInPandas kernel. Upgraded from rows-only to a
+    full value oracle: the chunk boundaries (floor(n/4)-byte steps,
+    remainder truncated) and the polynomial byte hash are both
+    re-derivable in SQL on the ASCII corpus (payload bytes ≡ char
+    codes), so the whole slicing kernel is hash-compared — the same
+    upgrade path the sketch queries took."""
     from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr, sample_frames
 
     docs = read_testdata(spark, sf_dir, "documents")
