@@ -406,3 +406,55 @@ def emb_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anisotropy",
         )
     )
+
+
+@register(
+    "emb_pairwise_cos_histogram",
+    oracle="""
+    WITH a AS (SELECT vec_id, embedding AS ea FROM embeddings WHERE vec_id < 100),
+         b AS (SELECT vec_id, embedding AS eb FROM embeddings WHERE vec_id < 100),
+         s AS (
+           SELECT list_sum(list_transform(range(1, len(ea) + 1),
+                    i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(ea, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(eb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM a JOIN b ON a.vec_id < b.vec_id
+         )
+    SELECT CAST(least(9, greatest(0, floor((cos + 1.0) * 5))) AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM s GROUP BY 1
+    """,
+)
+def emb_pairwise_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-cosine distribution over a bounded sample (vec_id <
+    100 → 4950 pairs), 10 equal bins on [-1, 1] — the corpus-health
+    histogram read next to emb_anisotropy: a healthy embedding space
+    spreads mass across bins; a collapsed one piles into the top bin.
+    Bin edges floor a shifted-scaled cosine, so only the bin INDEX is
+    compared — robust to last-ulp cosine differences everywhere
+    except exactly on an edge (cosines of random floats don't land on
+    exact tenths). Sample-bounded: the quadratic pair join never
+    touches the full corpus; the full-corpus version is the
+    block-pair join dedup_embedding_cosine already demonstrates."""
+    emb = read_testdata(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
+
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        norm_expr("embedding").alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        norm_expr("embedding").alias("nb"),
+    )
+    s = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        (dot_expr("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cos")
+    )
+    bin_ = F.least(
+        F.lit(9), F.greatest(F.lit(0), F.floor((F.col("cos") + 1.0) * 5))
+    ).cast("int")
+    return s.groupBy(bin_.alias("bin")).agg(
+        F.count("*").cast("bigint").alias("n_pairs")
+    )

@@ -1154,3 +1154,35 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@register(
+    "events_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(CASE WHEN dayofweek(ts) = 0 THEN 7 ELSE dayofweek(ts) END AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day activity heatmap — the load-shape
+    rollup behind capacity planning and anomaly baselines. Calendar
+    convention pinned cross-engine: ISO day numbers 1=Monday..7=Sunday
+    (Spark dayofweek is 1=Sunday, DuckDB's is 0=Sunday — both sides
+    remap explicitly rather than trusting defaults). At most 168
+    groups regardless of event volume: pure map-side partials."""
+    e = read_testdata(spark, sf_dir, "events")
+    # Spark: dayofweek 1=Sun..7=Sat  ->  ISO 1=Mon..7=Sun
+    iso_dow = F.when(F.dayofweek("ts") == 1, 7).otherwise(F.dayofweek("ts") - 1)
+    return (
+        e.groupBy(
+            iso_dow.cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
