@@ -3592,3 +3592,180 @@ def set_except_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract = EXCEPT DISTINCT (set semantics); exceptAll would keep
     # customers whose O-order count merely exceeds their F-order count.
     return open_c.subtract(fin_c)
+
+
+@register(
+    "cte_recursive_series",
+    oracle="""
+    WITH RECURSIVE days AS (
+      SELECT DATE '1995-01-01' AS day
+      UNION ALL
+      SELECT day + 1 AS day FROM days WHERE day < DATE '1995-03-31'
+    ),
+    per_day AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n, sum(o_totalprice) AS tp
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY CAST(o_orderdate AS DATE)
+    )
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders,
+           round(coalesce(p.tp, 0), 6) AS total_price
+    FROM days d LEFT JOIN per_day p ON p.day = d.day
+    """,
+)
+def cte_recursive_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``, SPARK-24497): a
+    90-day date spine generated by recursion, left-joined to per-day
+    order aggregates — the gap-preserving calendar join every
+    time-series report needs (days with zero orders still appear).
+
+    Scale shape: the fact scan is filtered at the source (predicate
+    on o_orderdate pushes into parquet) and aggregated BEFORE the
+    join, so the recursion output (90 rows) joins a bounded per-day
+    aggregate, never raw orders. The recursion itself is driver-tiny
+    and loop-bounded; at 100 TB only the pre-aggregation shuffles.
+    The day is emitted as an ISO string so both engines hash the same
+    canonical form."""
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_rcte_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE days AS (
+          SELECT DATE'1995-01-01' AS day
+          UNION ALL
+          SELECT date_add(day, 1) AS day FROM days WHERE day < DATE'1995-03-31'
+        ),
+        per_day AS (
+          SELECT CAST(o_orderdate AS DATE) AS day,
+                 count(*) AS n, sum(o_totalprice) AS tp
+          FROM orders_rcte_v
+          WHERE o_orderdate >= TIMESTAMP'1995-01-01'
+            AND o_orderdate < TIMESTAMP'1995-04-01'
+          GROUP BY CAST(o_orderdate AS DATE)
+        )
+        SELECT CAST(d.day AS STRING) AS day,
+               CAST(coalesce(p.n, 0) AS BIGINT) AS n_orders,
+               round(coalesce(p.tp, 0), 6) AS total_price
+        FROM days d LEFT JOIN per_day p ON p.day = d.day
+        """
+    )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 1023 AS band,
+           o_orderkey | 255 AS bor,
+           xor(o_orderkey, o_orderkey >> 3) AS bxor,
+           (o_orderkey & 15) << 4 AS shl,
+           CAST(bit_count(o_orderkey) AS INT) AS popcnt,
+           CAST(bit_count(o_orderkey) % 2 AS INT) AS parity
+    FROM orders
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (&, |, xor, shifts, popcount) — the
+    primitives under bitmap indexes, bloom probes, and hash mixing.
+    All JVM-side codegen expressions; DuckDB spells xor as a function
+    (its ``^`` is exponentiation) but the semantics match bit-for-bit
+    on two's-complement int64."""
+    o = rt(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 1023").alias("band"),
+        F.expr("o_orderkey | 255").alias("bor"),
+        F.expr("o_orderkey ^ shiftright(o_orderkey, 3)").alias("bxor"),
+        F.expr("shiftleft(o_orderkey & 15, 4)").alias("shl"),
+        F.expr("CAST(bit_count(o_orderkey) AS INT)").alias("popcnt"),
+        F.expr("CAST(bit_count(o_orderkey) % 2 AS INT)").alias("parity"),
+    )
+
+
+# Bloom filter as data: m bits in m/64 int64 lanes, k=2 independent
+# affine hashes mod a prime. Shared-arithmetic (not murmur3) so the
+# semantics are engine-checkable; the ORACLE doesn't mimic the bloom
+# — it runs the plain semi join, asserting the bloom+verify pipeline
+# is *exactly* lossless (no false negatives; false positives removed
+# by the verify join).
+_BLOOM_P = 1_000_000_007
+_BLOOM_M = 8192
+_BLOOM_HASHES = ((1_000_003, 12_345), (69_069, 54_321))
+
+
+@register(
+    "join_bloom_semi",
+    oracle="""
+    SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mo,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    FROM lineitem
+    WHERE l_suppkey IN (SELECT s_suppkey
+                        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                        WHERE n_name = 'NATION_9')
+    GROUP BY yr, mo
+    """,
+)
+def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom) semi join, built from plain SQL
+    expressions: the small side's keys are folded into an 8192-bit
+    bloom bitmap (128 int64 lanes, k=2 affine hashes), the bitmap —
+    ONE row, ~1 KB — is broadcast across the fact scan as a
+    pre-filter, and only the survivors reach the exact semi join.
+
+    This is the shape engines use to cut shuffle input on selective
+    joins at 100 TB: the fact side is filtered down near the scan by
+    a constant-size structure instead of shuffling every row to the
+    join. Here both joins are broadcasts anyway (the dim is small);
+    the point is the bitmap pipeline is value-lossless — the oracle
+    is the PLAIN semi join, so any false negative or surviving false
+    positive hash-fails. bit_or aggregation builds the lanes in one
+    partial+final pass; probes are codegen'd shift/AND expressions."""
+    sup = rt(spark, sf_dir, "supplier")
+    nat = rt(spark, sf_dir, "nation")
+    keys = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .where(F.col("n_name") == "NATION_9")
+        .select("s_suppkey")
+    )
+
+    def bucket(col: str, a: int, b: int) -> str:
+        return f"CAST((({col} % {_BLOOM_P}) * {a} + {b}) % {_BLOOM_P} % {_BLOOM_M} AS BIGINT)"
+
+    buckets = keys.select(
+        F.explode(
+            F.array(*[F.expr(bucket("s_suppkey", a, b)) for a, b in _BLOOM_HASHES])
+        ).alias("bkt")
+    )
+    bitmap = (
+        buckets.select(
+            F.expr("CAST(bkt / 64 AS INT)").alias("lane"),
+            F.expr("shiftleft(1L, CAST(bkt % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("lane")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("lane", "bits"))).alias("bm"))
+    )
+
+    li = rt(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    probed = li.join(F.broadcast(bitmap))  # 1-row broadcast cross join
+    hit = None
+    for a, b in _BLOOM_HASHES:
+        bkt = bucket("l_suppkey", a, b)
+        cond = F.expr(
+            f"(coalesce(element_at(bm, CAST(({bkt}) / 64 AS INT)), 0L)"
+            f" & shiftleft(1L, CAST(({bkt}) % 64 AS INT))) != 0"
+        )
+        hit = cond if hit is None else (hit & cond)
+    survivors = probed.where(hit).drop("bm")
+    exact = survivors.join(F.broadcast(keys), survivors.l_suppkey == keys.s_suppkey, "left_semi")
+    return exact.groupBy(
+        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
+    )

@@ -470,3 +470,125 @@ def source_csv_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("tricky")).cast("bigint").alias("tricky_chars"),
         F.sum("c_custkey").cast("bigint").alias("key_sum"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_supp,
+           round(sum(s_acctbal), 6) AS total_bal,
+           min(s_name) AS first_name
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parquet → XML (Spark 4 built-in, one <supplier> element per
+    row) → schema-first read-back → aggregate. XML is the
+    enterprise-feed format (SEC filings, PubMed, legacy SOAP dumps);
+    Spark 4 folded the spark-xml package into core, so the scan is a
+    first-class FileFormat with schema-first parsing (inference would
+    cost an extra pass, same rule as CSV/JSON). The oracle reads the
+    original parquet — writer+reader must round-trip losslessly."""
+    sup = read_testdata(spark, sf_dir, "supplier")
+    path = _roundtrip_dir("xml_supplier", sf_dir)
+    (
+        sup.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+        .load(path)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_supp"),
+        F.round(F.sum("s_acctbal"), 6).alias("total_bal"),
+        F.min("s_name").alias("first_name"),
+    )
+
+
+@register(
+    "source_binaryfile_scan",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+           sha256(text || chr(10)) AS sha_hex
+    FROM documents WHERE doc_id < 64
+    """,
+)
+def source_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-file-per-document layout → ``binaryFile`` scan → per-blob
+    length + SHA-256. This is the raw-asset ingestion path for
+    multimodal corpora (images/audio arrive as files, not rows): the
+    binaryFile source yields (path, length, content) without decoding,
+    ids are recovered from the directory name, and content-addressing
+    (sha2 over bytes) happens JVM-side.
+
+    The layout is produced DISTRIBUTED — a partitionBy(doc_id) text
+    sink, one directory per doc, no driver-side loop — and the text
+    sink's trailing newline is part of the bytes, so the oracle hashes
+    text || chr(10) over the ASCII corpus (UTF-8 == ASCII bytes here).
+    Scale shape: scan parallelism = files; content never shuffles
+    (the digest, 32 bytes, is the only thing that moves)."""
+    docs = read_testdata(spark, sf_dir, "documents").where(F.col("doc_id") < 64)
+    path = _roundtrip_dir("binfiles_docs", sf_dir)
+    docs.select("doc_id", F.col("text").alias("value")).write.mode("overwrite").partitionBy(
+        "doc_id"
+    ).text(path)
+    back = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "false")
+        .load(path + "/doc_id=*")
+    )
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_id=(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.lower(F.sha2(F.col("content"), 256)).alias("sha_hex"),
+    )
+
+
+@register(
+    "source_dpp_prune",
+    oracle="""
+    SELECT year(o_orderdate) AS o_year,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 6) AS total_price
+    FROM orders
+    WHERE year(o_orderdate) IN (1995, 1996)
+    GROUP BY o_year, o_orderpriority
+    """,
+)
+def source_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is laid out
+    partitioned by year, the filter arrives on a DIMENSION (a year
+    catalog tagged 'current' vs 'archive'), and Catalyst injects a
+    runtime subquery filter into the fact scan, so only the
+    1995/1996 directories are read — the scan prunes on a predicate
+    it cannot see statically. At 100 TB this is the difference
+    between scanning two years and scanning the decade; asserted in
+    test_plans (PartitionFilters: dynamicpruning expression)."""
+    o = read_testdata(spark, sf_dir, "orders")
+    path = _roundtrip_dir("dpp_orders", sf_dir)
+    o.withColumn("o_year", F.year("o_orderdate")).write.mode("overwrite").partitionBy(
+        "o_year"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "current" if y in (1995, 1996) else "archive") for y in range(1995, 2002)],
+        "d_year int, d_tag string",
+    )
+    current = dim.where(F.col("d_tag") == "current")
+    return (
+        fact.join(F.broadcast(current), fact.o_year == current.d_year)
+        .groupBy("o_year", "o_orderpriority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+        )
+    )

@@ -2142,3 +2142,103 @@ def layout_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).cast("bigint").alias("position"),
         "doc_id",
     )
+
+
+# Count-min sketch: W=1024 cells x D=3 rows of affine hashes over the
+# engine's shared polynomial word hash. Both engines compute the SAME
+# arithmetic, so estimates are value-exact across engines (the sketch
+# is deterministic data, not an approximation contract).
+_CMS_W = 1024
+_CMS_P = 1_000_000_007
+_CMS_HASHES = ((1_000_003, 12_345), (69_069, 54_321), (50_021, 98_765))
+_CMS_PROBES = ("join", "hash", "scan", "query", "spark", "window", "merge", "zyzzyva")
+_CMS_HASH_ROWS = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(_CMS_HASHES))
+_CMS_PROBE_ROWS = ", ".join(f"('{w}')" for w in _CMS_PROBES)
+
+
+@register(
+    "agg_countmin_words",
+    oracle=f"""
+    WITH words AS (SELECT unnest({_SQL_TOKENS}) AS word FROM documents),
+    hw AS (SELECT word, {_SQL_STRHASH} AS h FROM words),
+    hs(j, a, b) AS (VALUES {_CMS_HASH_ROWS}),
+    cells AS (
+      SELECT j, CAST((h * a + b) % {_CMS_P} % {_CMS_W} AS INT) AS cell,
+             count(*) AS cnt
+      FROM hw CROSS JOIN hs GROUP BY 1, 2
+    ),
+    probes(word) AS (VALUES {_CMS_PROBE_ROWS}),
+    ph AS (SELECT word, {_SQL_STRHASH} AS h FROM probes),
+    pc AS (
+      SELECT ph.word, hs.j,
+             CAST((ph.h * hs.a + hs.b) % {_CMS_P} % {_CMS_W} AS INT) AS cell
+      FROM ph CROSS JOIN hs
+    ),
+    est AS (
+      SELECT pc.word, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+      FROM pc LEFT JOIN cells c ON c.j = pc.j AND c.cell = pc.cell
+      GROUP BY pc.word
+    ),
+    exact AS (SELECT word, count(*) AS c FROM words GROUP BY word)
+    SELECT e.word, e.est_count,
+           CAST(coalesce(x.c, 0) AS BIGINT) AS exact_count,
+           e.est_count >= coalesce(x.c, 0) AS never_under
+    FROM est e LEFT JOIN exact x ON x.word = e.word
+    """,
+)
+def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch word frequencies: every word folds into a
+    fixed 3x1024-cell grid (affine hashes over the shared polynomial
+    hash), point queries read min over the 3 cells — never an
+    underestimate, collisions only inflate.
+
+    The 100 TB story: aggregation state is CONSTANT-SIZE (3072 cells)
+    no matter how large the vocabulary grows — partial aggregation
+    condenses each partition to <=3072 rows before the shuffle, so a
+    trillion-token corpus moves KBs, not its vocabulary, to get
+    heavy-hitter counts. The probe list is a broadcast of literals;
+    the exact-count branch exists to surface the estimate error and
+    CMS's one-sided guarantee in the output itself (never_under)."""
+    from mapreduce_word2vec_spark.functions.text import string_hash_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens_expr("text")).alias("word"))
+
+    def jcells(col):
+        h = string_hash_expr(col)
+        return F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        ((h * a + b) % _CMS_P % _CMS_W).cast("int").alias("cell"),
+                    )
+                    for j, (a, b) in enumerate(_CMS_HASHES)
+                ]
+            )
+        ).alias("jc")
+
+    sketch = (
+        words.select(jcells(F.col("word")))
+        .select("jc.j", "jc.cell")
+        .groupBy("j", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = spark.createDataFrame([(w,) for w in _CMS_PROBES], "word string")
+    pcells = probes.select("word", jcells(F.col("word"))).select("word", "jc.j", "jc.cell")
+    est = (
+        pcells.join(sketch, ["j", "cell"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est_count"))
+    )
+    exact = (
+        words.where(F.col("word").isin(*_CMS_PROBES))
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    return est.join(exact, "word", "left").select(
+        "word",
+        "est_count",
+        F.coalesce("c", F.lit(0)).cast("bigint").alias("exact_count"),
+        (F.col("est_count") >= F.coalesce("c", F.lit(0))).alias("never_under"),
+    )

@@ -637,3 +637,38 @@ def test_bucketed_join_has_no_join_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1  # rollup only
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    """The year filter lives on the dim side; the fact scan must carry
+    a dynamicpruning partition filter (not scan all years statically)."""
+    plan = _plan(spark, "source_dpp_prune")
+    assert "dynamicpruning" in plan.lower()
+    assert "o_year" in plan
+
+
+def test_bloom_semi_join_all_broadcast_no_smj(spark):
+    """Bitmap build is a bit_or partial agg; probe is a 1-row broadcast;
+    the verify join is a broadcast LeftSemi — nothing sort-merges and
+    nothing materializes a cartesian bigger than fact x 1-row."""
+    plan = _plan(spark, "join_bloom_semi")
+    assert "SortMergeJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "bit_or" in plan
+    assert "partial_bit_or" in plan or "partial" in plan
+
+
+def test_recursive_cte_preaggregates_before_spine_join(spark):
+    """The orders scan must be date-filtered at the source and
+    aggregated before joining the 90-row recursive spine."""
+    plan = _plan(spark, "cte_recursive_series")
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_countmin_sketch_is_partial_aggregated(spark):
+    """CMS cells must condense map-side (fixed 3x1024 state per
+    partition) before the shuffle."""
+    plan = _plan(spark, "agg_countmin_words")
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
