@@ -3769,3 +3769,129 @@ def join_bloom_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_items"),
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("revenue"),
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: a customer appearing 3 times
+    among open orders and 2 times among finished ones appears
+    min(3,2)=2 times. Catalyst plans the multiplicity bookkeeping as
+    a partial-aggregated count join, not a distinct; the DISTINCT
+    twin (set_intersect) would collapse these."""
+    o = rt(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.intersectAll(fin_c)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag subtraction: multiplicity max(n_open - n_fin,
+    0) per customer, the form that answers 'how many MORE open than
+    finished orders' where EXCEPT DISTINCT only answers set
+    membership."""
+    o = rt(spark, sf_dir, "orders")
+    open_c = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_c = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_c.exceptAll(fin_c)
+
+
+@register(
+    "subquery_not_in_nulls",
+    oracle="""
+    SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+      FROM orders)
+    UNION ALL
+    SELECT 'not_exists' AS variant, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE (CASE WHEN o.o_orderkey % 97 = 0 THEN NULL ELSE o.o_custkey END)
+            = c.c_custkey)
+    """,
+)
+def subquery_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — ANSI three-valued logic's
+    most-shipped production bug, pinned as a query: the subquery list
+    contains NULLs (every 97th order contributes one), so NOT IN is
+    never TRUE and returns ZERO customers, while the NOT EXISTS twin
+    ignores the NULLs and returns the real complement. Both engines
+    agree exactly.
+
+    Plan note: Spark compiles the NOT IN into a null-aware anti join
+    (a dedicated join mode — not expressible as a plain LeftAnti),
+    asserted in test_plans. At scale prefer NOT EXISTS: NAAJ must
+    broadcast the whole subquery result to every task."""
+    rt(spark, sf_dir, "customer").createOrReplaceTempView("cust_nin_v")
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_nin_v")
+    return spark.sql(
+        """
+        SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n_customers
+        FROM cust_nin_v
+        WHERE c_custkey NOT IN (
+          SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END
+          FROM orders_nin_v)
+        UNION ALL
+        SELECT 'not_exists' AS variant, CAST(count(*) AS BIGINT) AS n_customers
+        FROM cust_nin_v c
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders_nin_v o
+          WHERE (CASE WHEN o.o_orderkey % 97 = 0 THEN NULL ELSE o.o_custkey END)
+                = c.c_custkey)
+        """
+    )
+
+
+@register(
+    "observe_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(o_totalprice), 6) AS sum_price,
+           CAST(sum(CASE WHEN o_totalprice > 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+    FROM orders
+    """,
+)
+def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe`` + the noop sink: the
+    metrics (row count, revenue total, big-order count) are collected
+    as ACCUMULATORS DURING the pass — piggybacking the job instead of
+    paying a second scan, which is how a 100 TB ingest reports
+    data-quality counters without doubling its I/O. The observed
+    values are then surfaced as a 1-row DataFrame; the oracle
+    recomputes them declaratively, so the accumulator path is
+    value-checked against the aggregation path."""
+    from pyspark.sql import Observation
+
+    o = rt(spark, sf_dir, "orders")
+    obs = Observation("ingest_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        F.count(F.when(F.col("o_totalprice") > 300000, 1)).alias("n_big"),
+    )
+    # The noop sink drives the pass (full scan, zero output); obs.get
+    # blocks until the job's metrics arrive.
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(int(m["n_rows"]), float(m["sum_price"]), int(m["n_big"]))],
+        "n_rows bigint, sum_price double, n_big bigint",
+    )

@@ -672,3 +672,14 @@ def test_countmin_sketch_is_partial_aggregated(spark):
     plan = _plan(spark, "agg_countmin_words")
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_not_in_nulls_uses_null_aware_anti_join(spark):
+    """NOT IN over a nullable subquery must compile to the dedicated
+    null-aware anti join, not a plain LeftAnti (which would return
+    the wrong — non-empty — result)."""
+    plan = _plan(spark, "subquery_not_in_nulls")
+    # isNullAwareAntiJoin renders as the trailing flag on the
+    # broadcast anti join: "..., LeftAnti, BuildRight, true"
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "LeftAnti, BuildRight, false" in plan  # the NOT EXISTS twin is plain
