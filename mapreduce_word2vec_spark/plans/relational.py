@@ -3895,3 +3895,125 @@ def observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(m["n_rows"]), float(m["sum_price"]), int(m["n_big"]))],
         "n_rows bigint, sum_price double, n_big bigint",
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (SELECT s_suppkey,
+                      CASE WHEN s_nationkey % 7 = 0 THEN NULL
+                           ELSE s_nationkey % 5 END AS grp
+               FROM supplier),
+         r AS (SELECT CASE WHEN n_nationkey % 7 = 0 THEN NULL
+                           ELSE n_nationkey % 5 END AS grp,
+                      count(*) AS n_nations
+               FROM nation GROUP BY 1)
+    SELECT l.s_suppkey, l.grp, CAST(r.n_nations AS BIGINT) AS n_nations
+    FROM l JOIN r ON l.grp IS NOT DISTINCT FROM r.grp
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (Spark ``<=>`` ≡ SQL IS NOT DISTINCT
+    FROM): NULL keys MATCH each other instead of vanishing — the
+    semantics needed when NULL is a legitimate group ('unknown
+    bucket') rather than absence. A plain equi-join silently drops
+    every NULL-keyed row from both sides; pinned here with NULL
+    groups manufactured on both inputs. Still hash-partitionable
+    (NULLs co-locate like any other key), so the join stays a
+    broadcast/hash join, not a nested loop."""
+    sup = rt(spark, sf_dir, "supplier")
+    nat = rt(spark, sf_dir, "nation")
+    grp_l = F.when(F.col("s_nationkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("s_nationkey") % 5
+    )
+    grp_r = F.when(F.col("n_nationkey") % 7 == 0, F.lit(None)).otherwise(
+        F.col("n_nationkey") % 5
+    )
+    l = sup.select("s_suppkey", grp_l.alias("grp"))
+    r = (
+        nat.select(grp_r.alias("grp"))
+        .groupBy("grp")
+        .agg(F.count("*").cast("bigint").alias("n_nations"))
+    )
+    return l.join(F.broadcast(r), l.grp.eqNullSafe(r.grp)).select(
+        "s_suppkey", l.grp.alias("grp"), "n_nations"
+    )
+
+
+@register(
+    "agg_percentile_within_group",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS median_cont,
+           round(quantile_disc(o_totalprice, 0.5), 6) AS median_disc,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90_cont
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI inverse-distribution functions (``PERCENTILE_CONT`` /
+    ``PERCENTILE_DISC ... WITHIN GROUP``): the standard-SQL spelling
+    of exact quantiles, with the cont/disc distinction pinned —
+    CONT interpolates between the two straddling rows, DISC returns
+    an actual data value (the first with cumulative distribution ≥
+    p). Exact quantiles sort within groups; at 100 TB prefer
+    approx_percentile (the sketch contract is registered as
+    agg_approx_percentile) unless bit-exactness is required."""
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_pwg_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                 AS median_cont,
+               round(percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                 AS median_disc,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 6)
+                 AS p90_cont
+        FROM orders_pwg_v GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "scalar_url_parse",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com:8443/corpus/' ||
+             lang || '/doc-' || CAST(doc_id AS VARCHAR) ||
+             '?page=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=feed#frag' AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '://([^/:?#]+)', 1) AS host,
+           regexp_extract(url, '://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]page=([^&#]*)', 1) AS page_param,
+           regexp_extract(url, '#(.*)$', 1) AS fragment
+    FROM u
+    """,
+)
+def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with ``parse_url`` — protocol, host, path,
+    a single query parameter, and the fragment — the canonicalization
+    primitive under web-crawl dedup (strip tracking params, group by
+    host). URLs are synthesized deterministically from document
+    attributes so the oracle (pure regexp decomposition in DuckDB)
+    sees identical inputs; parse_url's HOST excludes the port, which
+    the oracle regexp mirrors by stopping at ':'."""
+    d = rt(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com:8443/corpus/"),
+        F.col("lang"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+        F.lit("?page="), (F.col("doc_id") % 7).cast("string"),
+        F.lit("&ref=feed#frag"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias("page_param"),
+        F.parse_url(F.col("url"), F.lit("REF")).alias("fragment"),
+    )
