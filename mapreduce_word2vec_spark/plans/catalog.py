@@ -123,7 +123,14 @@ _PRIORITY = (
 
 # Round-4 rotation plan: once CORRECTNESS_r03 lands green, swap the
 # verified names out and promote the remaining never-driver-tested
-# oracle-backed names (~75), starting with the round-3 additions —
+# oracle-backed names (~90), starting with the round-3 additions —
+# cte_recursive_series, scalar_bitwise, join_bloom_semi,
+# agg_countmin_words, source_xml_roundtrip, source_binaryfile_scan,
+# source_dpp_prune, set_intersect_all, set_except_all,
+# subquery_not_in_nulls, observe_metrics, join_null_safe,
+# agg_percentile_within_group, scalar_url_parse,
+# stream_foreach_batch_merge, table_ctas_insert,
+# join_shuffle_hash_hint, sql_parameterized,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,

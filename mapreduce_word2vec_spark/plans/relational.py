@@ -4017,3 +4017,100 @@ def scalar_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias("page_param"),
         F.parse_url(F.col("url"), F.lit("REF")).alias("fragment"),
     )
+
+
+@register(
+    "table_ctas_insert",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def table_ctas_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table DDL surface: CREATE TABLE AS SELECT the even
+    nations into the session catalog (parquet under the warehouse
+    dir), INSERT INTO the odd ones, read the table back by NAME via
+    the catalog — the create/append lifecycle of every curated lake
+    table, exercised through SQL DDL rather than path-based IO. The
+    oracle is the reunited source table, so CTAS + INSERT must be
+    exactly additive (no dropped or doubled rows)."""
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir.strip("/"))
+    tbl = f"nation_ctas_{tag}"
+    rt(spark, sf_dir, "nation").createOrReplaceTempView("nation_ctas_src")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(
+        f"""CREATE TABLE {tbl} USING parquet AS
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation_ctas_src WHERE n_nationkey % 2 = 0"""
+    )
+    spark.sql(
+        f"""INSERT INTO {tbl}
+            SELECT n_nationkey, n_name, n_regionkey
+            FROM nation_ctas_src WHERE n_nationkey % 2 = 1"""
+    )
+    return spark.table(tbl)
+
+
+@register(
+    "join_shuffle_hash_hint",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE), 6)
+             AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-control surface: the SHUFFLE_HASH hint forces a
+    ShuffledHashJoin where Catalyst would default to sort-merge —
+    the right call when one side is far smaller than the other but
+    too big to broadcast (hash-table build beats sorting BOTH sides;
+    no sort spill). Plan-asserted in test_plans; the hint changes
+    the physical strategy, never the result (same oracle as the
+    unhinted join would have)."""
+    li = rt(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = rt(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    # DECIMAL accumulation: a double sum over ~12k rows is
+    # summation-order-dependent at the last ulp and hash-diverges
+    # across engines; exact decimal is order-independent.
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("total_price"),
+    )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 6) AS total
+    FROM orders
+    WHERE o_totalprice > 250000 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+ named-parameter binding): the
+    injection-safe query-template surface — values bind as TYPED
+    literals through the parser, never string-spliced, so a
+    user-supplied threshold can't alter query structure. Constant
+    folding and filter pushdown see the bound literal exactly as if
+    it were inlined (pushdown asserted via the same plan checks as
+    the static twin)."""
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 6) AS total
+        FROM orders_param_v
+        WHERE o_totalprice > :minp AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"minp": 250000, "status": "O"},
+    )

@@ -1186,3 +1186,67 @@ def events_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("sum_value"),
         )
     )
+
+
+@register(
+    "stream_foreach_batch_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming through the production sink API:
+    events replayed as a multi-micro-batch file stream
+    (maxFilesPerTrigger=2 over an 8-file copy, availableNow), each
+    micro-batch pre-aggregated INSIDE the batch (Spark-side partial
+    agg — only per-type partials leave the cluster) and merged by
+    ``foreachBatch`` into a running per-type accumulator. The final
+    merged state must equal the one-shot batch aggregation (the
+    oracle) regardless of how the file stream happened to split into
+    batches — the idempotent-merge contract every foreachBatch sink
+    (Delta MERGE, JDBC upsert) is built on.
+
+    Driver state here is bounded by |event_type| (single digits); a
+    production sink would MERGE into a transactional table instead —
+    the batch-split-invariance being asserted is the same."""
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    ev = read_testdata(spark, sf_dir, "events").select("event_type", "value")
+    src = os.path.join(
+        tempfile.mkdtemp(prefix="mw2v_fbm_"), "src_" + sf_dir.strip("/").replace("/", "_")
+    )
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    state: dict[str, list] = defaultdict(lambda: [0, 0.0])
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .collect()
+        )
+        for r in rows:
+            acc = state[r["event_type"]]
+            acc[0] += r["n"]
+            acc[1] += r["v"]
+
+    stream = (
+        spark.readStream.schema("event_type string, value double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", src + "_ckpt")
+        .start()
+    )
+    q.awaitTermination()
+    out = [(k, int(n), float(v)) for k, (n, v) in state.items()]
+    df = spark.createDataFrame(out, "event_type string, n_events bigint, total_value double")
+    return df.select("event_type", "n_events", F.round("total_value", 6).alias("total_value"))

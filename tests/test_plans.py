@@ -683,3 +683,10 @@ def test_not_in_nulls_uses_null_aware_anti_join(spark):
     # broadcast anti join: "..., LeftAnti, BuildRight, true"
     assert "LeftAnti, BuildRight, true" in plan
     assert "LeftAnti, BuildRight, false" in plan  # the NOT EXISTS twin is plain
+
+
+def test_shuffle_hash_hint_forces_shj(spark):
+    """The SHUFFLE_HASH hint must override the sort-merge default."""
+    plan = _plan(spark, "join_shuffle_hash_hint")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
