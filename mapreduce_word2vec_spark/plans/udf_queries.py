@@ -200,3 +200,45 @@ def udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "ps_pandas_on_spark",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(avg(o_totalprice), 6) AS avg_price,
+           round(max(o_totalprice), 6) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def ps_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas API on Spark (``pyspark.pandas``): the drop-in pandas
+    surface compiled onto the same Catalyst plans — read_parquet →
+    groupby().agg() → to_spark(), no data ever leaving the JVM. The
+    index type is pinned to 'distributed' (the default
+    distributed-sequence index forces an extra job + a global
+    ordering barrier to mint monotonically increasing ids — a silent
+    scale trap for a pandas user; 'distributed' is order-free).
+    Value-checked against the declarative twin, proving the pandas
+    facade reaches the identical result."""
+    import pyspark.pandas as ps
+
+    prev = ps.get_option("compute.default_index_type")
+    ps.set_option("compute.default_index_type", "distributed")
+    try:
+        psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")
+        g = psdf.groupby("o_orderpriority").agg(
+            n_orders=("o_orderkey", "count"),
+            avg_price=("o_totalprice", "mean"),
+            max_price=("o_totalprice", "max"),
+        )
+        sdf = g.reset_index().to_spark()
+    finally:
+        ps.set_option("compute.default_index_type", prev)
+    return sdf.select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round("avg_price", 6).alias("avg_price"),
+        F.round("max_price", 6).alias("max_price"),
+    )
