@@ -53,6 +53,11 @@ SHOWCASE = [
     ("udf_cogrouped_map", "one exchange per side on the cogroup key; Python kernel state bounded by one key's rows"),
     ("events_resample_interpolate", "look-back and look-ahead fill windows ride ONE user_id exchange; grid explodes from per-user spans"),
     ("table_stats_profile", "ALL per-column metrics folded in ONE fact scan, melted afterwards"),
+    ("join_bloom_semi", "bit_or-built bloom bitmap broadcast as ONE row; probe is codegen shift/AND before the exact LeftSemi"),
+    ("agg_countmin_words", "CMS cells partial-aggregated map-side — shuffle bytes bounded by 3x1024 cells, not vocabulary"),
+    ("source_dpp_prune", "dynamicpruning expression injected into the fact scan's PartitionFilters from the dim-side filter"),
+    ("cte_recursive_series", "recursive spine joins a PRE-AGGREGATED, scan-filtered fact — recursion output is the join input"),
+    ("subquery_not_in_nulls", "NOT IN compiles to the null-aware anti join (LeftAnti, BuildRight, true); NOT EXISTS twin stays plain"),
 ]
 
 
