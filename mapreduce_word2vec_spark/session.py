@@ -80,6 +80,9 @@ def get_spark(
         # queries are written to avoid semantics that differ.
         .config("spark.sql.ansi.enabled", "false")
     )
+    # Caller overrides last so they win over the defaults above.
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
