@@ -2242,3 +2242,131 @@ def agg_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("c", F.lit(0)).cast("bigint").alias("exact_count"),
         (F.col("est_count") >= F.coalesce("c", F.lit(0))).alias("never_under"),
     )
+
+
+@register(
+    "w2v_skipgram_pairs",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
+    pos AS (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM toks),
+    pairs AS (
+      SELECT ws[i] AS center, ws[i + off] AS context
+      FROM pos CROSS JOIN (VALUES (-2), (-1), (1), (2)) t(off)
+      WHERE i + off >= 1 AND i + off <= len(ws)
+    )
+    SELECT center, context, CAST(count(*) AS BIGINT) AS n
+    FROM pairs GROUP BY center, context
+    """,
+)
+def w2v_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair generation (window=2) — the exact
+    (center, context) stream the reference's Word2Vec trainer (A7)
+    consumes internally, materialized as a queryable pair-count
+    table (also the co-occurrence input of GloVe-style factorization).
+
+    Pairs are generated MAP-SIDE with higher-order functions
+    (transform-with-index + get(); out-of-window offsets yield null
+    and are filtered in-expression), so the only exchange is the
+    final pair-count aggregation — at 100 TB the shuffle carries
+    (vocab² bounded) partial counts, never the 4x-exploded token
+    stream. ``get()`` not ``element_at()``: 0-based and total (null
+    out of bounds, no index-0 error)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    # Tokenize in its OWN projection and reference the column: the
+    # pair expression reads the array 5x per token (transform input +
+    # four get()s), and inlining tokens_expr there would re-run the
+    # regex split per access — O(len^2) tokenization (measured: 52s
+    # vs 3s at sf0.1).
+    toks = docs.select(tokens_expr("text").alias("ws"))
+
+    def pair_structs(ws):
+        def per_token(w, i):
+            cands = F.array(
+                *[
+                    F.struct(
+                        w.alias("center"),
+                        F.get(ws, i + F.lit(off)).alias("context"),
+                    )
+                    for off in (-2, -1, 1, 2)
+                ]
+            )
+            return F.filter(cands, lambda s: s["context"].isNotNull())
+
+        return F.flatten(F.transform(ws, per_token))
+
+    pairs = toks.select(F.explode(pair_structs(F.col("ws"))).alias("p"))
+    return pairs.select("p.center", "p.context").groupBy("center", "context").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "w2v_negative_sampling",
+    oracle=f"""
+    WITH words AS (SELECT unnest({_SQL_TOKENS}) AS word FROM documents),
+    counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+    powed AS (SELECT word, n, pow(n, 0.75) AS np FROM counts)
+    SELECT word, CAST(n AS BIGINT) AS n,
+           round(np / sum(np) OVER (), 6) AS sample_prob,
+           round(sum(np) OVER (ORDER BY word ROWS UNBOUNDED PRECEDING)
+                 / sum(np) OVER (), 6) AS cum_prob
+    FROM powed
+    """,
+)
+def w2v_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling distribution: unigram counts
+    raised to the 3/4 power and normalized (Mikolov et al. 2013's
+    smoothing — rare words get boosted, stopwords damped), plus the
+    word-ordered cumulative distribution a sampler inverts with
+    binary search. Vocabulary-sized output; the global sum and
+    cumsum run over the COUNTED table (vocab rows), never the token
+    stream, so the windows are bounded regardless of corpus size.
+    Probabilities rounded to 1e-6 — far above any libm pow() ulp
+    disagreement between engines."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens_expr("text")).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    powed = counts.select("word", "n", F.pow("n", F.lit(0.75)).alias("np"))
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("word").rowsBetween(Window.unboundedPreceding, 0)
+    return powed.select(
+        "word",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("np") / F.sum("np").over(w_all), 6).alias("sample_prob"),
+        F.round(F.sum("np").over(w_cum) / F.sum("np").over(w_all), 6).alias("cum_prob"),
+    )
+
+
+@register(
+    "w2v_subsample_probs",
+    oracle=f"""
+    WITH words AS (SELECT unnest({_SQL_TOKENS}) AS word FROM documents),
+    counts AS (SELECT word, count(*) AS n FROM words GROUP BY word),
+    tot AS (SELECT sum(n) AS total FROM counts)
+    SELECT word, CAST(n AS BIGINT) AS n,
+           round(least(1.0,
+             (sqrt((n / total) / 0.0001) + 1) * (0.0001 / (n / total))), 6)
+             AS keep_prob
+    FROM counts CROSS JOIN tot
+    """,
+)
+def w2v_subsample_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-word subsampling (word2vec's t=1e-4 discard rule, the
+    word2vec.c formula): keep_prob = (sqrt(f/t)+1)·t/f clamped to 1 —
+    aggressive on stopword-frequency words, no-op on rare ones. The
+    corpus total rides along as a broadcast 1-row aggregate; sqrt and
+    division are IEEE-exact so the values (pre-round) are already
+    bit-identical across engines."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(F.explode(tokens_expr("text")).alias("word"))
+    counts = words.groupBy("word").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    f = F.col("n") / F.col("total")
+    keep = (F.sqrt(f / F.lit(0.0001)) + 1) * (F.lit(0.0001) / f)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.least(F.lit(1.0), keep), 6).alias("keep_prob"),
+    )

@@ -690,3 +690,12 @@ def test_shuffle_hash_hint_forces_shj(spark):
     plan = _plan(spark, "join_shuffle_hash_hint")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_skipgram_tokenizes_once(spark):
+    """The pair expression reads the token array 5x per token; if the
+    optimizer collapsed the tokenize projection into it, the regex
+    split would run per access — O(len^2) tokenization (52s vs 3s at
+    sf0.1). The plan must contain exactly ONE tokenize expression."""
+    plan = _plan(spark, "w2v_skipgram_pairs")
+    assert plan.count("lower(text") == 1
