@@ -1250,3 +1250,85 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = [(k, int(n), float(v)) for k, (n, v) in state.items()]
     df = spark.createDataFrame(out, "event_type string, n_events bigint, total_value double")
     return df.select("event_type", "n_events", F.round("total_value", 6).alias("total_value"))
+
+
+@register(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             max(CASE WHEN is_click = 1 THEN epoch_us(ts) END) OVER (
+               PARTITION BY user_id
+               ORDER BY epoch_us(ts), is_click DESC, event_id
+               ROWS UNBOUNDED PRECEDING) AS last_click_us
+      FROM ev
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS purchase_hour,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN epoch_us(ts) - last_click_us <= 3600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+           round(sum(CASE WHEN epoch_us(ts) - last_click_us <= 3600000000
+                          THEN value ELSE 0 END), 6) AS attributed_revenue,
+           round(sum(CASE WHEN last_click_us IS NULL
+                            OR epoch_us(ts) - last_click_us > 3600000000
+                          THEN value ELSE 0 END), 6) AS unattributed_revenue
+    FROM w WHERE is_click = 0
+    GROUP BY purchase_hour
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within a 1-hour lookback — the composite every
+    growth/ads pipeline runs, built on the engine's as-of idiom
+    (union both event kinds, ONE per-user window, running max of
+    click-time; same-microsecond ties ordered click-first then by
+    event_id so attribution is total and engine-identical). No
+    per-purchase subquery, no range join: the whole pass is one
+    user_id exchange + one bounded hourly rollup — at 100 TB the
+    event stream shuffles exactly once."""
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            (F.col("event_type") == "click").cast("int").alias("is_click"),
+        )
+    )
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")), F.col("is_click").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = ev.withColumn(
+        "last_click_us", F.max(F.when(F.col("is_click") == 1, us)).over(w)
+    )
+    purchases = tagged.where(F.col("is_click") == 0)
+    attributed = (us - F.col("last_click_us")) <= 3_600_000_000
+    return purchases.groupBy(
+        F.date_trunc("hour", "ts").alias("purchase_hour")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_purchases"),
+        F.sum(F.when(attributed, 1).otherwise(0)).cast("bigint").alias("n_attributed"),
+        F.round(F.sum(F.when(attributed, F.col("value")).otherwise(0.0)), 6).alias(
+            "attributed_revenue"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("last_click_us").isNull() | ~attributed, F.col("value")
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("unattributed_revenue"),
+    )
