@@ -4124,3 +4124,45 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minp": 250000, "status": "O"},
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (the ClickHouse/Doris
+    bitmap-index technique): each user_id becomes one bit
+    (lane=id>>6, bit=id&63), lanes merge with ``bit_or`` — an
+    associative, fixed-width partial aggregate — and the distinct
+    count is the popcount sum. Two bounded exchanges: (type, lane)
+    partials, then per-type popcount rollup whose cardinality is
+    |types|·⌈domain/64⌉ regardless of event volume.
+
+    vs the alternatives: count(DISTINCT) shuffles every distinct
+    (type, user) pair; HLL (agg_approx_distinct) is fixed-size but
+    approximate. Bitmaps are BOTH exact and mergeable when the id
+    domain is dense/bounded — precomputed per-segment bitmaps also
+    answer audience intersections (AND) and unions (OR) without
+    touching rows. The oracle is the plain count(DISTINCT), so the
+    whole bit pipeline must be lossless."""
+    ev = rt(spark, sf_dir, "events").select("event_type", "user_id")
+    lanes = (
+        ev.select(
+            "event_type",
+            F.shiftright(F.col("user_id"), 6).alias("lane"),
+            F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))").alias("bit"),
+        )
+        .groupBy("event_type", "lane")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    counts = ev.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_events"))
+    users = lanes.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )
+    return users.join(counts, "event_type").select("event_type", "n_users", "n_events")
