@@ -130,7 +130,9 @@ _PRIORITY = (
 # subquery_not_in_nulls, observe_metrics, join_null_safe,
 # agg_percentile_within_group, scalar_url_parse,
 # stream_foreach_batch_merge, table_ctas_insert,
-# join_shuffle_hash_hint, sql_parameterized,
+# join_shuffle_hash_hint, sql_parameterized, ps_pandas_on_spark,
+# w2v_skipgram_pairs, w2v_negative_sampling, w2v_subsample_probs,
+# events_attribution_last_touch, agg_bitmap_distinct,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,

@@ -56,7 +56,14 @@ def main() -> int:
 
     names = [n for n in HEADLINE if n in qs]
     # Round-3 operators whose scale story is about shuffle volume.
-    names += ["join_bloom_semi", "agg_countmin_words", "source_dpp_prune"]
+    names += [
+        "join_bloom_semi",
+        "agg_countmin_words",
+        "source_dpp_prune",
+        "w2v_skipgram_pairs",
+        "agg_bitmap_distinct",
+        "events_attribution_last_touch",
+    ]
 
     print("# SHUFFLE_AUDIT — measured bytes per headline query")
     print()
