@@ -699,3 +699,10 @@ def test_skipgram_tokenizes_once(spark):
     sf0.1). The plan must contain exactly ONE tokenize expression."""
     plan = _plan(spark, "w2v_skipgram_pairs")
     assert plan.count("lower(text") == 1
+
+
+def test_winnowing_is_narrow(spark):
+    """Winnowing fingerprint selection must be a map-only pass: all
+    HOFs in one projection pipeline, zero exchanges."""
+    plan = _plan(spark, "doc_winnowing")
+    assert "Exchange" not in plan
