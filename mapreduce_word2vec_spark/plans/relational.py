@@ -4166,3 +4166,111 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
     )
     return users.join(counts, "event_type").select("event_type", "n_users", "n_events")
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, '|' ORDER BY s_name) AS suppliers,
+           CAST(count(*) AS BIGINT) AS n_supp
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4 ``LISTAGG ... WITHIN
+    GROUP``, SPARK-42746 — ANSI's spelling of string_agg): supplier
+    names concatenated in explicit sort order per nation. The WITHIN
+    GROUP ordering is what makes the result deterministic and
+    hash-comparable — a bare collect_list+concat_ws inherits
+    partition arrival order and would flap across runs/engines."""
+    sup = rt(spark, sf_dir, "supplier")
+    nat = rt(spark, sf_dir, "nation")
+    j = sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+    j.createOrReplaceTempView("supp_nation_la_v")
+    return spark.sql(
+        """
+        SELECT n_name,
+               listagg(s_name, '|') WITHIN GROUP (ORDER BY s_name) AS suppliers,
+               CAST(count(*) AS BIGINT) AS n_supp
+        FROM supp_nation_la_v GROUP BY n_name
+        """
+    )
+
+
+@register(
+    "scalar_collation",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                  ELSE lower(c_mktsegment) END AS seg
+      FROM customer
+    )
+    SELECT min(lower(seg)) AS segment, CAST(count(*) AS BIGINT) AS n
+    FROM mixed GROUP BY lower(seg)
+    """,
+)
+def scalar_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collations): market segments
+    with manufactured mixed case grouped under ``COLLATE UTF8_LCASE``
+    — comparison semantics live in the TYPE, not in per-row lower()
+    wrapping. At scale collated grouping lets the optimizer keep
+    pushdown/statistics on the original column where a lower()
+    expression would opaque them; the oracle reproduces the grouping
+    with explicit lower() (DuckDB's engine-level equivalent), so the
+    collation must match case-folding exactly."""
+    c = rt(spark, sf_dir, "customer")
+    mixed = c.select(
+        F.when(F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment"))
+        .otherwise(F.lower("c_mktsegment"))
+        .alias("seg")
+    )
+    mixed.createOrReplaceTempView("mixed_coll_v")
+    return spark.sql(
+        """
+        SELECT min(lower(seg)) AS segment, CAST(count(*) AS BIGINT) AS n
+        FROM mixed_coll_v GROUP BY seg COLLATE UTF8_LCASE
+        """
+    )
+
+
+@register(
+    "events_sliding_distinct_bitmap",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(time_bucket(INTERVAL '2 hours', ts) AS TIMESTAMP)
+               - k * INTERVAL '2 hours' AS window_start,
+             user_id
+      FROM events CROSS JOIN (VALUES (0), (1), (2)) t(k)
+    )
+    SELECT window_start,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM w GROUP BY window_start
+    """,
+)
+def events_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window EXACT distinct users (6h windows, 2h slide) via
+    bitmap merge — the composition that makes agg_bitmap_distinct's
+    mergeability claim concrete: each event sets one bit in its
+    window's (lane, bit) grid, lanes bit_or-merge associatively, and
+    the per-window count is a popcount sum. Shuffle cardinality is
+    |windows|·⌈domain/64⌉ — NOT |windows|·|distinct users| as
+    count(DISTINCT)'s expand would be, and exact, unlike
+    approx_count_distinct. Spark's native window() assigns each
+    event its 3 containing windows; the oracle reproduces that with
+    three shifted 2h tumbling grids."""
+    ev = rt(spark, sf_dir, "events").select("ts", "user_id")
+    win = F.window("ts", "6 hours", "2 hours")
+    lanes = (
+        ev.select(
+            win["start"].alias("window_start"),
+            F.shiftright(F.col("user_id"), 6).alias("lane"),
+            F.expr("shiftleft(1L, CAST(user_id & 63 AS INT))").alias("bit"),
+        )
+        .groupBy("window_start", "lane")
+        .agg(F.expr("bit_or(bit)").alias("bits"))
+    )
+    return lanes.groupBy("window_start").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )
