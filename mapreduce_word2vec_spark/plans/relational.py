@@ -4274,3 +4274,57 @@ def events_sliding_distinct_bitmap(spark: SparkSession, sf_dir: str) -> DataFram
     return lanes.groupBy("window_start").agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "agg_hll_union_sketch",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    ),
+    total AS (
+      SELECT 'ALL' AS event_type, count(DISTINCT user_id) AS exact_users
+      FROM events
+    )
+    SELECT event_type, CAST(exact_users AS BIGINT) AS exact_users,
+           true AS est_ok
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM total)
+    """,
+)
+def agg_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches HLL (Spark 3.5 ``hll_sketch_agg`` /
+    ``hll_union_agg`` / ``hll_sketch_estimate``): per-type sketches
+    built once, then UNIONED — without rescanning — into the global
+    cardinality. Mergeability is the operational point: at 100 TB you
+    persist per-partition/per-day sketches (KBs each) and answer any
+    rollup by sketch union, never touching rows again. Contract
+    oracle (sketch bytes are implementation-defined): exact distinct
+    count + a 5%-relative-error boolean per row, deterministic for
+    fixed input and default lgConfigK."""
+    ev = rt(spark, sf_dir, "events").select("event_type", "user_id")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_users"),
+    )
+    total = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.sum(F.lit(0)).alias("_z"),
+    )
+    g_exact = ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
+    per_rows = per_type.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.expr("hll_sketch_estimate(sk)") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("est_ok"),
+    )
+    all_row = g_exact.crossJoin(total).select(
+        F.lit("ALL").alias("event_type"),
+        "exact_users",
+        (F.abs(F.col("est") - F.col("exact_users")) <= 0.05 * F.col("exact_users")).alias(
+            "est_ok"
+        ),
+    )
+    return per_rows.unionByName(all_row)

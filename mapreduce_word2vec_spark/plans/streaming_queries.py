@@ -1332,3 +1332,56 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             6,
         ).alias("unattributed_revenue"),
     )
+
+
+@register(
+    "stream_tumbling_live",
+    oracle="""
+    SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS window_start,
+           event_type, CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming under the driver's value oracle (the
+    batch twin `stream_tumbling` verifies the semantics; THIS entry
+    runs the actual readStream→window-agg→memory-sink pipeline):
+    events replayed as a 4-micro-batch file stream (availableNow),
+    complete-mode tumbling aggregation, result read back from the
+    sink table. Incremental state merge across micro-batches must
+    reproduce the one-shot batch aggregation exactly — Spark's
+    streaming agg state IS the partial-aggregate, so window counts
+    and (rounded) sums land identical to the oracle's."""
+    import os
+    import tempfile
+
+    ev = read_testdata(spark, sf_dir, "events").select("ts", "event_type", "value")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_stl_")
+    src = os.path.join(base, "src")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    agg = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .groupBy(F.window("ts", "5 minutes"), F.col("event_type"))
+        .agg(F.count("*").cast("bigint").alias("n"), F.sum("value").alias("sv"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            F.round("sv", 6).alias("sum_value"),
+        )
+    )
+    name = f"stl_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -242,3 +242,37 @@ def ps_pandas_on_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_price", 6).alias("avg_price"),
         F.round("max_price", 6).alias("max_price"),
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+    SELECT CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_rank,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 6) AS total
+    FROM orders GROUP BY prio_rank
+    """,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized row-wise Python UDF (``useArrow=True``, the
+    Spark 3.5+ middle path): per-row Python logic with columnar Arrow
+    transport instead of pickle — the migration story for legacy
+    row-at-a-time UDFs that can't be vectorized wholesale. Completes
+    the Python-crossing matrix alongside pandas scalar / grouped /
+    cogrouped / mapInArrow. The kernel parses the priority's leading
+    digit; the oracle does it declaratively, so transport+execution
+    must be value-transparent."""
+    from pyspark.sql.functions import udf
+
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    prio_rank = udf(lambda s: int(s[0]), "int", useArrow=True)
+    o = read_testdata(spark, sf_dir, "orders")
+    return (
+        o.select(prio_rank("o_orderpriority").alias("prio_rank"), "o_totalprice")
+        .groupBy("prio_rank")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 6).alias("total"),
+        )
+    )
