@@ -1385,3 +1385,67 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_session_live",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, value, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, value, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM g
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS total_value
+    FROM s GROUP BY user_id, session_idx
+    """,
+)
+def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sessionization: ``session_window`` (30-min gap)
+    in an actual readStream pipeline — the stateful operator that
+    must MERGE partial sessions across micro-batches (an event in
+    batch 3 can extend, or bridge, sessions opened in batch 1;
+    file-split order is NOT time order, so the state store does real
+    out-of-order merging). Complete-mode availableNow replay; the
+    oracle is the batch lag/cumsum sessionization, so every merged
+    session's (count, sum) must land exactly. Session identity
+    (start time) is engine-internal — the output projects per-session
+    aggregates keyed by user, which IS order-independent."""
+    import os
+    import tempfile
+
+    ev = read_testdata(spark, sf_dir, "events").select("ts", "user_id", "value")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_ssl_")
+    src = os.path.join(base, "src")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    agg = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select("user_id", "n_events", "total_value")
+    )
+    name = f"ssl_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
