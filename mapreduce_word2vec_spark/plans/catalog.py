@@ -132,7 +132,10 @@ _PRIORITY = (
 # stream_foreach_batch_merge, table_ctas_insert,
 # join_shuffle_hash_hint, sql_parameterized, ps_pandas_on_spark,
 # w2v_skipgram_pairs, w2v_negative_sampling, w2v_subsample_probs,
-# events_attribution_last_touch, agg_bitmap_distinct,
+# events_attribution_last_touch, agg_bitmap_distinct, doc_winnowing,
+# agg_listagg, scalar_collation, events_sliding_distinct_bitmap,
+# stream_tumbling_live, stream_session_live, udf_arrow_scalar,
+# agg_hll_union_sketch,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,

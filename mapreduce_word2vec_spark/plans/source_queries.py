@@ -592,3 +592,62 @@ def source_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 6).alias("total_price"),
         )
     )
+
+
+@register(
+    "source_python_stream",
+    oracle="""
+    WITH g AS (
+      SELECT s.s AS sensor_id, r.r AS reading_idx,
+             20.0 + ((s.s * 31 + r.r * 7) % 100) / 10.0 AS temp_c
+      FROM (SELECT unnest(range(0, 8)) AS s) s
+      CROSS JOIN (SELECT unnest(range(0, 1000)) AS r) r
+    )
+    SELECT CAST(sensor_id AS INT) AS sensor_id,
+           CAST(count(*) AS BIGINT) AS n_readings,
+           round(sum(temp_c), 6) AS total_temp
+    FROM g GROUP BY sensor_id
+    """,
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING half of the extensible-connector surface: the
+    same Python DataSource consumed via ``readStream`` through its
+    Spark 4 ``SimpleDataSourceStreamReader`` — offsets are
+    reading-index blocks, four micro-batches deliver the full range,
+    exhaustion reports offset-unchanged so ``processAllAvailable()``
+    terminates, and replays between committed offsets regenerate
+    identical rows (the exactly-once contract a changelog reader
+    must honor; a generator is not picklable and the prefetcher
+    probes batches with next(), so batches are list_iterators).
+    Oracle = the same closed form over the whole range: streaming
+    accumulation across batches must equal the one-shot evaluation
+    (sf_dir unused: the source IS the data)."""
+    import os
+    import tempfile
+
+    from mapreduce_word2vec_spark.sources.python_datasource import (
+        register_sensor_source,
+    )
+
+    register_sensor_source(spark)
+    agg = (
+        spark.readStream.format("sensor_sim")
+        .option("sensors", 8)
+        .load()
+        .groupBy("sensor_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_readings"),
+            F.round(F.sum("temp_c"), 6).alias("total_temp"),
+        )
+    )
+    name = "pysrc_stream_out"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(prefix="mw2v_pss_"), "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)

@@ -17,7 +17,12 @@ shard's connection in ``read()``.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 N_SHARDS = 4
 
@@ -41,6 +46,9 @@ class SensorDataSource(DataSource):
     def reader(self, schema) -> "SensorReader":
         return SensorReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "SensorSimpleStreamReader":
+        return SensorSimpleStreamReader(self.options)
+
 
 class SensorReader(DataSourceReader):
     def __init__(self, options):
@@ -63,3 +71,51 @@ def register_sensor_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine —
     latest registration wins per the DataSource API contract)."""
     spark.dataSource.register(SensorDataSource)
+
+
+N_STREAM_BLOCKS = 4
+STREAM_READINGS_PER_BLOCK = 250
+
+
+class SensorSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the connector (Spark 4
+    ``SimpleDataSourceStreamReader``): offsets are reading-index
+    blocks; each micro-batch delivers one block for every sensor.
+    ``read`` past the last block reports no-new-data (same offset), so
+    ``processAllAvailable()`` terminates deterministically; replays
+    between committed offsets regenerate the same closed-form rows,
+    which is the exactly-once contract a real changelog reader must
+    honor."""
+
+    def __init__(self, options):
+        self.n_sensors = int(options.get("sensors", 8))
+
+    def initialOffset(self):
+        return {"block": 0}
+
+    def read(self, start):
+        b = int(start["block"])
+        if b >= N_STREAM_BLOCKS:
+            return iter([]), start
+        return iter(self._rows(b)), {"block": b + 1}
+
+    def readBetweenOffsets(self, start, end):
+        rows = []
+        for b in range(int(start["block"]), int(end["block"])):
+            rows.extend(self._rows(b))
+        return iter(rows)
+
+    def commit(self, end):
+        pass
+
+    def _rows(self, block: int) -> list:
+        # Materialized rows wrapped in iter() by the callers: the
+        # prefetcher requires an iterator (it calls next() to probe
+        # emptiness) that is ALSO picklable for partition planning —
+        # a list_iterator is both; a generator pickles not at all.
+        base = block * STREAM_READINGS_PER_BLOCK
+        return [
+            (s, base + i, sensor_temp(s, base + i))
+            for s in range(self.n_sensors)
+            for i in range(STREAM_READINGS_PER_BLOCK)
+        ]
