@@ -4328,3 +4328,36 @@ def agg_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return per_rows.unionByName(all_row)
+
+
+@register(
+    "scalar_xpath",
+    oracle="""
+    SELECT s_suppkey,
+           s_name AS name_out,
+           CAST(s_nationkey AS INT) AS nation_out,
+           CAST(length(s_name) AS INT) AS name_len
+    FROM supplier
+    """,
+)
+def scalar_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XPath extraction (`xpath_string`/`xpath_int` over inline XML)
+    — the per-row companion of the XML FileFormat: feeds that arrive
+    as XML-in-a-column (SOAP payloads, config blobs) are parsed with
+    XPath expressions without a file-level scan. The XML is
+    synthesized from the row's own columns, so extraction must be an
+    exact identity round-trip against the parquet oracle (XML escape
+    + parse + XPath = id on this alphanumeric data)."""
+    sup = rt(spark, sf_dir, "supplier")
+    xml = F.concat(
+        F.lit("<supplier><name>"), F.col("s_name"),
+        F.lit("</name><nation>"), F.col("s_nationkey").cast("string"),
+        F.lit("</nation></supplier>"),
+    )
+    withx = sup.select("s_suppkey", xml.alias("x"))
+    return withx.select(
+        "s_suppkey",
+        F.expr("xpath_string(x, '/supplier/name')").alias("name_out"),
+        F.expr("xpath_int(x, '/supplier/nation')").alias("nation_out"),
+        F.expr("CAST(length(xpath_string(x, '/supplier/name')) AS INT)").alias("name_len"),
+    )
