@@ -135,7 +135,8 @@ _PRIORITY = (
 # events_attribution_last_touch, agg_bitmap_distinct, doc_winnowing,
 # agg_listagg, scalar_collation, events_sliding_distinct_bitmap,
 # stream_tumbling_live, stream_session_live, udf_arrow_scalar,
-# agg_hll_union_sketch, source_python_stream,
+# agg_hll_union_sketch, source_python_stream, scalar_xpath,
+# grouping_id_rollup, events_ewma,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,

@@ -4361,3 +4361,89 @@ def scalar_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("xpath_int(x, '/supplier/nation')").alias("nation_out"),
         F.expr("CAST(length(xpath_string(x, '/supplier/name')) AS INT)").alias("name_len"),
     )
+
+
+@register(
+    "grouping_id_rollup",
+    oracle="""
+    SELECT coalesce(l_returnflag, '(all)') AS rf,
+           coalesce(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flags over ROLLUP — the only reliable way to tell a
+    subtotal row from a genuine NULL group (coalescing the key to a
+    sentinel is ambiguous the day a real '(all)' value arrives; the
+    flag is not). Both engines implement the ANSI semantics: 1 when
+    the column is rolled up, 0 when grouped."""
+    li = rt(spark, sf_dir, "lineitem")
+    rolled = li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.grouping("l_returnflag").cast("int").alias("g_rf"),
+        F.grouping("l_linestatus").cast("int").alias("g_ls"),
+    )
+    return rolled.select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+        "g_rf",
+        "g_ls",
+        "n",
+    )
+
+
+_EWMA_ALPHA = 0.3
+_EWMA_K = 10
+
+
+@register(
+    "events_ewma",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type, ts, event_id, value,
+             {" ,".join(f"lag(value, {k}) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x{k}" for k in range(1, _EWMA_K))}
+      FROM events
+    )
+    SELECT event_type, event_id,
+           round(
+             ({" + ".join(f"coalesce({_EWMA_ALPHA} * power({1 - _EWMA_ALPHA}, {k}) * x{k}, 0)" for k in range(1, _EWMA_K))}
+              + {_EWMA_ALPHA} * value)
+             /
+             ({" + ".join(f"CASE WHEN x{k} IS NOT NULL THEN {_EWMA_ALPHA} * power({1 - _EWMA_ALPHA}, {k}) ELSE 0 END" for k in range(1, _EWMA_K))}
+              + {_EWMA_ALPHA}), 6) AS ewma
+    FROM o
+    """,
+)
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (span-limited to the
+    last 10 observations) per event type — the standard smoother
+    for noisy operational metrics. The recursion is unrolled into an
+    explicit lag-weighted sum with per-row renormalization over the
+    PRESENT terms (series heads don't damp toward zero), which makes
+    the value a closed form over a bounded window: deterministic,
+    engine-identical, and one partition-ordered exchange — the
+    infinite-history recursive form would need sequential state.
+    Total order (ts, event_id) pins ties."""
+    from pyspark.sql import Window
+
+    ev = rt(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    a, b = _EWMA_ALPHA, 1 - _EWMA_ALPHA
+    num = F.lit(a) * F.col("value")
+    den = F.lit(a)
+    cur = ev
+    for k in range(1, _EWMA_K):
+        xk = F.lag("value", k).over(w)
+        cur = cur.withColumn(f"_x{k}", xk)
+    for k in range(1, _EWMA_K):
+        xk = F.col(f"_x{k}")
+        wk = a * (b ** k)
+        num = num + F.coalesce(F.lit(wk) * xk, F.lit(0.0))
+        den = den + F.when(xk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return cur.select(
+        "event_type", "event_id", F.round(num / den, 6).alias("ewma")
+    )
