@@ -4447,3 +4447,99 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select(
         "event_type", "event_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+_LR_ITERS = 3
+_LR_RATE = 0.5
+
+
+@register(
+    "ml_logreg_gd",
+    oracle=f"""
+    WITH d AS (
+      SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem
+    ),
+    i0(w0, w1, w2) AS (VALUES (0.0, 0.0, 0.0)),
+    {", ".join(f'''
+    g{k} AS (
+      SELECT avg((1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) * 1.0) AS g0,
+             avg((1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) * x1) AS g1,
+             avg((1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) - y) * x2) AS g2
+      FROM d CROSS JOIN i{k - 1}
+    ),
+    i{k}(w0, w1, w2) AS (
+      SELECT floor((w0 - {_LR_RATE} * g0) * 1e6 + 0.5) / 1e6,
+             floor((w1 - {_LR_RATE} * g1) * 1e6 + 0.5) / 1e6,
+             floor((w2 - {_LR_RATE} * g2) * 1e6 + 0.5) / 1e6
+      FROM i{k - 1} CROSS JOIN g{k}
+    )''' for k in range(1, _LR_ITERS + 1))}
+    SELECT w0, w1, w2,
+           (SELECT round(avg(CASE WHEN (1.0 / (1.0 + exp(-(w0 + w1 * x1 + w2 * x2))) > 0.5)
+                                       = (y = 1.0) THEN 1.0 ELSE 0.0 END), 6)
+            FROM d CROSS JOIN i{_LR_ITERS}) AS train_acc
+    FROM i{_LR_ITERS}
+    """,
+)
+def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """An ITERATIVE ML training loop under a full value oracle:
+    3 unrolled batch-gradient-descent steps of logistic regression
+    (predicting return flags from quantity/discount features), the
+    oracle replaying the identical recurrence as chained CTEs.
+
+    The determinism contract that makes a float training loop
+    hash-comparable across engines: weights are QUANTIZED to 1e-6
+    (explicit half-up: floor(x*1e6+0.5)/1e6) AFTER EVERY STEP, so
+    per-step last-ulp noise (libm exp(), double-sum order) and
+    round()-tie-break divergence are quenched before they compound
+    — the same re-synchronization trick as the engine's decimal
+    accumulations, applied to a recurrence.
+
+    Scale shape: the model (3 doubles) lives on the driver and
+    enters each pass as literals; every iteration is one partial-
+    aggregated scan (gradients = 3 averages), data never shuffles,
+    state never exceeds the model. This IS the distributed-training
+    loop pattern (parameter broadcast + gradient all-reduce) in
+    DataFrame form; k passes = k scans, cacheable at will."""
+    import math
+
+    li = rt(spark, sf_dir, "lineitem")
+    d = li.select(
+        (F.col("l_quantity") / 50.0).alias("x1"),
+        (F.col("l_discount") * 10.0).alias("x2"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("y"),
+    )
+    w = [0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        p = 1.0 / (1.0 + F.exp(-z))
+        err = p - F.col("y")
+        g = d.agg(
+            F.avg(err).alias("g0"),
+            F.avg(err * F.col("x1")).alias("g1"),
+            F.avg(err * F.col("x2")).alias("g2"),
+        ).collect()[0]
+        # Explicit half-up quantization (floor(x*1e6 + 0.5)/1e6), NOT
+        # round(): engines tie-break round() differently when the
+        # accumulated gradient lands exactly on a 1e-6 boundary
+        # (observed at sf0.1), and floor is IEEE-exact in both.
+        w = [
+            math.floor((w[j] - _LR_RATE * g[f"g{j}"]) * 1e6 + 0.5) / 1e6
+            for j in range(3)
+        ]
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    acc = d.agg(
+        F.round(
+            F.avg(
+                F.when(
+                    ((1.0 / (1.0 + F.exp(-z))) > 0.5) == (F.col("y") == 1.0), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("train_acc")
+    )
+    return acc.select(
+        F.lit(w[0]).alias("w0"), F.lit(w[1]).alias("w1"), F.lit(w[2]).alias("w2"),
+        "train_acc",
+    )
