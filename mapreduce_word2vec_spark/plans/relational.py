@@ -4543,3 +4543,38 @@ def ml_logreg_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(w[0]).alias("w0"), F.lit(w[1]).alias("w1"), F.lit(w[2]).alias("w2"),
         "train_acc",
     )
+
+
+@register(
+    "events_equidepth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bucket
+      FROM events
+    )
+    SELECT CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM t GROUP BY bucket
+    """,
+)
+def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram via NTILE(10) — the
+    statistics shape query optimizers keep per column (bucket
+    boundaries adapt to skew where equi-width buckets collapse into
+    one hot bin). Tie order pinned by (value, event_id) so bucket
+    assignment is total. Scale note: ntile needs a GLOBAL ordering —
+    fine for stats builds which sample first (ANALYZE samples, then
+    sorts the sample); for full-data quantiles at 100 TB use
+    approx_percentile (registered) instead of a global sort."""
+    ev = rt(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("value", "event_id")
+    t = ev.select("value", F.ntile(10).over(w).alias("bucket"))
+    return t.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )

@@ -2451,3 +2451,56 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get(F.transform(F.array(F.col("ws")), winnow), 0).alias("n_fps"),
         (F.size("ws") - 5).cast("bigint").alias("n_windows"),
     )
+
+
+@register(
+    "doc_lang_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {_SQL_TOKENS} AS ws FROM documents),
+    s AS (
+      SELECT doc_id, lang,
+             len(list_filter(ws, w -> w IN {_LANG_MARKERS_SQL["en"]})) AS s_en,
+             len(list_filter(ws, w -> w IN {_LANG_MARKERS_SQL["es"]})) AS s_es,
+             len(list_filter(ws, w -> w IN {_LANG_MARKERS_SQL["fr"]})) AS s_fr,
+             len(list_filter(ws, w -> w IN {_LANG_MARKERS_SQL["de"]})) AS s_de
+      FROM t
+    ),
+    p AS (
+      SELECT lang AS lang_true,
+             CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+                  WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+                  WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+                  ELSE 'de' END AS lang_pred
+      FROM s
+    )
+    SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY lang_true), 6) AS frac_of_true
+    FROM p GROUP BY lang_true, lang_pred
+    """,
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a first-class operator: the language
+    ID's confusion matrix against the corpus's ground-truth ``lang``
+    column, with per-true-language recall fractions (row-normalized)
+    riding a window over the already-aggregated cell counts — the
+    quality gate you run before trusting a filter model at corpus
+    scale. Matrix cardinality is |langs|², so everything after the
+    one count exchange is bounded."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_true"), lang_id_expr(F.col("text")).alias("lang_pred")
+    )
+    cells = pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang_true")
+    return cells.select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_true"),
+    )
