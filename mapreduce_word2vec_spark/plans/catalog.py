@@ -136,7 +136,9 @@ _PRIORITY = (
 # agg_listagg, scalar_collation, events_sliding_distinct_bitmap,
 # stream_tumbling_live, stream_session_live, udf_arrow_scalar,
 # agg_hll_union_sketch, source_python_stream, scalar_xpath,
-# grouping_id_rollup, events_ewma,
+# grouping_id_rollup, events_ewma, ml_logreg_gd, ml_linreg_normal,
+# events_ab_ttest, orders_gini_coefficient, doc_lang_confusion,
+# events_equidepth_histogram,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,

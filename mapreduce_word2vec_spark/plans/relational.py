@@ -4578,3 +4578,147 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("value"), 6).alias("lo"),
         F.round(F.max("value"), 6).alias("hi"),
     )
+
+
+@register(
+    "ml_linreg_normal",
+    oracle="""
+    WITH d AS (
+      SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem
+    ),
+    s AS (
+      SELECT count(*) * 1.0 AS n, round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+             round(sum(x * x), 6) AS sxx, round(sum(x * y), 6) AS sxy
+      FROM d
+    )
+    SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept,
+           CAST(n AS BIGINT) AS n_rows
+    FROM s
+    """,
+)
+def ml_linreg_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form linear regression via the normal equations — the
+    one-pass counterpart of ml_logreg_gd's iterative loop: ONE
+    partial-aggregated scan collects the sufficient statistics
+    (n, Σx, Σy, Σx², Σxy) and the fit is driver-side arithmetic.
+    This is how you fit linear models at 100 TB: the data reduces to
+    five numbers map-side; nothing iterates, nothing shuffles beyond
+    one 1-row aggregate. Sums are quantized at 1e-6 BEFORE the solve
+    on both engines, so double-summation-order noise can't leak
+    through the division."""
+    li = rt(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_quantity").alias("x"), F.col("l_extendedprice").alias("y"))
+    s = d.agg(
+        (F.count("*") * 1.0).alias("n"),
+        F.round(F.sum("x"), 6).alias("sx"),
+        F.round(F.sum("y"), 6).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 6).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 6).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
+    "events_ab_ttest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, count(*) * 1.0 AS n,
+             round(avg(value), 6) AS m,
+             round(var_samp(value), 6) AS v
+      FROM events WHERE event_type IN ('view', 'click')
+      GROUP BY event_type
+    ),
+    a AS (SELECT n, m, v FROM g WHERE event_type = 'view'),
+    b AS (SELECT n, m, v FROM g WHERE event_type = 'click')
+    SELECT round(a.m - b.m, 6) AS mean_diff,
+           round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,
+           round(pow(a.v / a.n + b.v / b.n, 2) /
+                 (pow(a.v / a.n, 2) / (a.n - 1) + pow(b.v / b.n, 2) / (b.n - 1)),
+                 2) AS welch_dof
+    FROM a CROSS JOIN b
+    """,
+)
+def events_ab_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between event populations — the
+    experiment-analysis primitive (unequal variances, unequal n).
+    Group moments (mean, sample variance) reduce map-side and are
+    quantized at 1e-6 before the test statistic is formed, so the
+    t-stat and Welch–Satterthwaite dof are engine-identical closed
+    forms over six numbers. At any scale the shuffle carries two
+    rows."""
+    ev = rt(spark, sf_dir, "events").where(F.col("event_type").isin("view", "click"))
+    g = ev.groupBy("event_type").agg(
+        (F.count("*") * 1.0).alias("n"),
+        F.round(F.avg("value"), 6).alias("m"),
+        F.round(F.var_samp("value"), 6).alias("v"),
+    )
+    a = g.where(F.col("event_type") == "view").select(
+        F.col("n").alias("na"), F.col("m").alias("ma"), F.col("v").alias("va")
+    )
+    b = g.where(F.col("event_type") == "click").select(
+        F.col("n").alias("nb"), F.col("m").alias("mb"), F.col("v").alias("vb")
+    )
+    j = a.crossJoin(b)
+    se2a = F.col("va") / F.col("na")
+    se2b = F.col("vb") / F.col("nb")
+    return j.select(
+        F.round(F.col("ma") - F.col("mb"), 6).alias("mean_diff"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2a + se2b), 4).alias("t_stat"),
+        F.round(
+            F.pow(se2a + se2b, 2)
+            / (F.pow(se2a, 2) / (F.col("na") - 1) + F.pow(se2b, 2) / (F.col("nb") - 1)),
+            2,
+        ).alias("welch_dof"),
+    )
+
+
+@register(
+    "orders_gini_coefficient",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, round(sum(o_totalprice), 6) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS rk,
+             count(*) OVER () * 1.0 AS n
+      FROM c
+    )
+    SELECT round((2.0 * sum(rk * rev) / (n * sum(rev)) - (n + 1) / n), 6) AS gini,
+           CAST(n AS BIGINT) AS n_customers
+    FROM r GROUP BY n
+    """,
+)
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (the
+    rank-weighted closed form) — the inequality KPI behind 'top 1% of
+    customers drive X%' dashboards and the skew diagnostic for
+    partition-key choices. Ranks run over the CUSTOMER aggregate
+    (bounded), ties pinned by custkey; per-customer revenue is
+    quantized before ranking so rank order itself is engine-stable.
+    companion of supplier_concentration_hhi (HHI measures the same
+    concentration without needing a global rank)."""
+    o = rt(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy("rev", "o_custkey"))
+    n = F.count("*").over(Window.partitionBy()) * 1.0
+    r = c.select("rev", rk.alias("rk"), n.alias("n"))
+    return r.groupBy("n").agg(
+        F.round(
+            2.0 * F.sum(F.col("rk") * F.col("rev")) / (F.col("n") * F.sum("rev"))
+            - (F.col("n") + 1) / F.col("n"),
+            6,
+        ).alias("gini"),
+        F.col("n").cast("bigint").alias("n_customers"),
+    ).select("gini", "n_customers")
