@@ -4722,3 +4722,133 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gini"),
         F.col("n").cast("bigint").alias("n_customers"),
     ).select("gini", "n_customers")
+
+
+@register(
+    "scalar_surrogate_uuid",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey, md5('ord|' || CAST(o_orderkey AS VARCHAR) || '|'
+                             || CAST(o_custkey AS VARCHAR)) AS hx
+      FROM orders
+    )
+    SELECT o_orderkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-' || substr(hx, 13, 4)
+             || '-' || substr(hx, 17, 4) || '-' || substr(hx, 21, 12) AS surrogate_id
+    FROM h
+    """,
+)
+def scalar_surrogate_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys: md5 over the natural key,
+    formatted as a canonical UUID string — the idempotent-pipeline
+    pattern (rerunning an ingest mints the SAME ids, so downstream
+    joins and upserts converge instead of duplicating; contrast
+    uuid()/monotonically_increasing_id, which are run-dependent and
+    make retries non-idempotent). Pure codegen expressions; content-
+    derived ids also shard uniformly by construction."""
+    o = rt(spark, sf_dir, "orders")
+    hx = F.md5(
+        F.concat(
+            F.lit("ord|"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("|"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    h = o.select("o_orderkey", hx.alias("hx"))
+    return h.select(
+        "o_orderkey",
+        F.concat_ws(
+            "-",
+            F.substring("hx", 1, 8),
+            F.substring("hx", 9, 4),
+            F.substring("hx", 13, 4),
+            F.substring("hx", 17, 4),
+            F.substring("hx", 21, 12),
+        ).alias("surrogate_id"),
+    )
+
+
+_IOV_BIN_US = 3_600_000_000  # 1-hour bins
+
+
+@register(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t0, epoch_us(ts) + 1800000000 AS t1
+      FROM events WHERE event_type = 'view'
+    ),
+    e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS t0, epoch_us(ts) + 900000000 AS t1
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT s.user_id, s.event_id AS view_id, e.event_id AS error_id,
+           CAST(floor((least(s.t1, e.t1) - greatest(s.t0, e.t0)) / 1000000) AS BIGINT)
+             AS overlap_sec
+    FROM s JOIN e
+      ON s.user_id = e.user_id AND s.t0 < e.t1 AND e.t0 < s.t1
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: 30-min view sessions x 15-min error
+    windows per user, emitting each overlapping pair with its overlap
+    duration — the temporal-conflict primitive (incident attribution,
+    meeting clashes, co-occurrence of states).
+
+    Plan shape for 100 TB: each interval explodes to its covered
+    1-hour BINS (bounded by interval/bin ratio), the join runs as an
+    EQUI-join on (user_id, bin) — hash-partitionable, no
+    BroadcastNestedLoopJoin — the true overlap predicate rides as a
+    residual filter, and bin-duplicated pairs dedup on (ids) before
+    the duration projection. Same binning discipline as join_range,
+    extended to interval x interval."""
+    ev = rt(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+
+    def intervals(kind: str, dur_us: int, idc: str):
+        return ev.where(F.col("event_type") == kind).select(
+            "user_id",
+            F.col("event_id").alias(idc),
+            us.alias(f"{idc}_t0"),
+            (us + dur_us).alias(f"{idc}_t1"),
+        )
+
+    s = intervals("view", 1_800_000_000, "view_id")
+    e = intervals("error", 900_000_000, "error_id")
+
+    def binned(df, idc):
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    (F.col(f"{idc}_t0") / _IOV_BIN_US).cast("long"),
+                    # t1 exclusive: a closed-open interval touching the
+                    # next bin boundary doesn't occupy that bin
+                    ((F.col(f"{idc}_t1") - 1) / _IOV_BIN_US).cast("long"),
+                )
+            ),
+        )
+    sb = binned(s, "view_id")
+    eb = binned(e, "error_id")
+    pairs = sb.join(eb, ["user_id", "bin"]).where(
+        (F.col("view_id_t0") < F.col("error_id_t1"))
+        & (F.col("error_id_t0") < F.col("view_id_t1"))
+    )
+    dedup = pairs.dropDuplicates(["user_id", "view_id", "error_id"])
+    return dedup.select(
+        "user_id",
+        "view_id",
+        "error_id",
+        # floor() explicitly on BOTH sides: DuckDB's double->BIGINT
+        # cast ROUNDS where Spark's truncates.
+        F.floor(
+            (
+                F.least("view_id_t1", "error_id_t1")
+                - F.greatest("view_id_t0", "error_id_t0")
+            )
+            / 1_000_000
+        )
+        .cast("bigint")
+        .alias("overlap_sec"),
+    )

@@ -706,3 +706,12 @@ def test_winnowing_is_narrow(spark):
     HOFs in one projection pipeline, zero exchanges."""
     plan = _plan(spark, "doc_winnowing")
     assert "Exchange" not in plan
+
+
+def test_interval_overlap_is_equi_join_not_bnlj(spark):
+    """The interval x interval join must run as a hash equi-join on
+    (user_id, bin) with the overlap predicate residual — a
+    BroadcastNestedLoopJoin here explodes at scale."""
+    plan = _plan(spark, "join_interval_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
