@@ -4852,3 +4852,63 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_sec"),
     )
+
+
+@register(
+    "orders_trend_forecast",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS t,
+             round(sum(o_totalprice), 6) AS rev
+      FROM orders GROUP BY o_orderpriority, t
+    ),
+    s AS (
+      SELECT o_orderpriority, count(*) * 1.0 AS n,
+             round(sum(t), 6) AS sx, round(sum(rev), 6) AS sy,
+             round(sum(t * t), 6) AS sxx, round(sum(t * rev), 6) AS sxy,
+             max(t) AS tmax
+      FROM m GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 + ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (tmax + 1), 6)
+             AS next_month_forecast
+    FROM s
+    """,
+)
+def orders_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group trend forecasting: monthly revenue per priority →
+    least-squares trend PER GROUP via grouped sufficient statistics
+    (ml_linreg_normal's one-pass pattern, vectorized across groups —
+    no per-group driver loop, no MLlib per-model fit) → extrapolated
+    next-month forecast. This is how you fit a million tiny models at
+    100 TB: the group-by computes every model's five statistics in
+    one shuffle of group-sized rows; the solve is a projection.
+    Monthly sums and stats quantized 1e-6 so the closed form is
+    engine-identical."""
+    o = rt(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("t"),
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    s = m.groupBy("o_orderpriority").agg(
+        (F.count("*") * 1.0).alias("n"),
+        F.round(F.sum("t"), 6).alias("sx"),
+        F.round(F.sum("rev"), 6).alias("sy"),
+        F.round(F.sum(F.col("t") * F.col("t")), 6).alias("sxx"),
+        F.round(F.sum(F.col("t") * F.col("rev")), 6).alias("sxy"),
+        F.max("t").alias("tmax"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        "o_orderpriority",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept + slope * (F.col("tmax") + 1), 6).alias("next_month_forecast"),
+    )

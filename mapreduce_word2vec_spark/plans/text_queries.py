@@ -2504,3 +2504,56 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac_of_true"),
     )
+
+
+@register(
+    "doc_pareto_frontier",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, n_chars,
+             len(list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                             w -> regexp_matches(w, '^[a-z]+$'))) AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_chars, n_tokens,
+             min(n_chars) OVER (ORDER BY n_tokens DESC, doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_prev_chars
+      FROM q
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM r
+    WHERE best_prev_chars IS NULL OR n_chars < best_prev_chars
+    """,
+)
+def doc_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): documents not dominated on
+    (more tokens, fewer chars) — i.e. the densest documents at every
+    token count; the multi-objective selection shape behind
+    quality-vs-cost data curation choices. The naive skyline is an
+    O(n²) self-join; the 2-D form collapses to ONE ordered window —
+    sort by tokens desc (ties by doc_id), keep rows beating the
+    running char minimum of all STRICTLY-PRECEDING rows (1 PRECEDING
+    frame, so equal-token ties don't dominate each other through the
+    tie-break). At 100 TB: a global sort of (tokens, chars) pairs —
+    columns only, never text."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "n_chars", F.size(tokens_expr("text")).alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = q.withColumn("best_prev_chars", F.min("n_chars").over(w))
+    return r.where(
+        F.col("best_prev_chars").isNull() | (F.col("n_chars") < F.col("best_prev_chars"))
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
