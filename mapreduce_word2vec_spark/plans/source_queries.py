@@ -651,3 +651,52 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name)
+
+
+@register(
+    "source_csv_multiline",
+    oracle="""
+    SELECT s_suppkey,
+           s_name || ' HQ' AS addr_line1,
+           'PO BOX ' || CAST(s_suppkey * 7 AS VARCHAR) AS addr_line2,
+           round(s_acctbal, 6) AS bal
+    FROM supplier
+    """,
+)
+def source_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV with EMBEDDED NEWLINES in quoted fields (multiLine=true):
+    the address-blob corner every vendor feed eventually hits. The
+    writer renders a quoted two-line address per supplier; the reader
+    must reassemble logical records across physical lines.
+
+    Scale lesson (why this is a layout decision, not just a parser
+    flag): multiLine CSV files are NOT SPLITTABLE — a record boundary
+    can't be found mid-file, so parallelism drops to one task per
+    FILE. The writer here emits many small files (one per partition),
+    which is exactly the mitigation: keep multiline CSVs small and
+    numerous, or land them to parquet at the edge."""
+    sup = read_testdata(spark, sf_dir, "supplier")
+    path = _roundtrip_dir("csv_multiline", sf_dir)
+    line = F.concat(
+        F.col("s_suppkey").cast("string"),
+        F.lit(',"'),
+        F.col("s_name"),
+        F.lit(" HQ\nPO BOX "),
+        (F.col("s_suppkey") * 7).cast("string"),
+        F.lit('",'),
+        F.col("s_acctbal").cast("string"),
+    )
+    sup.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema("s_suppkey bigint, addr string, bal double")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .csv(path)
+    )
+    parts = F.split(F.col("addr"), "\n")
+    return back.select(
+        "s_suppkey",
+        parts.getItem(0).alias("addr_line1"),
+        parts.getItem(1).alias("addr_line2"),
+        F.round("bal", 6).alias("bal"),
+    )

@@ -2557,3 +2557,52 @@ def doc_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("n_chars").cast("bigint").alias("n_chars"),
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             (list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(split('wrs|' || CAST(doc_id AS VARCHAR), ''),
+                               c -> CAST(ascii(c) AS BIGINT))),
+                (a, b) -> (a * 31 + b) % 1000000007) + 1.0) / 1000000008.0 AS unif
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, n_chars,
+             round(pow(unif, 1.0 / n_chars), 9) AS key
+      FROM u
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM k ORDER BY key DESC, doc_id LIMIT 20
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res): each item draws key = u^(1/w) from a hash-derived uniform
+    and the top-k keys ARE a weighted sample — the algorithm behind
+    weighted reservoir sampling in one pass, here with w = document
+    length. Deterministic end to end: the uniform comes from the
+    shared polynomial hash (salted 'wrs|'), keys are quantized at
+    1e-9 (pow's last-ulp cross-engine noise sits at ~1e-16) with
+    doc_id tie-break, and top-k is a TakeOrderedAndProject heap —
+    no global sort, no rand(). The one-pass property is what lets a
+    100 TB corpus yield a length-weighted sample in a single scan."""
+    from mapreduce_word2vec_spark.functions.text import string_hash_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    unif = (
+        string_hash_expr(F.concat(F.lit("wrs|"), F.col("doc_id").cast("string"))) + 1.0
+    ) / 1_000_000_008.0
+    k = docs.select(
+        "doc_id",
+        "n_chars",
+        F.round(F.pow(unif, 1.0 / F.col("n_chars")), 9).alias("key"),
+    )
+    return (
+        k.orderBy(F.col("key").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
+    )
