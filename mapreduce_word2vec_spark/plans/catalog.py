@@ -138,7 +138,10 @@ _PRIORITY = (
 # agg_hll_union_sketch, source_python_stream, scalar_xpath,
 # grouping_id_rollup, events_ewma, ml_logreg_gd, ml_linreg_normal,
 # events_ab_ttest, orders_gini_coefficient, doc_lang_confusion,
-# events_equidepth_histogram,
+# events_equidepth_histogram, scalar_surrogate_uuid,
+# join_interval_overlap, doc_pareto_frontier, orders_trend_forecast,
+# source_csv_multiline, sample_weighted_reservoir,
+# orders_lorenz_curve,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,

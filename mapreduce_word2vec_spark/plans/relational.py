@@ -4912,3 +4912,49 @@ def orders_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(intercept + slope * (F.col("tmax") + 1), 6).alias("next_month_forecast"),
     )
+
+
+@register(
+    "orders_lorenz_curve",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, round(sum(o_totalprice), 6) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT rev, ntile(10) OVER (ORDER BY rev, o_custkey) AS decile
+      FROM c
+    ),
+    d AS (
+      SELECT decile, sum(rev) AS drev, count(*) AS n FROM r GROUP BY decile
+    )
+    SELECT CAST(decile AS INT) AS decile, CAST(n AS BIGINT) AS n_customers,
+           round(sum(drev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+                 / sum(drev) OVER (), 6) AS cum_rev_share
+    FROM d
+    """,
+)
+def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue (cumulative share by revenue
+    decile) — the distribution view of orders_gini_coefficient's
+    scalar: reads directly as 'the bottom 50% of customers hold X% of
+    revenue'. Curve windows run over TEN decile aggregates, not
+    customers; the only customer-cardinality step is the ntile rank
+    over the bounded per-customer aggregate (ties custkey-pinned)."""
+    o = rt(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    from pyspark.sql import Window
+
+    r = c.select(
+        "rev", F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile")
+    )
+    d = r.groupBy("decile").agg(F.sum("rev").alias("drev"), F.count("*").alias("n"))
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    return d.select(
+        F.col("decile").cast("int").alias("decile"),
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(F.sum("drev").over(wc) / F.sum("drev").over(wall), 6).alias(
+            "cum_rev_share"
+        ),
+    )
