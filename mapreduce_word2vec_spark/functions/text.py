@@ -192,3 +192,32 @@ def fingerprint_expr(tokens: Column) -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * FINGERPRINT_BASE + h) % FINGERPRINT_MOD,
     )
+
+
+WINNOW_GRAM = 3
+WINNOW_WINDOW = 4
+
+
+def winnow_fingerprints_expr(ws: Column) -> Column:
+    """Winnowing fingerprint SET (distinct window-mins of 3-gram
+    hashes, 4-hash windows) for a token-array column — the selection
+    kernel of the MOSS algorithm (Schleimer/Wilkerson/Aiken §2:
+    any shared span of at least WINNOW_WINDOW + WINNOW_GRAM - 1
+    tokens contributes at least one COMMON selected fingerprint;
+    property-tested). Arrays are let-bound as lambda variables
+    (single-element-array transform) so nothing re-evaluates per
+    window — see doc_winnowing's plan notes."""
+
+    def over_hashes(hs):
+        mins = F.transform(
+            F.sequence(F.lit(1), F.size(hs) - (WINNOW_WINDOW - 1)),
+            lambda j: F.array_min(F.slice(hs, j, WINNOW_WINDOW)),
+        )
+        return F.array_distinct(mins)
+
+    def over_tokens(ws_b):
+        grams = ngrams_expr(ws_b, WINNOW_GRAM)
+        hashes = F.transform(grams, string_hash_expr)
+        return F.get(F.transform(F.array(hashes), over_hashes), 0)
+
+    return F.get(F.transform(F.array(ws), over_tokens), 0)

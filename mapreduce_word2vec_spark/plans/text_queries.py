@@ -2425,21 +2425,9 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once, and the output references the winnow expression
     exactly once (n_windows derives from the token count alone) —
     measured ~10x at sf0.1. Zero exchanges, plan-asserted."""
-    from mapreduce_word2vec_spark.functions.text import ngrams_expr, string_hash_expr
+    from mapreduce_word2vec_spark.functions.text import winnow_fingerprints_expr
 
     docs = read_testdata(spark, sf_dir, "documents")
-
-    def winnow(ws):
-        def over_hashes(hs):
-            mins = F.transform(
-                F.sequence(F.lit(1), F.size(hs) - 3),
-                lambda j: F.array_min(F.slice(hs, j, 4)),
-            )
-            return F.size(F.array_distinct(mins)).cast("bigint")
-
-        hashes = F.transform(ngrams_expr(ws, 3), string_hash_expr)
-        return F.get(F.transform(F.array(hashes), over_hashes), 0)
-
     toks = docs.select("doc_id", tokens_expr("text").alias("ws")).where(
         F.size("ws") >= 6
     )
@@ -2448,7 +2436,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a struct output read twice would duplicate the whole pipeline).
     return toks.select(
         "doc_id",
-        F.get(F.transform(F.array(F.col("ws")), winnow), 0).alias("n_fps"),
+        F.size(winnow_fingerprints_expr(F.col("ws"))).cast("bigint").alias("n_fps"),
         (F.size("ws") - 5).cast("bigint").alias("n_windows"),
     )
 

@@ -100,3 +100,71 @@ def test_zipf_slope_is_negative(spark):
     """Frequency must decay with rank: the fitted slope is negative."""
     row = _q(spark, "corpus_zipf_slope").collect()[0]
     assert row.zipf_slope < 0
+
+
+def test_winnowing_shared_span_guarantee(spark):
+    """The winnowing guarantee (MOSS §2): two documents sharing a
+    span of >= window + gram - 1 = 6 tokens must share at least one
+    SELECTED fingerprint, even though winnowing keeps only ~2/(w+1)
+    of all gram hashes. Unrelated documents share none."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_word2vec_spark.functions.text import (
+        tokens_expr,
+        winnow_fingerprints_expr,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6-token shared span
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "completely different words that overlap nothing at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    fps = docs.select(
+        "doc_id", winnow_fingerprints_expr(tokens_expr("text")).alias("fps")
+    ).collect()
+    sets = {r.doc_id: set(r.fps) for r in fps}
+    assert sets[1] & sets[2], "shared 6-token span must yield a common fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
+    # Sublinearity: selection keeps strictly fewer than all gram hashes.
+    n_grams_1 = len("one two three".split()) + 6 + len("four five six".split()) - 2
+    assert len(sets[1]) < n_grams_1
+
+
+def test_bloom_semi_join_matches_plain_semi_join(spark):
+    """join_bloom_semi's bitmap pre-filter must be value-lossless vs
+    the plain semi join on the same inputs (no false negatives; false
+    positives removed by the verify join) — checked directly on the
+    DataFrames, independent of the DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata as rt
+    from tests.conftest import SF_SMOKE
+
+    bloom = catalog.queries()["join_bloom_semi"](spark, SF_SMOKE)
+    sup = rt(spark, SF_SMOKE, "supplier")
+    nat = rt(spark, SF_SMOKE, "nation")
+    keys = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .where(F.col("n_name") == "NATION_9")
+        .select("s_suppkey")
+    )
+    li = rt(spark, SF_SMOKE, "lineitem")
+    plain = (
+        li.join(keys, li.l_suppkey == keys.s_suppkey, "left_semi")
+        .groupBy(F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mo"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+                "revenue"
+            ),
+        )
+    )
+    a = sorted(map(tuple, bloom.collect()))
+    b = sorted(map(tuple, plain.collect()))
+    assert a == b
