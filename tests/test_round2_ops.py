@@ -168,3 +168,68 @@ def test_bloom_semi_join_matches_plain_semi_join(spark):
     a = sorted(map(tuple, bloom.collect()))
     b = sorted(map(tuple, plain.collect()))
     assert a == b
+
+
+def test_ewma_head_equals_value_and_bounds(spark):
+    """Series heads renormalize over present terms: the first event of
+    each type has ewma == value exactly; every ewma lies within the
+    [min, max] of its type's values (convexity of normalized
+    weights)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata as rt
+    from tests.conftest import SF_SMOKE
+
+    ewma = catalog.queries()["events_ewma"](spark, SF_SMOKE)
+    ev = rt(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    first = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", "event_id", F.round("value", 6).alias("v"))
+    )
+    joined = ewma.join(first, ["event_type", "event_id"])
+    assert joined.where(F.abs(F.col("ewma") - F.col("v")) > 1e-6).count() == 0
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    out = ewma.join(bounds, "event_type").where(
+        (F.col("ewma") < F.col("lo") - 1e-6) | (F.col("ewma") > F.col("hi") + 1e-6)
+    )
+    assert out.count() == 0
+
+
+def test_weighted_reservoir_prefers_heavy_items(spark):
+    """A-Res sanity: the length-weighted sample's mean document length
+    must exceed the corpus mean (weights bias selection), and the
+    sample is exactly k distinct docs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata as rt
+    from tests.conftest import SF_SMOKE
+
+    sample = catalog.queries()["sample_weighted_reservoir"](spark, SF_SMOKE)
+    rows = sample.collect()
+    assert len(rows) == 20 and len({r.doc_id for r in rows}) == 20
+    corpus_mean = (
+        rt(spark, SF_SMOKE, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_countmin_never_underestimates(spark):
+    """CMS one-sided error: est >= exact for every probe (the
+    never_under column must be uniformly true — including the absent
+    probe word, whose exact count is 0)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = catalog.queries()["agg_countmin_words"](spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    assert all(r.never_under for r in rows)
+    zyz = [r for r in rows if r.word == "zyzzyva"][0]
+    assert zyz.exact_count == 0
