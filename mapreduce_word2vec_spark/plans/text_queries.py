@@ -2594,3 +2594,121 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", F.col("n_chars").cast("bigint").alias("n_chars"))
     )
+
+
+_KL_BUCKETS = 1024
+
+
+@register(
+    "corpus_kl_divergence",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, unnest({_SQL_TOKENS}) AS word FROM documents
+      WHERE source IN ('src0', 'src3')
+    ),
+    b AS (
+      SELECT source,
+             CAST({_SQL_STRHASH} % {_KL_BUCKETS} AS INT) AS bucket,
+             count(*) AS n
+      FROM words GROUP BY source, bucket
+    ),
+    p AS (
+      SELECT b.bucket,
+             sum(CASE WHEN b.source = 'src0' THEN b.n ELSE 0 END) + 1.0 AS np,
+             sum(CASE WHEN b.source = 'src3' THEN b.n ELSE 0 END) + 1.0 AS nq
+      FROM b GROUP BY b.bucket
+    ),
+    tp AS (SELECT sum(np) AS tp, sum(nq) AS tq FROM p)
+    SELECT round(sum((np / tp) * ln((np / tp) / (nq / tq))), 6) AS kl_p_q,
+           round(sum((nq / tq) * ln((nq / tq) / (np / tp))), 6) AS kl_q_p,
+           CAST(count(*) AS BIGINT) AS n_buckets_hit
+    FROM p CROSS JOIN tp
+    """,
+)
+def corpus_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus sources: KL divergence (both
+    directions) of hashed-unigram distributions — the snapshot-drift
+    alarm a curation pipeline runs when a new crawl dump lands
+    ('did the language of src0 move away from src3?'). Same fixed
+    1024-bucket hashed feature space as select_dsir_weights (model
+    size independent of vocabulary); add-1 smoothing over the
+    hit-bucket space with exact normalizers, so ln() is total even
+    for buckets hit by one source only;
+    both word streams reduce map-side to ≤1024 cells, the divergence
+    is a sum over buckets — constant-size state at any corpus scale.
+    Laplace smoothing covers unhit buckets per source; bucket counts
+    are integers, so the only float work is the final bounded sum
+    (rounded 1e-6, far above ln() ulp noise)."""
+    from mapreduce_word2vec_spark.functions.text import string_hash_expr
+
+    docs = read_testdata(spark, sf_dir, "documents").where(
+        F.col("source").isin("src0", "src3")
+    )
+    words = docs.select("source", F.explode(tokens_expr("text")).alias("word"))
+    b = words.select(
+        "source", (string_hash_expr(F.col("word")) % _KL_BUCKETS).cast("int").alias("bucket")
+    ).groupBy("source", "bucket").agg(F.count("*").alias("n"))
+    # Add-1 over the hit-bucket space with EXACT normalizers (sums of
+    # the smoothed cells), so probabilities are well-formed and no
+    # cell is zero — ln() is total even when a bucket is hit by one
+    # source only (the earlier formulation would produce 0*ln(0)).
+    p = b.groupBy("bucket").agg(
+        (F.sum(F.when(F.col("source") == "src0", F.col("n")).otherwise(0)) + 1.0).alias("np"),
+        (F.sum(F.when(F.col("source") == "src3", F.col("n")).otherwise(0)) + 1.0).alias("nq"),
+    )
+    tot = p.groupBy().agg(F.sum("np").alias("tp"), F.sum("nq").alias("tq"))
+    j = p.crossJoin(F.broadcast(tot))
+    pp = F.col("np") / F.col("tp")
+    qq = F.col("nq") / F.col("tq")
+    return j.agg(
+        F.round(F.sum(pp * F.log(pp / qq)), 6).alias("kl_p_q"),
+        F.round(F.sum(qq * F.log(qq / pp)), 6).alias("kl_q_p"),
+        F.count("*").cast("bigint").alias("n_buckets_hit"),
+    )
+
+
+_URL_BLOCKLIST = ("src1", "src4")
+
+
+@register(
+    "doc_url_blocklist_filter",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id, source,
+             source || '.example.com' AS host
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN host IN ({", ".join(f"'{b}.example.com'" for b in _URL_BLOCKLIST)})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked_check,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM u
+    WHERE host NOT IN ({", ".join(f"'{b}.example.com'" for b in _URL_BLOCKLIST)})
+    """,
+)
+def doc_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist filtering — the first stage of every
+    web-crawl curation pipeline (adult/spam/SEO domain lists): the
+    document's host (parse_url over the synthesized URL) anti-joins a
+    BROADCAST blocklist. The blocklist is a dimension (thousands to
+    millions of rows — always broadcastable); the corpus never
+    shuffles, the filter runs at the scan. n_blocked_check is 0 by
+    construction on the survivors — the lossless assertion in-band."""
+    from pyspark.sql import Row
+
+    d = read_testdata(spark, sf_dir, "documents")
+    url = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com/d/"),
+                   F.col("doc_id").cast("string"))
+    u = d.select("doc_id", F.parse_url(url, F.lit("HOST")).alias("host"))
+    bl = spark.createDataFrame(
+        [Row(host=f"{b}.example.com") for b in _URL_BLOCKLIST]
+    )
+    kept = u.join(F.broadcast(bl), "host", "left_anti")
+    blset = [f"{b}.example.com" for b in _URL_BLOCKLIST]
+    return kept.agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.sum(F.when(F.col("host").isin(*blset), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocked_check"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+    )
