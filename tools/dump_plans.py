@@ -58,6 +58,10 @@ SHOWCASE = [
     ("source_dpp_prune", "dynamicpruning expression injected into the fact scan's PartitionFilters from the dim-side filter"),
     ("cte_recursive_series", "recursive spine joins a PRE-AGGREGATED, scan-filtered fact — recursion output is the join input"),
     ("subquery_not_in_nulls", "NOT IN compiles to the null-aware anti join (LeftAnti, BuildRight, true); NOT EXISTS twin stays plain"),
+    ("doc_winnowing", "all HOFs in one map-only projection, zero exchanges; let-bound arrays evaluate once"),
+    ("sample_weighted_reservoir", "weighted sample = TakeOrderedAndProject heap over hash-derived keys — one pass, no global sort, no rand()"),
+    ("join_interval_overlap", "interval x interval as a hash equi-join on (user, bin) with residual overlap predicate — no BNLJ"),
+    ("agg_bitmap_distinct", "exact distinct via bit_or lane partials — shuffle bounded by domain/64, not distinct pairs"),
 ]
 
 
