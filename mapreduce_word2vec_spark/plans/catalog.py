@@ -141,7 +141,8 @@ _PRIORITY = (
 # events_equidepth_histogram, scalar_surrogate_uuid,
 # join_interval_overlap, doc_pareto_frontier, orders_trend_forecast,
 # source_csv_multiline, sample_weighted_reservoir,
-# orders_lorenz_curve,
+# orders_lorenz_curve, corpus_kl_divergence,
+# doc_url_blocklist_filter,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,

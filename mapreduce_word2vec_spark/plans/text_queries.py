@@ -2503,44 +2503,58 @@ def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                              w -> regexp_matches(w, '^[a-z]+$'))) AS n_tokens
       FROM documents
     ),
-    r AS (
-      SELECT doc_id, n_chars, n_tokens,
-             min(n_chars) OVER (ORDER BY n_tokens DESC, doc_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-               AS best_prev_chars
-      FROM q
+    g AS (SELECT n_tokens, min(n_chars) AS mc FROM q GROUP BY n_tokens),
+    f AS (
+      SELECT n_tokens, mc,
+             min(mc) OVER (ORDER BY n_tokens DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_prev
+      FROM g
     )
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           CAST(n_chars AS BIGINT) AS n_chars
-    FROM r
-    WHERE best_prev_chars IS NULL OR n_chars < best_prev_chars
+    SELECT q.doc_id, CAST(q.n_tokens AS BIGINT) AS n_tokens,
+           CAST(q.n_chars AS BIGINT) AS n_chars
+    FROM q JOIN f ON q.n_tokens = f.n_tokens AND q.n_chars = f.mc
+    WHERE f.best_prev IS NULL OR f.mc < f.best_prev
     """,
 )
 def doc_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-D skyline (Pareto frontier): documents not dominated on
-    (more tokens, fewer chars) — i.e. the densest documents at every
-    token count; the multi-objective selection shape behind
-    quality-vs-cost data curation choices. The naive skyline is an
-    O(n²) self-join; the 2-D form collapses to ONE ordered window —
-    sort by tokens desc (ties by doc_id), keep rows beating the
-    running char minimum of all STRICTLY-PRECEDING rows (1 PRECEDING
-    frame, so equal-token ties don't dominate each other through the
-    tie-break). At 100 TB: a global sort of (tokens, chars) pairs —
-    columns only, never text."""
+    """2-D skyline (Pareto frontier): documents not STRICTLY
+    dominated on (more tokens, fewer chars) — the densest documents
+    at every token count; the multi-objective selection shape behind
+    quality-vs-cost curation choices. Exact-duplicate points are all
+    kept (neither dominates the other).
+
+    The naive skyline is an O(n²) self-join; the 2-D form reduces to
+    per-token-count minima (bounded by distinct token counts), ONE
+    ordered running-min window over that bounded table, and a join
+    back — a doc survives iff it achieves its token count's char
+    minimum AND that minimum beats every strictly-higher token
+    count's. (A direct row-level window mis-keeps same-token ties —
+    property-tested against the brute-force dominance definition.)
+    At 100 TB: group-by on token count, window over the bounded
+    aggregate, broadcast join back — text never moves."""
     docs = read_testdata(spark, sf_dir, "documents")
     q = docs.select(
         "doc_id", "n_chars", F.size(tokens_expr("text")).alias("n_tokens")
     )
     from pyspark.sql import Window
 
-    w = (
-        Window.orderBy(F.col("n_tokens").desc(), F.col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
+    g = q.groupBy("n_tokens").agg(F.min("n_chars").alias("mc"))
+    w = Window.orderBy(F.col("n_tokens").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    r = q.withColumn("best_prev_chars", F.min("n_chars").over(w))
-    return r.where(
-        F.col("best_prev_chars").isNull() | (F.col("n_chars") < F.col("best_prev_chars"))
-    ).select(
+    f = (
+        g.withColumn("best_prev", F.min("mc").over(w))
+        .where(F.col("best_prev").isNull() | (F.col("mc") < F.col("best_prev")))
+        # fresh column names: f derives from q, and a lineage-shared
+        # join key would be flagged as an ambiguous self-join
+        .select(F.col("n_tokens").alias("f_tokens"), F.col("mc").alias("f_mc"))
+    )
+    kept = q.join(
+        F.broadcast(f),
+        (F.col("n_tokens") == F.col("f_tokens")) & (F.col("n_chars") == F.col("f_mc")),
+    )
+    return kept.select(
         "doc_id",
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("n_chars").cast("bigint").alias("n_chars"),

@@ -233,3 +233,55 @@ def test_countmin_never_underestimates(spark):
     assert all(r.never_under for r in rows)
     zyz = [r for r in rows if r.word == "zyzzyva"][0]
     assert zyz.exact_count == 0
+
+
+def test_pareto_frontier_is_exactly_the_skyline(spark):
+    """Dominance check against the brute-force definition: no kept doc
+    is dominated (other has >= tokens AND < chars, or > tokens AND
+    <= chars); every dropped doc is dominated by some kept doc."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata as rt
+    from tests.conftest import SF_SMOKE
+
+    kept = {
+        (r.doc_id, r.n_tokens, r.n_chars)
+        for r in catalog.queries()["doc_pareto_frontier"](spark, SF_SMOKE).collect()
+    }
+    all_docs = [
+        (r.doc_id, r.n_tokens, r.n_chars)
+        for r in rt(spark, SF_SMOKE, "documents")
+        .select("doc_id", F.size(tokens_expr("text")).alias("n_tokens"), "n_chars")
+        .collect()
+    ]
+
+    def dominates(a, b):
+        # a dominates b: at least as good on both axes, better on one
+        return (a[1] >= b[1] and a[2] < b[2]) or (a[1] > b[1] and a[2] <= b[2])
+
+    kept_list = list(kept)
+    for k in kept_list:
+        assert not any(dominates(o, k) for o in all_docs if o[0] != k[0]), k
+    dropped = [d for d in all_docs if (d[0], d[1], d[2]) not in kept]
+    for d in dropped:
+        assert any(dominates(k, d) for k in kept_list), d
+
+
+def test_lorenz_curve_is_monotone_convex_and_ends_at_one(spark):
+    """Cumulative shares increase, are below the diagonal (deciles
+    sorted ascending by revenue), and the last decile reaches 1."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import SF_SMOKE
+
+    rows = sorted(
+        catalog.queries()["orders_lorenz_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.decile,
+    )
+    shares = [r.cum_rev_share for r in rows]
+    assert len(shares) == 10
+    assert all(b > a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    # ascending-revenue deciles: cumulative share sits under the diagonal
+    assert all(s <= (i + 1) / 10 + 1e-6 for i, s in enumerate(shares))
