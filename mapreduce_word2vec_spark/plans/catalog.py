@@ -142,7 +142,8 @@ _PRIORITY = (
 # join_interval_overlap, doc_pareto_frontier, orders_trend_forecast,
 # source_csv_multiline, sample_weighted_reservoir,
 # orders_lorenz_curve, corpus_kl_divergence,
-# doc_url_blocklist_filter,
+# doc_url_blocklist_filter, scalar_ipv4_octets,
+# events_log_histogram, orders_abc_classification,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,

@@ -4958,3 +4958,135 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_rev_share"
         ),
     )
+
+
+@register(
+    "scalar_ipv4_octets",
+    oracle="""
+    WITH ip AS (
+      SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS addr
+      FROM orders
+    )
+    SELECT CAST(addr // 16777216 AS INT) AS oct1,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT (addr // 65536) % 256) AS BIGINT) AS n_oct2,
+           min(CAST(addr // 16777216 AS VARCHAR) || '.' ||
+               CAST((addr // 65536) % 256 AS VARCHAR) || '.' ||
+               CAST((addr // 256) % 256 AS VARCHAR) || '.' ||
+               CAST(addr % 256 AS VARCHAR)) AS sample_ip
+    FROM ip
+    GROUP BY oct1
+    """,
+)
+def scalar_ipv4_octets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 decomposition and /16-prefix rollup over synthesized
+    addresses (Knuth-hash of the order key into 32-bit space) — the
+    network-log analytic shape: octet extraction is pure integer
+    div/mod (no inet type needed), prefix aggregation groups traffic
+    by subnet (/8 here so even the small fixture yields dense,
+    value-verified groups; identical shape at /16 or /24),
+    dotted-quad rendering is string math. All codegen; the prefix
+    keyspace is bounded (256..65536 groups) at any log volume."""
+    o = rt(spark, sf_dir, "orders")
+    addr = (F.col("o_orderkey") * 2654435761) % F.lit(4294967296)
+    ip = o.select("o_orderkey", addr.alias("addr"))
+    dq = F.concat_ws(
+        ".",
+        F.expr("CAST(addr div 16777216 AS STRING)"),
+        F.expr("CAST((addr div 65536) % 256 AS STRING)"),
+        F.expr("CAST((addr div 256) % 256 AS STRING)"),
+        F.expr("CAST(addr % 256 AS STRING)"),
+    )
+    g = ip.select(
+        F.expr("CAST(addr div 16777216 AS INT)").alias("oct1"),
+        F.expr("CAST((addr div 65536) % 256 AS INT)").alias("oct2"),
+        dq.alias("dotted"),
+    )
+    return g.groupBy("oct1").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count_distinct("oct2").cast("bigint").alias("n_oct2"),
+        F.min("dotted").alias("sample_ip"),
+    )
+
+
+@register(
+    "events_log_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN CAST(floor(value) AS BIGINT) >= 1
+                  THEN length(bin(CAST(floor(value) AS BIGINT))) - 1
+                  ELSE 0 END AS bucket
+      FROM events
+    )
+    SELECT event_type, CAST(bucket AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY event_type, bucket
+    """,
+)
+def events_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (power-of-two) histogram — the OpenTelemetry /
+    latency-histogram bucket convention: bucket = floor(log2(value)),
+    computed EXACTLY as binary-string length of the integer part
+    (length(bin(n)) - 1) instead of floor(log2(x)) — libm log2 can
+    land a power-of-two boundary on either side of the floor, the
+    bit form cannot. Fixed ~64-bucket state per series at any
+    volume; the log-scale view that makes tail latency visible where
+    linear buckets collapse."""
+    ev = rt(spark, sf_dir, "events")
+    iv = F.floor("value").cast("bigint")
+    bucket = F.when(iv >= 1, F.length(F.bin(iv)) - 1).otherwise(0)
+    return (
+        ev.select("event_type", bucket.cast("int").alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+@register(
+    "orders_abc_classification",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey, round(sum(l_extendedprice), 6) AS rev
+      FROM lineitem GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT l_partkey, rev,
+             sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                            ROWS UNBOUNDED PRECEDING) / sum(rev) OVER ()
+               AS cum_share
+      FROM p
+    )
+    SELECT CASE WHEN cum_share <= 0.8 THEN 'A'
+                WHEN cum_share <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev), 6) AS class_revenue
+    FROM r GROUP BY abc_class
+    """,
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A
+    = the head up to 80% cumulative share, B to 95%, C the tail —
+    the Pareto-principle workhorse of inventory/catalog management.
+    The cumulative window runs over the PART aggregate (bounded by
+    |parts|, tie-pinned by partkey), per-part revenue quantized
+    before ranking; output is three rows."""
+    li = rt(spark, sf_dir, "lineitem")
+    p = li.groupBy("l_partkey").agg(F.round(F.sum("l_extendedprice"), 6).alias("rev"))
+    from pyspark.sql import Window
+
+    wc = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    r = p.withColumn("cum_share", F.sum("rev").over(wc) / F.sum("rev").over(wall))
+    cls = (
+        F.when(F.col("cum_share") <= 0.8, "A")
+        .when(F.col("cum_share") <= 0.95, "B")
+        .otherwise("C")
+    )
+    return r.groupBy(cls.alias("abc_class")).agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.round(F.sum("rev"), 6).alias("class_revenue"),
+    )
