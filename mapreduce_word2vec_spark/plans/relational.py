@@ -5090,3 +5090,32 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_parts"),
         F.round(F.sum("rev"), 6).alias("class_revenue"),
     )
+
+
+@register(
+    "scalar_base64_hex",
+    oracle="""
+    SELECT s_suppkey,
+           to_base64(encode(s_name)) AS b64,
+           lower(to_hex(encode(s_name))) AS hx,
+           s_name AS roundtrip,
+           CAST(octet_length(encode(s_name)) AS INT) AS n_bytes
+    FROM supplier
+    """,
+)
+def scalar_base64_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary↔text encodings (base64 / hex) with a decode round-trip
+    — the wire-format surface under payload columns, API tokens, and
+    content-addressed keys. Spark's base64() pads per RFC 4648 like
+    DuckDB's to_base64; hex is case-normalized (Spark upper, DuckDB
+    upper via to_hex — both lowered) — the two conventions pinned so
+    binary columns can be compared across systems as text."""
+    sup = rt(spark, sf_dir, "supplier")
+    raw = F.encode(F.col("s_name"), "UTF-8")
+    return sup.select(
+        "s_suppkey",
+        F.base64(raw).alias("b64"),
+        F.lower(F.hex(raw)).alias("hx"),
+        F.decode(F.unbase64(F.base64(raw)), "UTF-8").alias("roundtrip"),
+        F.octet_length(raw).cast("int").alias("n_bytes"),
+    )

@@ -2726,3 +2726,60 @@ def doc_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_blocked_check"),
         F.min("doc_id").cast("bigint").alias("first_doc"),
     )
+
+
+_BP_DF_THRESHOLD = 10
+
+
+@register(
+    "doc_boilerplate_fraction",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS shingle
+      FROM toks WHERE len(ws) >= 3
+    ),
+    df AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle),
+    j AS (
+      SELECT sh.doc_id,
+             CASE WHEN df.n_docs > {_BP_DF_THRESHOLD} THEN 1 ELSE 0 END AS is_bp
+      FROM sh JOIN df ON sh.shingle = df.shingle
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(is_bp) AS BIGINT) AS n_boilerplate,
+           round(sum(is_bp) * 1.0 / count(*), 6) AS bp_fraction
+    FROM j GROUP BY doc_id
+    """,
+)
+def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate scoring: the fraction of a document's distinct
+    3-gram shingles that are CORPUS-COMMON (document frequency >
+    10) — high fractions mark template/navigation text that inflates
+    n-gram counts and wastes training tokens (the signal CCNet-style
+    pipelines cut on). Reuses the dedup family's shingle exchange:
+    distinct shingles per doc → one df aggregation → join back on the
+    shingle key → per-doc fraction. Shuffle carries shingle keys and
+    small counts; text never moves."""
+    from mapreduce_word2vec_spark.functions.text import ngrams_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("ws")).where(
+        F.size("ws") >= 3
+    )
+    sh = toks.select(
+        "doc_id",
+        F.explode(F.array_distinct(ngrams_expr(F.col("ws"), 3))).alias("shingle"),
+    )
+    df = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    j = sh.join(df, "shingle").select(
+        "doc_id",
+        (F.col("n_docs") > _BP_DF_THRESHOLD).cast("int").alias("is_bp"),
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles"),
+        F.sum("is_bp").cast("bigint").alias("n_boilerplate"),
+        F.round(F.sum("is_bp") / F.count("*"), 6).alias("bp_fraction"),
+    )
