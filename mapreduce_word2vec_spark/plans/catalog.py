@@ -144,6 +144,7 @@ _PRIORITY = (
 # orders_lorenz_curve, corpus_kl_divergence,
 # doc_url_blocklist_filter, scalar_ipv4_octets,
 # events_log_histogram, orders_abc_classification,
+# doc_boilerplate_fraction, scalar_base64_hex,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,
