@@ -977,3 +977,223 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_size", F.col("n_clusters").cast("bigint").alias("n_clusters")
         )
     )
+
+
+# --- URL canonicalization dedup -------------------------------------
+# The corpus has no real URL column, so (like doc_url_blocklist_filter)
+# a deterministic "messy" URL is synthesized per document from
+# (source, doc_id): mixed-case scheme/host, an optional :443 default
+# port, an optional trailing slash, utm_* tracking params in varying
+# positions, and an optional #fragment. The OPERATOR is the honest
+# part: a real canonicalizer (lowercase scheme+host, drop default
+# port, strip fragment, drop utm_* params, sort the survivors, trim
+# trailing slashes) applied to the raw string — the standard first
+# pass of a web-crawl dedup pipeline (one narrow projection, then an
+# aggregation keyed on the canonical form; at 100 TB the exchange
+# carries canonical URLs, never page payloads).
+
+
+@register(
+    "dedup_url_canonical",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+             || '://'
+             || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+             || '.Example.COM'
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+             || '/docs/' || CAST(doc_id % 25 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+             || (CASE doc_id % 4
+                   WHEN 0 THEN '?utm_source=rss&ref=' || source
+                   WHEN 1 THEN '?ref=' || source
+                   WHEN 2 THEN '?ref=' || source || '&utm_medium=email'
+                   ELSE '?ref=' || source || '&utm_campaign=x'
+                 END)
+             || (CASE WHEN doc_id % 7 = 0 THEN '#sec-2' ELSE '' END) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+             str_split(str_split(url, '#')[1], '?')[1] AS base,
+             coalesce(str_split(str_split(url, '#')[1], '?')[2], '') AS qs
+      FROM raw
+    ),
+    split2 AS (
+      SELECT doc_id, url, qs,
+             lower(str_split(base, '://')[1]) AS scheme,
+             str_split(base, '://')[2] AS rest
+      FROM parts
+    ),
+    hostpath AS (
+      SELECT doc_id, url, qs, scheme,
+             regexp_replace(lower(str_split(rest, '/')[1]), ':443$', '') AS host,
+             regexp_replace(substr(rest, length(str_split(rest, '/')[1]) + 1),
+                            '/+$', '') AS path
+      FROM split2
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' || host || path ||
+             CASE WHEN len(list_sort(list_filter(str_split(qs, '&'),
+                          p -> p NOT LIKE 'utm\\_%' ESCAPE '\\' AND p <> ''))) > 0
+                  THEN '?' || array_to_string(
+                         list_sort(list_filter(str_split(qs, '&'),
+                           p -> p NOT LIKE 'utm\\_%' ESCAPE '\\' AND p <> '')), '&')
+                  ELSE '' END AS canonical_url
+      FROM hostpath
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: normalize crawl URLs (case, default
+    port, fragment, utm_* tracking params, param order, trailing
+    slash), then group on the canonical form with a deterministic
+    min-doc_id survivor. Everything is codegen'd string/HOF work on a
+    narrow projection; the only exchange is the canonical-key
+    aggregation."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    did, src = F.col("doc_id"), F.col("source")
+    raw = F.concat(
+        F.when(did % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(did % 3 == 0, F.upper(src)).otherwise(src),
+        F.lit(".Example.COM"),
+        F.when(did % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/docs/"), (did % 25).cast("string"),
+        F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.when(did % 4 == 0, F.concat(F.lit("?utm_source=rss&ref="), src))
+        .when(did % 4 == 1, F.concat(F.lit("?ref="), src))
+        .when(did % 4 == 2, F.concat(F.lit("?ref="), src, F.lit("&utm_medium=email")))
+        .otherwise(F.concat(F.lit("?ref="), src, F.lit("&utm_campaign=x"))),
+        F.when(did % 7 == 0, F.lit("#sec-2")).otherwise(F.lit("")),
+    )
+    u = docs.select("doc_id", raw.alias("url"))
+    no_frag = F.split(F.col("url"), "#", 2).getItem(0)
+    base = F.split(no_frag, r"\?", 2).getItem(0)
+    qs = F.coalesce(F.split(no_frag, r"\?", 2).getItem(1), F.lit(""))
+    scheme = F.lower(F.split(base, "://", 2).getItem(0))
+    rest = F.split(base, "://", 2).getItem(1)
+    hostport = F.split(rest, "/", 2).getItem(0)
+    host = F.regexp_replace(F.lower(hostport), ":443$", "")
+    path = F.regexp_replace(
+        F.substr(rest, F.length(hostport) + F.lit(1)), "/+$", ""
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (~p.startswith("utm_")) & (p != ""),
+        )
+    )
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        u.select("doc_id", "url", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+            F.min("doc_id").cast("bigint").alias("survivor_doc"),
+        )
+    )
+
+
+# --- cross-corpus paragraph dedup -----------------------------------
+# RefinedWeb-style exact paragraph dedup: the corpus has no newlines,
+# so "paragraphs" are fixed non-overlapping 12-token blocks. Every
+# block is hashed (md5 — shared verbatim by both engines), the FIRST
+# occurrence in global (doc_id, para_idx) order survives, and each
+# document is rewritten to its surviving blocks. At 100 TB the
+# window partitions by paragraph hash (no global ordering), and the
+# rewrite shuffles (doc_id → kept paragraphs) once.
+
+_PARA_W = 12
+
+
+@register(
+    "dedup_paragraphs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    nonempty AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 0),
+    paras AS (
+      SELECT doc_id,
+             CAST(start // {_PARA_W} AS BIGINT) AS para_idx,
+             array_to_string(ws[start + 1 : start + {_PARA_W}], ' ') AS para
+      FROM (SELECT doc_id, ws, unnest(range(0, len(ws), {_PARA_W})) AS start
+            FROM nonempty)
+    ),
+    ranked AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, para_idx) AS rk
+      FROM paras
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_paras,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS kept_frac,
+           coalesce(string_agg(CASE WHEN rk = 1 THEN para END, ' | '
+                               ORDER BY para_idx), '') AS kept_text
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact paragraph dedup with document rewrite:
+    12-token blocks, md5 block hash, first-occurrence survivor
+    (min (doc_id, para_idx) per hash via a hash-partitioned window),
+    and per-document retention stats + the rewritten text."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    toks = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+    paras = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("ws") - 1, F.lit(_PARA_W)),
+                lambda s: F.array_join(F.slice("ws", s + 1, _PARA_W), " "),
+            )
+        ).alias("para_idx", "para"),
+    ).select("doc_id", F.col("para_idx").cast("bigint").alias("para_idx"), "para")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "para_idx")
+    ranked = paras.withColumn("rk", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rk") == 1, F.struct(F.col("para_idx"), F.col("para"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_paras"),
+        F.sum(F.when(F.col("rk") == 1, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(F.when(F.col("rk") == 1, 1).otherwise(0))
+            / F.count("*"),
+            6,
+        ).alias("kept_frac"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)), lambda s: s["para"]
+                ),
+                " | ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )

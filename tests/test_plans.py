@@ -715,3 +715,25 @@ def test_interval_overlap_is_equi_join_not_bnlj(spark):
     plan = _plan(spark, "join_interval_overlap")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_url_canonical_single_exchange_no_join(spark):
+    """URL canonicalization is pure string/HOF projection; the only
+    exchanges are the canonical-key aggregation's two-phase
+    count-distinct expansion (both partial+final, no join), and the
+    scan reads just (doc_id, source)."""
+    plan = _plan(spark, "dedup_url_canonical")
+    assert plan.count("Exchange hashpartitioning") == 2  # distinct-agg expansion
+    assert "Join" not in plan
+    assert "partial_count" in plan
+    assert "struct<doc_id:bigint,source:string>" in plan  # column pruning
+
+
+def test_paragraph_dedup_window_partitions_by_hash(spark):
+    """The survivor window must partition by the paragraph hash —
+    a global (unpartitioned) window would serialize the corpus
+    through one task at 100 TB."""
+    plan = _plan(spark, "dedup_paragraphs")
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Join" not in plan
