@@ -2783,3 +2783,150 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_bp").cast("bigint").alias("n_boilerplate"),
         F.round(F.sum("is_bp") / F.count("*"), 6).alias("bp_fraction"),
     )
+
+
+# --- fasttext-style hashed linear quality classifier -----------------
+# The CCNet/GPT-3-lineage quality filter: a linear model over hashed
+# bag-of-words features, mean-pooled and squashed through a sigmoid.
+# Weights here are a FIXED deterministic function of the bucket id
+# (a trained model would broadcast a 2^B-float array instead — same
+# plan shape, zero exchange either way: the whole query is one
+# codegen'd projection over the corpus scan).
+
+_QCLS_BUCKETS = 1024
+_QCLS_MIX = 2654435761  # Knuth multiplicative constant
+# weight(b) = ((b * MIX) % 2048) / 1024 - 1  ∈ [-1, 1), exactly
+# representable (power-of-two denominator) so sums are bit-identical
+# across engines; the keep decision thresholds the RAW mean at 0
+# (exact), never the post-sigmoid float.
+_SQL_QCLS_W = (
+    f"(((list_reduce(list_prepend(CAST(0 AS BIGINT),"
+    f" list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),"
+    f" (a, b) -> (a * 31 + b) % 1000000007)"
+    f" % {_QCLS_BUCKETS}) * {_QCLS_MIX}) % 2048) / 1024.0 - 1.0"
+)
+
+
+@register(
+    "doc_quality_classifier",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    ne AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 0),
+    m AS (
+      SELECT doc_id, len(ws) AS n_tokens,
+             list_sum(list_transform(ws, w -> {_SQL_QCLS_W})) AS s
+      FROM ne
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(1.0 / (1.0 + exp(-(4.0 * (s / n_tokens)))), 6) AS quality_prob,
+           s >= 0.0 AS keep
+    FROM m
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear quality classifier: token → hash bucket → fixed
+    weight, mean-pool, sigmoid. Row-local and shuffle-free; at 100 TB
+    this is the canonical 'score every document with a small linear
+    model' pass (real weights would ride along as one broadcast
+    array<float> lookup)."""
+    from mapreduce_word2vec_spark.functions.text import string_hash_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+
+    def weight(w):
+        b = string_hash_expr(w) % _QCLS_BUCKETS
+        return ((b * F.lit(_QCLS_MIX)) % 2048) / F.lit(1024.0) - F.lit(1.0)
+
+    base = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+    s = F.aggregate(
+        F.transform(F.col("ws"), weight), F.lit(0.0), lambda a, x: a + x
+    )
+    m = base.select(
+        "doc_id", F.size("ws").cast("bigint").alias("n_tokens"), s.alias("s")
+    )
+    mean = F.col("s") / F.col("n_tokens")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(4.0) * mean))), 6).alias(
+            "quality_prob"
+        ),
+        (F.col("s") >= 0.0).alias("keep"),
+    )
+
+
+# --- Kneser-Ney smoothed bigram LM -----------------------------------
+# The classic MapReduce-scale LM estimation job (Brants et al. 2007
+# trained 5-grams on 2T tokens this way): absolute discounting with
+# continuation counts. Everything is counts + two key-partitioned
+# joins on word keys; the continuation tables are vocabulary-sized
+# (broadcastable at any corpus scale).
+
+_KN_D = 0.75
+_KN_TOPN = 100
+
+
+@register(
+    "corpus_kneser_ney_bigram",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    bg AS (
+      SELECT ws[i] AS w1, ws[i + 1] AS w2
+      FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM toks WHERE len(ws) >= 2)
+    ),
+    c AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+    fwd AS (SELECT w1, sum(c) AS c1, count(*) AS nf FROM c GROUP BY w1),
+    bwd AS (SELECT w2, count(*) AS nb FROM c GROUP BY w2),
+    t AS (SELECT count(*) AS t FROM c)
+    SELECT w1, w2, CAST(c AS BIGINT) AS c,
+           round((c - {_KN_D}) / c1 + ({_KN_D} * nf / c1) * (nb * 1.0 / t), 6)
+             AS p_kn
+    FROM c JOIN fwd USING (w1) JOIN bwd USING (w2) CROSS JOIN t
+    ORDER BY c DESC, w1, w2
+    LIMIT {_KN_TOPN}
+    """,
+)
+def corpus_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney smoothed bigram probabilities (D=0.75): discounted
+    ML estimate plus continuation-probability backoff, reported for
+    the top-{100} bigrams. The bigram-count table is persisted (the
+    Brants et al. pattern: materialize count tables between LM
+    passes) so the corpus shuffles ONCE on (w1,w2); the fwd/bwd
+    marginals aggregate the cached counts and broadcast; top-k is
+    TakeOrdered, never a global sort."""
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    toks = docs.select(ws.alias("ws")).where(F.size("ws") >= 2)
+    bg = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - 1),
+                lambda i: F.struct(
+                    F.element_at("ws", i).alias("w1"),
+                    F.element_at("ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c = tracked_persist(bg.groupBy("w1", "w2").agg(F.count("*").alias("c")))
+    fwd = c.groupBy("w1").agg(F.sum("c").alias("c1"), F.count("*").alias("nf"))
+    bwd = c.groupBy("w2").agg(F.count("*").alias("nb"))
+    t = c.agg(F.count("*").alias("t"))
+    j = (
+        c.join(F.broadcast(fwd), "w1")
+        .join(F.broadcast(bwd), "w2")
+        .crossJoin(F.broadcast(t))
+    )
+    p_kn = (F.col("c") - F.lit(_KN_D)) / F.col("c1") + (
+        F.lit(_KN_D) * F.col("nf") / F.col("c1")
+    ) * (F.col("nb") * F.lit(1.0) / F.col("t"))
+    return (
+        j.select("w1", "w2", F.col("c").cast("bigint").alias("c"),
+                 F.round(p_kn, 6).alias("p_kn"))
+        .orderBy(F.desc("c"), "w1", "w2")
+        .limit(_KN_TOPN)
+    )

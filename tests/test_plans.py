@@ -737,3 +737,23 @@ def test_paragraph_dedup_window_partitions_by_hash(spark):
     assert "Window" in plan
     assert "Exchange SinglePartition" not in plan
     assert "Join" not in plan
+
+
+def test_quality_classifier_is_shuffle_free(spark):
+    """The hashed linear scorer is one codegen'd projection — zero
+    exchanges, one scan, no Python crossing."""
+    plan = _plan(spark, "doc_quality_classifier")
+    assert "Exchange" not in plan
+    assert plan.count("FileScan") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kneser_ney_reuses_cached_counts_and_takeordered(spark):
+    """KN marginals must aggregate the PERSISTED bigram-count table
+    (one corpus shuffle total), broadcast both marginals, and take
+    the top-k without a global sort."""
+    plan = _plan(spark, "corpus_kneser_ney_bigram")
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
