@@ -2930,3 +2930,112 @@ def corpus_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c"), "w1", "w2")
         .limit(_KN_TOPN)
     )
+
+
+# --- BPE tokenizer training ------------------------------------------
+# The other half of the reference's tokenizer story: it APPLIES a
+# pretrained cl100k BPE (MapRedWord2Vec.scala:69-70); these queries
+# LEARN a merge table from the corpus and measure its effect.
+# Iterative + deterministic -> rows-only driver check, golden-tested
+# against an independent pure-Python trainer (tests/test_bpe.py).
+
+_BPE_MERGES = 8
+
+
+@register("tokenizer_bpe_train")
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE merge rules (Sennrich et al. 2016) from the corpus:
+    one corpus→(word, freq) shuffle, then per-iteration pair counting
+    on the persisted vocabulary table. Driver traffic = one learned
+    rule per iteration."""
+    from mapreduce_word2vec_spark.operators.bpe import train_bpe_merges
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    rules = train_bpe_merges(wf, n_merges=_BPE_MERGES)
+    return spark.createDataFrame(
+        rules,
+        "rank int, left string, right string, merged string, pair_count bigint",
+    ).orderBy("rank")
+
+
+@register("tokenizer_bpe_fertility")
+def tokenizer_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility (subwords per word) histogram of the learned BPE over
+    the corpus vocabulary — the standard 'is my tokenizer any good for
+    this corpus' diagnostic. Encoding replays the merge table as
+    column expressions (no Python crossing); the histogram is one
+    vocab-sized aggregation."""
+    from mapreduce_word2vec_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    rules = train_bpe_merges(wf, n_merges=_BPE_MERGES)
+    enc = wf.select(
+        "word",
+        "freq",
+        F.size(
+            F.element_at(encode_with_merges(F.array(F.col("word")), rules), 1)
+        ).alias("n_subwords"),
+    )
+    return (
+        enc.groupBy("n_subwords")
+        .agg(
+            F.count("*").cast("bigint").alias("n_types"),
+            F.sum("freq").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy("n_subwords")
+    )
+
+
+# --- compression-ratio quality signal ---------------------------------
+# zlib-compressibility is a classic corpus-quality heuristic (too
+# compressible = boilerplate/repetition, incompressible = junk or
+# binary spill). No SQL engine exposes zlib, so: Arrow-batched
+# mapInPandas, rows-only driver check, property-tested invariants.
+
+
+@register("doc_compression_ratio")
+def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio + keep verdict
+    (0.25 ≤ ratio ≤ 0.95). Row-local pandas kernel over Arrow
+    batches; zero exchange — the 100 TB plan is scan → score."""
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def kernel(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            enc = pdf["text"].fillna("").str.encode("utf-8")
+            nb = enc.map(len)
+            nc = enc.map(lambda b: len(zlib.compress(b, 6)))
+            ratio = (nc / nb.where(nb > 0)).round(6)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": nb,
+                    "n_compressed": nc,
+                    "ratio": ratio,
+                    "keep": ratio.between(0.25, 0.95).fillna(False),
+                }
+            )
+
+    return docs.mapInPandas(
+        kernel,
+        "doc_id bigint, n_bytes bigint, n_compressed bigint, ratio double, keep boolean",
+    )
