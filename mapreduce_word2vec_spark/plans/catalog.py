@@ -145,6 +145,9 @@ _PRIORITY = (
 # doc_url_blocklist_filter, scalar_ipv4_octets,
 # events_log_histogram, orders_abc_classification,
 # doc_boilerplate_fraction, scalar_base64_hex,
+# dedup_url_canonical, dedup_paragraphs, doc_quality_classifier,
+# corpus_kneser_ney_bigram, tokenizer_bpe_train (rows-only),
+# tokenizer_bpe_fertility (rows-only), doc_compression_ratio (rows-only),
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,
