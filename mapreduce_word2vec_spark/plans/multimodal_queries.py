@@ -360,3 +360,82 @@ def multimodal_payload_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+# --- contrastive pair-batch layout ------------------------------------
+# CLIP-style training needs (image, caption) pairs laid out into
+# fixed-size batches where in-batch negatives are valid — i.e. no two
+# pairs in a batch share a label (a same-label "negative" is a false
+# negative). Layout: multiplicative-hash shard (8 shards), position =
+# window WITHIN the shard (never a global ordering), batch = 16
+# consecutive positions per shard; then a per-batch audit counts
+# label collisions. At 100 TB this is the layout_epoch_shuffle
+# pattern plus one batch-keyed audit aggregation.
+
+_PAIR_HASH_A = 40_503
+_PAIR_HASH_M = 4_294_967_296  # 2^32
+_PAIR_SHARDS = 8
+_PAIR_BATCH = 16
+
+
+@register(
+    "multimodal_pair_batches",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT e.vec_id AS pair_id, e.label,
+             ((((e.vec_id % {_PAIR_HASH_M}) * {_PAIR_HASH_A})
+               % {_PAIR_HASH_M}) >> 16) AS h
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    ),
+    pos AS (
+      SELECT pair_id, label,
+             CAST(h % {_PAIR_SHARDS} AS INT) AS shard,
+             row_number() OVER (PARTITION BY h % {_PAIR_SHARDS}
+                                ORDER BY h, pair_id) - 1 AS p
+      FROM pairs
+    ),
+    b AS (
+      SELECT shard, CAST(p // {_PAIR_BATCH} AS BIGINT) AS batch_in_shard,
+             label
+      FROM pos
+    )
+    SELECT shard, batch_in_shard,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT label) AS BIGINT) AS n_labels,
+           count(*) > count(DISTINCT label) AS has_false_negative
+    FROM b GROUP BY shard, batch_in_shard
+    """,
+)
+def multimodal_pair_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive-batch layout + in-batch-negative
+    audit: hash-sharded, window-positioned WITHIN each shard, batches
+    of {16}, flagging batches where two pairs share a label (false
+    negatives for the contrastive loss)."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select("vec_id", "label")
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id")
+    pairs = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").alias("pair_id"),
+        "label",
+        F.shiftrightunsigned(
+            (F.col("vec_id") % _PAIR_HASH_M) * _PAIR_HASH_A % _PAIR_HASH_M, 16
+        ).alias("h"),
+    )
+    shard = (F.col("h") % _PAIR_SHARDS).cast("int")
+    w = Window.partitionBy(shard).orderBy("h", "pair_id")
+    pos = pairs.select(
+        "label",
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).alias("p"),
+    )
+    b = pos.select(
+        "shard",
+        F.floor(F.col("p") / _PAIR_BATCH).cast("bigint").alias("batch_in_shard"),
+        "label",
+    )
+    return b.groupBy("shard", "batch_in_shard").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("label").cast("bigint").alias("n_labels"),
+        (F.count("*") > F.countDistinct("label")).alias("has_false_negative"),
+    )

@@ -1449,3 +1449,70 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- complex-event-processing pattern match ---------------------------
+# MATCH_RECOGNIZE-lite: per-user event streams compiled to a compact
+# symbol string (one char per event, (ts, event_id)-ordered), then a
+# regex counts pattern occurrences. Lazy quantifiers keep matching
+# non-overlapping-leftmost in BOTH engines (java.util.regex and RE2
+# agree on leftmost-first semantics). At 100 TB the per-user sequence
+# build is one hash exchange; sequences are session-sized, the regex
+# is row-local.
+
+_CEP_PATTERN = "v[^e]*?c[^e]*?p"  # view → click → purchase, no error between
+
+
+@register(
+    "events_cep_pattern",
+    oracle=f"""
+    WITH sym AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+                  ELSE 'e' END AS ch
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS s
+      FROM sym GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, '{_CEP_PATTERN}')) AS BIGINT)
+             AS n_conversions
+    FROM seq
+    """,
+)
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern counting (MATCH_RECOGNIZE-lite): conversions per
+    user = non-overlapping 'view then click then purchase with no
+    intervening error' matches over the (ts, event_id)-ordered
+    per-user symbol string."""
+    ev = read_testdata(spark, sf_dir, "events")
+    ch = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .when(F.col("event_type") == "purchase", "p")
+        .otherwise("e")
+    )
+    sym = ev.select("user_id", "ts", "event_id", ch.alias("ch"))
+    seq = sym.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ch"))
+                ),
+                lambda s: s["ch"],
+            ),
+            "",
+        ).alias("s")
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("seq_len"),
+        F.regexp_count(F.col("s"), F.lit(_CEP_PATTERN)).cast("bigint").alias(
+            "n_conversions"
+        ),
+    )

@@ -3039,3 +3039,94 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         "doc_id bigint, n_bytes bigint, n_compressed bigint, ratio double, keep boolean",
     )
+
+
+# --- char-trigram profile language ID ---------------------------------
+# The textcat/fastText-lineage shape: LEARN per-language character
+# trigram profiles from labeled data, broadcast them, score every
+# document by profile overlap. Complements doc_lang_id (fixed marker
+# stopwords) with a data-derived model; profiles are |langs|×K rows —
+# broadcastable at any corpus scale.
+
+_TRIGRAM_PROFILE_K = 20
+
+
+@register(
+    "doc_lang_id_trigram",
+    oracle=f"""
+    WITH tg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, length(lower(text)) - 1),
+                                   i -> substr(lower(text), i, 3))) AS t
+      FROM documents WHERE length(text) >= 3
+    ),
+    counts AS (SELECT lang, t, count(*) AS c FROM tg GROUP BY lang, t),
+    prof AS (
+      SELECT lang AS plang, t FROM (
+        SELECT lang, t,
+               row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS rk
+        FROM counts
+      ) WHERE rk <= {_TRIGRAM_PROFILE_K}
+    ),
+    dt AS (SELECT DISTINCT doc_id, lang, t FROM tg),
+    overlap AS (
+      SELECT dt.doc_id, dt.lang AS lang_true, prof.plang,
+             count(*) AS hits
+      FROM dt JOIN prof ON dt.t = prof.t
+      GROUP BY dt.doc_id, dt.lang, prof.plang
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, plang AS lang_pred FROM (
+        SELECT doc_id, lang_true, plang,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY hits DESC, plang) AS rk
+        FROM overlap
+      ) WHERE rk = 1
+    )
+    SELECT lang_true, lang_pred, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang_true, lang_pred
+    """,
+)
+def doc_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-trigram profile language ID, evaluated as a confusion
+    matrix: top-{20} trigram profile per language (learned from the
+    corpus, broadcast back), prediction = max-overlap profile with a
+    deterministic (hits desc, lang) tie-break. One trigram-count
+    exchange + one broadcast join; the per-doc argmax window
+    partitions by doc_id."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents").where(F.length("text") >= 3)
+    lt = F.lower(F.col("text"))
+    tg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length(lt) - 2),
+                lambda i: F.substr(lt, i, F.lit(3)),
+            )
+        ).alias("t"),
+    )
+    counts = tg.groupBy("lang", "t").agg(F.count("*").alias("c"))
+    wl = Window.partitionBy("lang").orderBy(F.desc("c"), "t")
+    prof = (
+        counts.withColumn("rk", F.row_number().over(wl))
+        .where(F.col("rk") <= _TRIGRAM_PROFILE_K)
+        .select(F.col("lang").alias("plang"), "t")
+    )
+    dt = tg.distinct()
+    overlap = (
+        dt.join(F.broadcast(prof), "t")
+        .groupBy("doc_id", F.col("lang").alias("lang_true"), "plang")
+        .agg(F.count("*").alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(F.desc("hits"), "plang")
+    pred = (
+        overlap.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") == 1)
+        .select("lang_true", F.col("plang").alias("lang_pred"))
+    )
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

@@ -757,3 +757,28 @@ def test_kneser_ney_reuses_cached_counts_and_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_cep_pattern_single_user_exchange(spark):
+    """CEP = one hash exchange (per-user sequence agg); the regex is
+    row-local; no window, no join."""
+    plan = _plan(spark, "events_cep_pattern")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_trigram_langid_broadcasts_profiles(spark):
+    """Profiles (|langs|*K rows) must broadcast; the argmax window
+    partitions by doc_id, never SinglePartition."""
+    plan = _plan(spark, "doc_lang_id_trigram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_pair_batches_window_is_shard_partitioned(spark):
+    """Batch positions come from shard-partitioned windows — a global
+    row_number would serialize the pair table at scale."""
+    plan = _plan(spark, "multimodal_pair_batches")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
