@@ -1028,3 +1028,54 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .withColumn("cos", F.round("cos", 6))
     )
+
+
+# --- hubness diagnostic ------------------------------------------------
+# High-dimensional kNN structure is asymmetric: a few "hub" vectors
+# appear in a disproportionate share of other points' neighbor lists
+# (Radovanović et al. 2010), which skews retrieval and ANN index
+# balance. Measured on a deterministic query SAMPLE (vec_id % 10 = 0
+# — at corpus scale the sample is what you can afford, and it
+# estimates the same distribution), counting reverse-kNN occurrences
+# over exact top-5 lists.
+
+
+@register(
+    "emb_hubness",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+               FROM embeddings WHERE vec_id % 10 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+                  {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos
+           FROM q, c WHERE query_id <> neighbor_id
+         ),
+         r AS (
+           SELECT query_id, neighbor_id,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rn
+           FROM s
+         )
+    SELECT neighbor_id, CAST(count(*) AS BIGINT) AS hub_count
+    FROM r WHERE rn <= 5
+    GROUP BY neighbor_id
+    ORDER BY hub_count DESC, neighbor_id
+    LIMIT 20
+    """,
+)
+def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 hub vectors by reverse-kNN count over exact top-5 lists
+    of a 10% deterministic query sample. Sample rides the broadcast
+    contract of top-k search; the hub count is one small aggregation
+    over k×|sample| rows; top-20 is TakeOrdered."""
+    from mapreduce_word2vec_spark.operators.similarity import knn_bruteforce
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    topk = knn_bruteforce(emb, emb.where(F.col("vec_id") % 10 == 0), k=5)
+    return (
+        topk.groupBy("neighbor_id")
+        .agg(F.count("*").cast("bigint").alias("hub_count"))
+        .orderBy(F.desc("hub_count"), "neighbor_id")
+        .limit(20)
+    )

@@ -1516,3 +1516,96 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_conversions"
         ),
     )
+
+
+# --- time-bounded window funnel (ClickHouse windowFunnel parity) ------
+# Greedy earliest-match funnel depth: t1 = first 'view'; t2 = first
+# 'click' within 1h AFTER t1; t3 = first 'purchase' within 1h after
+# t2; depth = number of steps reached. Three user-keyed aggregations
+# + two user-keyed joins — each partitions by user_id, nothing
+# global. Microsecond epoch arithmetic on both engines (the
+# unix_micros ≡ epoch_us convention).
+
+_FUNNEL_WINDOW_US = 3_600 * 1_000_000
+
+
+@register(
+    "events_window_funnel",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t1 AS (
+      SELECT user_id, min(epoch_us(ts)) AS t1
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click'
+        AND epoch_us(e.ts) >= t1.t1
+        AND epoch_us(e.ts) <= t1.t1 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase'
+        AND epoch_us(e.ts) >= t2.t2
+        AND epoch_us(e.ts) <= t2.t2 + {_FUNNEL_WINDOW_US}
+      GROUP BY e.user_id
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                     WHEN t2.t2 IS NOT NULL THEN 2
+                     WHEN t1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_depth,
+           t1.t1 AS t_view_us, t2.t2 AS t_click_us, t3.t3 AS t_purchase_us
+    FROM u LEFT JOIN t1 ON u.user_id = t1.user_id
+           LEFT JOIN t2 ON u.user_id = t2.user_id
+           LEFT JOIN t3 ON u.user_id = t3.user_id
+    """,
+)
+def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel depth per user (windowFunnel semantics,
+    greedy earliest match, 1h step timeout)."""
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    u = ev.select("user_id").distinct()
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .where((F.col("us") >= F.col("t1")) & (F.col("us") <= F.col("t1") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .where((F.col("us") >= F.col("t2")) & (F.col("us") <= F.col("t2") + _FUNNEL_WINDOW_US))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t3"))
+    )
+    depth = (
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    return (
+        u.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            depth.alias("funnel_depth"),
+            F.col("t1").alias("t_view_us"),
+            F.col("t2").alias("t_click_us"),
+            F.col("t3").alias("t_purchase_us"),
+        )
+    )

@@ -3130,3 +3130,75 @@ def doc_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang_true", "lang_pred").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+# --- per-source quality quantile normalization ------------------------
+# Raw quality scores aren't comparable across domains (a "good" forum
+# post scores lower than a mediocre encyclopedia page), so production
+# filters threshold per-source QUANTILES, not global scores
+# (CCNet-style per-shard head/middle/tail, RefinedWeb per-domain
+# budgets). Rank windows partition by source — never global.
+
+
+@register(
+    "select_quality_quantile",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_SQL_TOKENS} AS ws,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source,
+             len(ws) AS n_words,
+             len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS n_stop,
+             n_chars, n_punct
+      FROM t
+    ), q AS (
+      SELECT doc_id, source,
+             round(
+               0.4 * least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
+               + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
+               + 0.3 * least((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0),
+             6) AS quality
+      FROM m
+    ), r AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM q
+    )
+    SELECT doc_id, source, quality,
+           round((rn - 1) * 1.0 / n, 6) AS src_pct,
+           rn <= ceil(n * 0.5) AS kept
+    FROM r
+    """,
+)
+def select_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality quantile selection: rank documents WITHIN
+    their source by the heuristic quality score (deterministic
+    (quality desc, doc_id) order), keep each source's top half. One
+    source-partitioned window exchange; no global ordering anywhere."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id", "source", quality_score_expr(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), "doc_id")
+    wn = Window.partitionBy("source")
+    r = q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round((F.col("rn") - 1) / F.col("n"), 6).alias("src_pct"),
+        (F.col("rn") <= F.ceil(F.col("n") * 0.5)).alias("kept"),
+    )

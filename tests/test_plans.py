@@ -782,3 +782,24 @@ def test_pair_batches_window_is_shard_partitioned(spark):
     plan = _plan(spark, "multimodal_pair_batches")
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_quality_quantile_windows_partition_by_source(spark):
+    plan = _plan(spark, "select_quality_quantile")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_window_funnel_all_joins_keyed_no_global(spark):
+    """Every funnel stage joins/aggregates on user_id — no cartesian,
+    no nested loop, no unpartitioned window."""
+    plan = _plan(spark, "events_window_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_hubness_topk_is_take_ordered(spark):
+    plan = _plan(spark, "emb_hubness")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
