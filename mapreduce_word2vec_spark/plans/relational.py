@@ -5119,3 +5119,64 @@ def scalar_base64_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.decode(F.unbase64(F.base64(raw)), "UTF-8").alias("roundtrip"),
         F.octet_length(raw).cast("int").alias("n_bytes"),
     )
+
+
+# --- binned id-gap detection -------------------------------------------
+# "Find the missing ids" over a key ledger. The classic form is ONE
+# global lead() — an unpartitioned window that serializes the table.
+# The scale-safe form here: keys bucket by k // 1024, gaps WITHIN a
+# bucket come from a bucket-partitioned lead, and gaps that CROSS
+# bucket boundaries come from a global lead over the per-bucket
+# (min, max) aggregate — a table 1024x smaller, the bounded-input
+# global-window pattern. Union of the two is exactly the global-lead
+# answer. Detected over the 'F' order subset (the full synthetic key
+# space is dense).
+
+_GAP_BUCKET = 1024
+
+
+@register(
+    "orders_id_gaps",
+    oracle="""
+    WITH k AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+    l AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k)
+    SELECT CAST(k + 1 AS BIGINT) AS gap_start,
+           CAST(nxt - 1 AS BIGINT) AS gap_end,
+           CAST(nxt - k - 1 AS BIGINT) AS gap_len
+    FROM l WHERE nxt > k + 1
+    """,
+)
+def orders_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-id ranges in the 'F'-status order ledger via the
+    two-level binned scheme (bucket-partitioned lead + tiny
+    cross-bucket stitch) — no global window over the key table."""
+    from pyspark.sql import Window
+
+    keys = (
+        rt(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("k"))
+    )
+    bucket = F.floor(F.col("k") / _GAP_BUCKET)
+    wb = Window.partitionBy(bucket).orderBy("k")
+    within = (
+        keys.select("k", F.lead("k").over(wb).alias("nxt"))
+        .where(F.col("nxt") > F.col("k") + 1)
+    )
+    # Per-bucket envelope: tiny table (|keys| / 1024 rows), global
+    # lead over it is the documented bounded-input pattern.
+    env = keys.groupBy(bucket.alias("b")).agg(
+        F.min("k").alias("mn"), F.max("k").alias("mx")
+    )
+    we = Window.orderBy("b")
+    boundary = (
+        env.select("mx", F.lead("mn").over(we).alias("next_mn"))
+        .where(F.col("next_mn") > F.col("mx") + 1)
+        .select(F.col("mx").alias("k"), F.col("next_mn").alias("nxt"))
+    )
+    gaps = within.unionByName(boundary)
+    return gaps.select(
+        (F.col("k") + 1).cast("bigint").alias("gap_start"),
+        (F.col("nxt") - 1).cast("bigint").alias("gap_end"),
+        (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("gap_len"),
+    )

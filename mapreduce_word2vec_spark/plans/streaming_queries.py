@@ -1609,3 +1609,126 @@ def events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t3").alias("t_purchase_us"),
         )
     )
+
+
+# --- Kaplan-Meier reliability survival --------------------------------
+# Survival analysis over event streams: per-user time from first
+# activity to FIRST ERROR (hours), administratively right-censored at
+# a 72h observation window (users with no error inside the window are
+# censored, not failed — dropping them would bias the curve). The KM
+# product rides an ordered window over the per-hour aggregate — the
+# duration domain is bounded by the observation window (<= 72 rows),
+# so the unpartitioned window is the documented bounded-input
+# global-window pattern (SCALE.md), not a corpus-scale sort.
+
+_KM_WINDOW_H = 72
+_KM_H_US = 3_600 * 1_000_000
+
+
+@register(
+    "events_survival_km",
+    oracle=f"""
+    WITH t0s AS (
+      SELECT user_id, min(epoch_us(ts)) AS t0
+      FROM events GROUP BY user_id
+    ),
+    errs AS (
+      SELECT user_id, min(epoch_us(ts)) AS te
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    ),
+    durs AS (
+      SELECT CASE WHEN te IS NOT NULL
+                   AND (te - t0) // {_KM_H_US} < {_KM_WINDOW_H}
+                  THEN (te - t0) // {_KM_H_US}
+                  ELSE {_KM_WINDOW_H} END AS dur,
+             NOT (te IS NOT NULL
+                  AND (te - t0) // {_KM_H_US} < {_KM_WINDOW_H}) AS censored
+      FROM t0s LEFT JOIN errs USING (user_id)
+    ),
+    byhour AS (
+      SELECT CAST(dur AS BIGINT) AS dur,
+             CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT) AS n_failed,
+             CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS n_censored
+      FROM durs GROUP BY dur
+    ),
+    risk AS (
+      SELECT dur, n_failed, n_censored,
+             CAST((SELECT count(*) FROM durs)
+               - coalesce(sum(n_failed + n_censored) OVER (
+                   ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS n_at_risk
+      FROM byhour
+    )
+    SELECT dur AS duration_hours, n_at_risk, n_failed, n_censored,
+           round(exp(sum(CASE WHEN n_failed > 0
+                              THEN ln(1.0 - n_failed * 1.0 / n_at_risk)
+                              ELSE 0.0 END)
+                     OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW)), 6) AS survival
+    FROM risk
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-error survival with administrative
+    censoring at 72h: per-hour failures/censoring, at-risk counts,
+    and the product-limit estimate (exp-sum-log so the running
+    product is a plain cumulative window aggregate)."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    t0s = ev.groupBy("user_id").agg(F.min("us").alias("t0"))
+    errs = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("te"))
+    )
+    failed_in_window = F.col("te").isNotNull() & (
+        F.floor((F.col("te") - F.col("t0")) / F.lit(_KM_H_US)) < _KM_WINDOW_H
+    )
+    durs = t0s.join(errs, "user_id", "left").select(
+        F.when(
+            failed_in_window,
+            F.floor((F.col("te") - F.col("t0")) / F.lit(_KM_H_US)),
+        )
+        .otherwise(F.lit(_KM_WINDOW_H))
+        .alias("dur"),
+        (~failed_in_window).alias("censored"),
+    )
+    byhour = durs.groupBy("dur").agg(
+        F.sum(F.when(F.col("censored"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_failed"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_censored"),
+    )
+    total = durs.agg(F.count("*").alias("n_total"))
+    w_prev = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = byhour.crossJoin(F.broadcast(total)).select(
+        "dur",
+        "n_failed",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("n_failed") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            )
+        )
+        .cast("bigint")
+        .alias("n_at_risk"),
+    )
+    log_term = F.when(
+        F.col("n_failed") > 0,
+        F.log(F.lit(1.0) - F.col("n_failed") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    return risk.select(
+        F.col("dur").cast("bigint").alias("duration_hours"),
+        "n_at_risk",
+        "n_failed",
+        "n_censored",
+        F.round(F.exp(F.sum(log_term).over(w_cum)), 6).alias("survival"),
+    )

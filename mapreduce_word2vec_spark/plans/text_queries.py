@@ -3202,3 +3202,82 @@ def select_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.col("rn") - 1) / F.col("n"), 6).alias("src_pct"),
         (F.col("rn") <= F.ceil(F.col("n") * 0.5)).alias("kept"),
     )
+
+
+# --- deterministic Poisson bootstrap -----------------------------------
+# Confidence intervals at corpus scale: the Poisson bootstrap (each
+# row enters replicate r with weight ~ Poisson(1), drawn INDEPENDENTLY
+# per row — no global resample needed, which is what makes bootstrap
+# distributable). Weights come from an integer hash compared against
+# integer-floor CDF thresholds — no float RNG, bit-identical in any
+# engine. Metric kept integer (token counts) so replicate sums are
+# exact; one division at the end.
+
+_BOOT_R = 20
+_BOOT_MIX_D = 2_654_435_761
+_BOOT_MIX_R = 40_503
+_BOOT_OFF = 12_345
+_BOOT_M = 4_294_967_296  # 2^32
+# floor(CDF_Poisson(1)(k) * 2^32) for k = 0..5; weights cap at 6.
+_BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
+
+
+def _boot_w_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_BOOT_T)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_SQL_TOKENS}) AS n_words FROM documents
+    ),
+    reps AS (
+      SELECT doc_id, n_words, CAST(r AS INT) AS replicate,
+             (doc_id * {_BOOT_MIX_D} + r * {_BOOT_MIX_R} + {_BOOT_OFF})
+               % {_BOOT_M} AS u
+      FROM toks CROSS JOIN (SELECT unnest(range(0, {_BOOT_R})) AS r)
+    ),
+    w AS (SELECT replicate, n_words, {_boot_w_sql("u")} AS w FROM reps)
+    SELECT replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           round(sum(w * n_words) * 1.0 / sum(w), 6) AS boot_mean_words
+    FROM w GROUP BY replicate
+    """,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap replicate means of per-document token counts:
+    {20} replicates, integer hash → Poisson(1) weight per (doc,
+    replicate), one partial-aggregated exchange on the replicate key.
+    Replicate spread estimates the sampling CI of the corpus mean."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.size(tokens_expr("text")).alias("n_words"))
+    reps = toks.select(
+        "doc_id",
+        "n_words",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1))).alias("replicate"),
+    ).select(
+        "n_words",
+        F.col("replicate").cast("int").alias("replicate"),
+        (
+            (
+                F.col("doc_id") * _BOOT_MIX_D
+                + F.col("replicate") * _BOOT_MIX_R
+                + _BOOT_OFF
+            )
+            % _BOOT_M
+        ).alias("u"),
+    )
+    w = F.lit(6)
+    for k, t in reversed(list(enumerate(_BOOT_T))):
+        w = F.when(F.col("u") < t, F.lit(k)).otherwise(w)
+    weighted = reps.select("replicate", "n_words", w.alias("w"))
+    return weighted.groupBy("replicate").agg(
+        F.sum("w").cast("bigint").alias("n_eff"),
+        F.round(
+            F.sum(F.col("w") * F.col("n_words")) / F.sum("w"), 6
+        ).alias("boot_mean_words"),
+    )

@@ -803,3 +803,29 @@ def test_hubness_topk_is_take_ordered(spark):
     plan = _plan(spark, "emb_hubness")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_id_gaps_windows_are_bucket_partitioned(spark):
+    """The key-table lead must partition by bucket; only the per-bucket
+    envelope (1024x smaller) may ride a SinglePartition window."""
+    plan = _plan(spark, "orders_id_gaps")
+    assert "Exchange hashpartitioning" in plan
+    # the full key table never hits a single partition: the only
+    # SinglePartition exchange consumes the bucket-envelope aggregate
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
+def test_poisson_bootstrap_partial_aggregates(spark):
+    """Replicate sums must partial-aggregate (20 rows per map task),
+    never shuffle raw (doc x replicate) rows unreduced."""
+    plan = _plan(spark, "sample_poisson_bootstrap")
+    assert "partial_sum" in plan
+    assert "Join" not in plan
+
+
+def test_survival_km_windows_run_on_hour_aggregate(spark):
+    """KM's unpartitioned windows are legal ONLY because they consume
+    the bounded per-hour aggregate — assert the aggregation happens
+    before any window."""
+    plan = _plan(spark, "events_survival_km")
+    assert "HashAggregate" in plan.split("Window")[-1]  # agg below the window
