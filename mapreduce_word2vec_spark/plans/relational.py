@@ -5180,3 +5180,69 @@ def orders_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nxt") - 1).cast("bigint").alias("gap_end"),
         (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("gap_len"),
     )
+
+
+# --- small-files compaction planner ------------------------------------
+# The lakehouse OPTIMIZE planner: given a file manifest (here, one
+# synthetic "file" per l_shipdate with bytes ∝ row count), assign
+# consecutive files to output groups of ~target size via a running
+# cumulative sum. The cumsum window is global BUT runs on the
+# MANIFEST (one row per file — metadata-scale, thousands of rows for
+# petabyte tables), which is the documented bounded-input pattern;
+# the planner never touches data rows.
+
+_COMPACT_ROW_BYTES = 128
+_COMPACT_TARGET = 1_048_576  # 1 MiB output groups
+
+
+@register(
+    "layout_compaction_plan",
+    oracle=f"""
+    WITH manifest AS (
+      SELECT l_shipdate AS file_date,
+             CAST(count(*) * {_COMPACT_ROW_BYTES} AS BIGINT) AS bytes
+      FROM lineitem GROUP BY l_shipdate
+    ),
+    planned AS (
+      SELECT file_date, bytes,
+             CAST(coalesce(sum(bytes) OVER (
+               ORDER BY file_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_COMPACT_TARGET} AS BIGINT) AS group_id
+      FROM manifest
+    )
+    SELECT group_id,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS total_bytes,
+           min(file_date) AS first_date,
+           max(file_date) AS last_date
+    FROM planned GROUP BY group_id
+    """,
+)
+def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction plan over the per-shipdate file manifest: greedy
+    consecutive fill to ~1 MiB groups via a prefix-sum window on the
+    metadata table, then per-group file counts/bytes/date spans."""
+    from pyspark.sql import Window
+
+    manifest = (
+        rt(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_shipdate").alias("file_date"))
+        .agg((F.count("*") * _COMPACT_ROW_BYTES).cast("bigint").alias("bytes"))
+    )
+    w = Window.orderBy("file_date").rowsBetween(Window.unboundedPreceding, -1)
+    planned = manifest.select(
+        "file_date",
+        "bytes",
+        F.floor(
+            F.coalesce(F.sum("bytes").over(w), F.lit(0)) / _COMPACT_TARGET
+        )
+        .cast("bigint")
+        .alias("group_id"),
+    )
+    return planned.groupBy("group_id").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+        F.min("file_date").alias("first_date"),
+        F.max("file_date").alias("last_date"),
+    )

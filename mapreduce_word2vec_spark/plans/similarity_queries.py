@@ -1079,3 +1079,89 @@ def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("hub_count"), "neighbor_id")
         .limit(20)
     )
+
+
+# --- IVF list-balance report -------------------------------------------
+# The index-QA companion to knn_ivf_probe/knn_ivf_recall: assign EVERY
+# vector to its nearest coarse centroid and report per-list sizes and
+# how many vectors left their native cluster. Unbalanced inverted
+# lists are the IVF failure mode (one hot list ⇒ probe cost collapses
+# to brute force); the assignment is the standard K-way broadcast
+# argmin every IVF build pays.
+
+
+@register(
+    "emb_ivf_balance",
+    oracle=f"""
+    WITH {_SQL_CENTROID},
+    v AS (SELECT vec_id, embedding AS qe, label AS native FROM embeddings),
+    a AS (
+      SELECT vec_id, native, label AS assigned,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(range(1, len(qe) + 1),
+                                 i -> CAST(qe[i] AS DOUBLE) * ce[i]))
+                        / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                           * sqrt(list_sum(list_transform(ce, x -> x * x)))) DESC,
+                        label
+             ) AS rn
+      FROM v CROSS JOIN cent
+    )
+    SELECT assigned AS centroid_label,
+           CAST(count(*) AS BIGINT) AS list_size,
+           CAST(sum(CASE WHEN native = assigned THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_native,
+           CAST(sum(CASE WHEN native = assigned THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_reassigned
+    FROM a WHERE rn = 1
+    GROUP BY assigned
+    """,
+)
+def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-list sizes of the IVF coarse quantizer (nearest
+    per-label centroid, cosine, deterministic tie-break) with native
+    vs reassigned membership counts — the list-balance acceptance
+    report run after every index build."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select(
+            F.col("label").alias("clabel"),
+            F.transform("pv", lambda s: s["mv"]).alias("ce"),
+        )
+    )
+    v = emb.select(
+        "vec_id",
+        F.col("label").alias("native"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    cos = dot_expr(F.col("qe"), F.col("ce")) / (
+        norm_expr(F.col("qe")) * norm_expr(F.col("ce"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "assigned")
+    a = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "native", F.col("clabel").alias("assigned"), cos.alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+    )
+    return a.groupBy(F.col("assigned").alias("centroid_label")).agg(
+        F.count("*").cast("bigint").alias("list_size"),
+        F.sum(F.when(F.col("native") == F.col("assigned"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_native"),
+        F.sum(F.when(F.col("native") == F.col("assigned"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_reassigned"),
+    )

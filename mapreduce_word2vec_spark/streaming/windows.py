@@ -293,3 +293,53 @@ def stateful_running_counts_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+CEP_SCHEMA = "user_id long, n_seen long, n_conversions long"
+_CEP_STATE_SCHEMA = "us array<long>, eid array<long>, ch array<string>"
+CEP_PATTERN = "v[^e]*?c[^e]*?p"  # shared with plans.streaming_queries
+_CEP_CHAR = {"view": "v", "click": "c", "signup": "s", "purchase": "p"}
+
+
+def stateful_cep_counts(events: DataFrame) -> DataFrame:
+    """Streaming CEP (pattern = view→click→purchase, no error between)
+    via applyInPandasWithState: per-user state BUFFERS the out-of-order
+    symbols seen so far (micro-batch file order is not event-time
+    order, and the pattern count is order-sensitive, so a CEP engine
+    must buffer until order is safe — here, until replay end; a
+    watermark-evicting variant would trim the buffer below the
+    horizon). Each batch re-emits the (ts, event_id)-ordered match
+    count; the final emission per user equals the batch
+    ``events_cep_pattern`` answer."""
+    import re as _re
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    pat = _re.compile(CEP_PATTERN)
+
+    def update(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        us, eid, ch = (list(state.get[0]), list(state.get[1]), list(state.get[2])) \
+            if state.exists else ([], [], [])
+        for pdf in batches:
+            for ts, e, t in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                us.append(int(ts.value // 1_000))
+                eid.append(int(e))
+                ch.append(_CEP_CHAR.get(t, "e"))
+        state.update((us, eid, ch))
+        order = sorted(range(len(us)), key=lambda i: (us[i], eid[i]))
+        seq = "".join(ch[i] for i in order)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_seen": [len(seq)],
+                "n_conversions": [len(pat.findall(seq))],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        CEP_SCHEMA,
+        _CEP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -829,3 +829,18 @@ def test_survival_km_windows_run_on_hour_aggregate(spark):
     before any window."""
     plan = _plan(spark, "events_survival_km")
     assert "HashAggregate" in plan.split("Window")[-1]  # agg below the window
+
+
+def test_ivf_balance_broadcasts_centroids(spark):
+    """Assignment must broadcast the K centroids (never shuffle the
+    corpus against them); the argmin window partitions by vec_id."""
+    plan = _plan(spark, "emb_ivf_balance")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_compaction_plan_window_runs_on_manifest(spark):
+    """The prefix-sum window must consume the per-date AGGREGATE
+    (metadata-scale), not raw lineitem rows."""
+    plan = _plan(spark, "layout_compaction_plan")
+    assert "HashAggregate" in plan.split("Window")[-1]

@@ -374,3 +374,25 @@ def test_transform_with_state_running_counts(spark):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stateful_cep_equals_batch_pattern_counts(spark, events_dir):
+    """Streaming CEP (buffered state machine) converges to the batch
+    events_cep_pattern counts once the full corpus is replayed: for
+    every user the final emission (max n_seen) carries the same
+    conversion count."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.streaming.windows import stateful_cep_counts
+
+    batch = read_testdata(spark, SF_SMOKE, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_dir)
+    got = _run_stream(spark, stateful_cep_counts(stream), "t_cep",
+                      output_mode="update")
+    final = got.groupBy("user_id").agg(
+        F.max_by("n_conversions", "n_seen").alias("n_conversions"),
+        F.max("n_seen").alias("seq_len"),
+    )
+    expected = catalog.queries()["events_cep_pattern"](spark, SF_SMOKE).select(
+        "user_id", "n_conversions", "seq_len"
+    )
+    assert _rows(final.select("user_id", "n_conversions", "seq_len")) == _rows(expected)
