@@ -439,3 +439,82 @@ def multimodal_pair_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("label").cast("bigint").alias("n_labels"),
         (F.count("*") > F.countDistinct("label")).alias("has_false_negative"),
     )
+
+
+# --- scene-cut detection -----------------------------------------------
+# The standard first pass of a video curation pipeline: a scene cut
+# is a big jump in mean frame luminance between consecutive frames
+# (here: mean payload-byte value per frame over the same 4-frame
+# slicing multimodal_frames uses). Per-document lag window — one
+# doc-keyed exchange; thresholding is row-local.
+
+_SCENE_CUT_DELTA = 2.0
+
+
+@register(
+    "multimodal_scene_cuts",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, text, greatest(1, length(text) // 4) AS step
+      FROM documents
+    ),
+    f AS (SELECT doc_id, text, step, unnest(range(0, 4)) AS frame_idx FROM p),
+    c AS (
+      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+             list_transform(split(substring(text, CAST(frame_idx * step + 1 AS INT),
+                                            CAST(step AS INT)), ''),
+                            ch -> ascii(ch)) AS cs
+      FROM f
+    ),
+    lum AS (
+      SELECT doc_id, frame_idx,
+             CAST(list_sum(cs) AS DOUBLE) / len(cs) AS luma
+      FROM c WHERE len(cs) > 0
+    ),
+    d AS (
+      SELECT doc_id, frame_idx, luma,
+             luma - lag(luma) OVER (PARTITION BY doc_id ORDER BY frame_idx)
+               AS delta
+      FROM lum
+    )
+    SELECT doc_id, frame_idx, round(abs(delta), 6) AS luma_delta
+    FROM d WHERE abs(delta) > {_SCENE_CUT_DELTA}
+    """,
+)
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene cuts in the synthetic "video" payloads: frames where the
+    mean-byte luminance jumps more than {2.0} against the previous
+    frame (per-doc lag window over the 4-frame slicing)."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    step = F.greatest(F.lit(1), F.floor(F.length("text") / 4))
+    f = docs.select(
+        "doc_id",
+        "text",
+        step.alias("step"),
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("frame_idx"),
+    )
+    chunk = F.substring(
+        F.col("text"),
+        (F.col("frame_idx") * F.col("step") + 1).cast("int"),
+        F.col("step").cast("int"),
+    )
+    cs = F.transform(F.split(chunk, ""), F.ascii)
+    lum = f.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (
+            F.aggregate(cs, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+            / F.size(cs)
+        ).alias("luma"),
+    ).where(F.length(chunk) > 0)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    d = lum.select(
+        "doc_id",
+        "frame_idx",
+        (F.col("luma") - F.lag("luma").over(w)).alias("delta"),
+    )
+    return d.where(F.abs("delta") > _SCENE_CUT_DELTA).select(
+        "doc_id", "frame_idx", F.round(F.abs("delta"), 6).alias("luma_delta")
+    )

@@ -5246,3 +5246,73 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_date").alias("first_date"),
         F.max("file_date").alias("last_date"),
     )
+
+
+# --- SCD2 as-of read -----------------------------------------------------
+# The read half of merge_scd2: reconstruct the dimension AS OF a
+# point in time with the validity-interval predicate
+# valid_from <= t < coalesce(valid_to, +inf) — how every fact join
+# against a type-2 dimension works. Two literal snapshot dates, one
+# on each side of the 2024-01-01 segment change, summarized as
+# per-segment counts.
+
+
+@register(
+    "scd2_asof_read",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey,
+             CASE WHEN v = 1 AND c_acctbal > 9000 THEN 'VIP'
+                  ELSE c_mktsegment END AS seg,
+             CASE WHEN v = 0 THEN TIMESTAMP '2020-01-01 00:00:00'
+                  ELSE TIMESTAMP '2024-01-01 00:00:00' END AS valid_from,
+             CASE WHEN v = 0 AND c_acctbal > 9000
+                  THEN TIMESTAMP '2024-01-01 00:00:00' END AS valid_to
+      FROM customer CROSS JOIN (SELECT unnest(range(0, 2)) AS v)
+      WHERE v = 0 OR c_acctbal > 9000
+    ),
+    snaps AS (
+      SELECT * FROM (VALUES (TIMESTAMP '2022-06-01 00:00:00'),
+                            (TIMESTAMP '2024-06-01 00:00:00')) AS t(snap_at)
+    )
+    SELECT snap_at, seg, CAST(count(*) AS BIGINT) AS n_customers
+    FROM snaps JOIN dim
+      ON valid_from <= snap_at AND (valid_to IS NULL OR snap_at < valid_to)
+    GROUP BY snap_at, seg
+    """,
+)
+def scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension reads over the SCD2 history built by
+    merge_scd2's scenario (VIP re-segmentation on 2024-01-01):
+    validity-interval semi-filter per snapshot date, per-segment
+    counts. The snapshot list broadcasts; history scans once."""
+    cust = rt(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    v0 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2020-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.when(
+            F.col("c_acctbal") > 9000,
+            F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    v1 = cust.where(F.col("c_acctbal") > 9000).select(
+        "c_custkey",
+        F.lit("VIP").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v0.unionByName(v1)
+    snaps = spark.createDataFrame(
+        [("2022-06-01 00:00:00",), ("2024-06-01 00:00:00",)], "asof_s string"
+    ).select(F.col("asof_s").cast("timestamp").alias("snap_at"))
+    j = dim.join(
+        F.broadcast(snaps),
+        (F.col("valid_from") <= F.col("snap_at"))
+        & (F.col("valid_to").isNull() | (F.col("snap_at") < F.col("valid_to"))),
+    )
+    return j.groupBy("snap_at", "seg").agg(
+        F.count("*").cast("bigint").alias("n_customers")
+    )

@@ -3281,3 +3281,66 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("n_words")) / F.sum("w"), 6
         ).alias("boot_mean_words"),
     )
+
+
+# --- word burstiness ----------------------------------------------------
+# Burstiness (variance-to-mean ratio of per-document counts, zeros
+# included) separates topical words (bursty: absent mostly, frequent
+# where present) from function words (VMR ≈ uniform). Integer sum /
+# sum-of-squares accumulators make both engines' floats identical;
+# the per-word stats table is vocabulary-sized.
+
+_BURST_TOPK = 50
+
+
+@register(
+    "corpus_burstiness",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    per AS (
+      SELECT word, doc_id, count(*) AS c
+      FROM (SELECT doc_id, unnest(ws) AS word FROM toks)
+      GROUP BY word, doc_id
+    ),
+    stats AS (
+      SELECT word,
+             CAST(sum(c) AS BIGINT) AS total,
+             CAST(sum(c * c) AS BIGINT) AS sumsq,
+             CAST(count(*) AS BIGINT) AS df
+      FROM per GROUP BY word
+    )
+    SELECT word, total, df,
+           round((CAST(sumsq AS DOUBLE) / n_docs
+                  - (CAST(total AS DOUBLE) / n_docs) * (CAST(total AS DOUBLE) / n_docs))
+                 / (CAST(total AS DOUBLE) / n_docs), 6) AS vmr
+    FROM stats CROSS JOIN n
+    ORDER BY total DESC, word
+    LIMIT {_BURST_TOPK}
+    """,
+)
+def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean ratio of per-document counts (zeros included
+    via the N-docs closed form) for the top-{50} words: one
+    (word, doc) count exchange, one vocab-sized rollup, top-k via
+    TakeOrdered."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    per = (
+        docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("word", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = per.groupBy("word").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sumsq"),
+        F.count("*").cast("bigint").alias("df"),
+    )
+    j = stats.crossJoin(F.broadcast(n))
+    mean = F.col("total").cast("double") / F.col("n_docs")
+    vmr = (F.col("sumsq").cast("double") / F.col("n_docs") - mean * mean) / mean
+    return (
+        j.select("word", "total", "df", F.round(vmr, 6).alias("vmr"))
+        .orderBy(F.desc("total"), "word")
+        .limit(_BURST_TOPK)
+    )

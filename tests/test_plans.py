@@ -844,3 +844,21 @@ def test_compaction_plan_window_runs_on_manifest(spark):
     (metadata-scale), not raw lineitem rows."""
     plan = _plan(spark, "layout_compaction_plan")
     assert "HashAggregate" in plan.split("Window")[-1]
+
+
+def test_scene_cuts_window_is_doc_partitioned(spark):
+    plan = _plan(spark, "multimodal_scene_cuts")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_burstiness_topk_take_ordered_and_partial_agg(spark):
+    plan = _plan(spark, "corpus_burstiness")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+
+
+def test_scd2_asof_broadcasts_snapshot_list(spark):
+    plan = _plan(spark, "scd2_asof_read")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
