@@ -5316,3 +5316,204 @@ def scd2_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("snap_at", "seg").agg(
         F.count("*").cast("bigint").alias("n_customers")
     )
+
+
+# --- nearest as-of join ---------------------------------------------------
+# Completes the as-of family (backward = join_asof, forward =
+# join_asof_forward): match the temporally NEAREST right row in
+# either direction, ties to the backward match. Composed from the
+# same union+window single-shuffle operator run in both directions,
+# then a row-local arbitration — two key-partitioned exchanges total,
+# still no join-operator explosion.
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH clicks AS (SELECT event_id, ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts, event_id AS pid, value AS pval
+                   FROM events WHERE event_type = 'purchase'),
+    b AS (
+      SELECT c.event_id, c.user_id, c.ts, c.value, p.pid AS pb, p.ts AS tb
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts
+    ),
+    f AS (
+      SELECT c.event_id, p.pid AS pf, p.ts AS tf
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts <= p.ts
+    ),
+    j AS (SELECT b.*, f.pf, f.tf FROM b JOIN f USING (event_id)),
+    pick AS (
+      SELECT *,
+             CASE WHEN pb IS NOT NULL AND (pf IS NULL OR
+                       epoch_us(ts) - epoch_us(tb) <= epoch_us(tf) - epoch_us(ts))
+                  THEN 'backward'
+                  WHEN pf IS NOT NULL THEN 'forward' END AS direction
+      FROM j
+    )
+    SELECT user_id, event_id, ts, value,
+           CASE direction WHEN 'backward' THEN pb WHEN 'forward' THEN pf END
+             AS nearest_purchase_id,
+           CAST(CASE direction
+                  WHEN 'backward' THEN epoch_us(ts) - epoch_us(tb)
+                  WHEN 'forward' THEN epoch_us(tf) - epoch_us(ts)
+                END AS BIGINT) AS dt_us,
+           direction
+    FROM pick
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-purchase as-of join per click (|Δt| arbitration, ties
+    backward)."""
+    from mapreduce_word2vec_spark.operators.asof import asof_join
+
+    ev = rt(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("pid")
+    )
+    b = asof_join(
+        clicks, purch, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["pid"], direction="backward",
+    ).select(
+        "event_id", "user_id", "ts", "value",
+        F.col("pid").alias("pb"), F.col("ts_right").alias("tb"),
+    )
+    f = asof_join(
+        clicks, purch, on="user_id", left_time="ts", right_time="ts",
+        right_cols=["pid"], direction="forward",
+    ).select("event_id", F.col("pid").alias("pf"), F.col("ts_right").alias("tf"))
+    j = b.join(f, "event_id")
+    us = F.unix_micros
+    backward_wins = F.col("pb").isNotNull() & (
+        F.col("pf").isNull()
+        | (us(F.col("ts")) - us(F.col("tb")) <= us(F.col("tf")) - us(F.col("ts")))
+    )
+    direction = (
+        F.when(backward_wins, "backward")
+        .when(F.col("pf").isNotNull(), "forward")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return j.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(direction == "backward", F.col("pb"))
+        .when(direction == "forward", F.col("pf"))
+        .alias("nearest_purchase_id"),
+        F.when(direction == "backward", us(F.col("ts")) - us(F.col("tb")))
+        .when(direction == "forward", us(F.col("tf")) - us(F.col("ts")))
+        .cast("bigint")
+        .alias("dt_us"),
+        direction.alias("direction"),
+    )
+
+
+# --- Neyman-allocation stratified sampling --------------------------------
+# Optimal stratified sampling: allocate a fixed budget across strata
+# ∝ N_h·S_h (bigger and more variable strata get more samples), then
+# hash-sample each stratum at its allocated rate. All moments are
+# integer-cent accumulators (exact across engines); membership is an
+# INTEGER comparison hash·N_h < alloc·2^32 — no float RNG anywhere.
+# Two passes: a stratum-moment aggregate (broadcastable — one row per
+# stratum) and a row-local keep test.
+
+_NEYMAN_BUDGET = 1_000
+_NEYMAN_HASH_A = 40_503
+_NEYMAN_M = 4_294_967_296  # 2^32
+
+
+@register(
+    "sample_stratified_neyman",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment AS seg,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+      FROM customer
+    ),
+    moments AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n_pop,
+             sum(bal_c) AS s1, sum(bal_c * bal_c) AS s2
+      FROM cents GROUP BY seg
+    ),
+    stats AS (
+      SELECT seg, n_pop,
+             sqrt(CAST(s2 AS DOUBLE) / n_pop
+                  - (CAST(s1 AS DOUBLE) / n_pop) * (CAST(s1 AS DOUBLE) / n_pop))
+               AS s_cents
+      FROM moments
+    ),
+    alloc AS (
+      SELECT seg, n_pop, s_cents,
+             CAST(floor({_NEYMAN_BUDGET} * (n_pop * s_cents)
+                        / (SELECT sum(n_pop * s_cents) FROM stats) + 0.5) AS BIGINT)
+               AS alloc_n
+      FROM stats
+    ),
+    sampled AS (
+      SELECT c.seg,
+             CASE WHEN ((c.c_custkey % {_NEYMAN_M}) * {_NEYMAN_HASH_A})
+                       % {_NEYMAN_M} * a.n_pop < a.alloc_n * {_NEYMAN_M}
+                  THEN 1 ELSE 0 END AS kept
+      FROM cents c JOIN alloc a USING (seg)
+    )
+    SELECT a.seg, a.n_pop, round(a.s_cents, 6) AS s_cents, a.alloc_n,
+           CAST((SELECT sum(kept) FROM sampled s WHERE s.seg = a.seg) AS BIGINT)
+             AS n_sampled
+    FROM alloc a
+    """,
+)
+def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample of customers by market
+    segment (budget {1000}): exact integer-cent stratum moments,
+    allocation ∝ N_h·S_h, integer-hash membership at the allocated
+    rate. Moments broadcast back; one customer scan per pass."""
+    cust = rt(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    moments = cust.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum("bal_c").alias("s1"),
+        F.sum(F.col("bal_c") * F.col("bal_c")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_pop")
+    stats = moments.select(
+        "seg",
+        "n_pop",
+        F.sqrt(F.col("s2").cast("double") / F.col("n_pop") - mean * mean).alias(
+            "s_cents"
+        ),
+    )
+    tot = stats.agg(F.sum(F.col("n_pop") * F.col("s_cents")).alias("t"))
+    alloc = stats.crossJoin(F.broadcast(tot)).select(
+        "seg",
+        "n_pop",
+        "s_cents",
+        F.floor(
+            _NEYMAN_BUDGET * (F.col("n_pop") * F.col("s_cents")) / F.col("t") + 0.5
+        )
+        .cast("bigint")
+        .alias("alloc_n"),
+    )
+    kept = (
+        ((F.col("c_custkey") % _NEYMAN_M) * _NEYMAN_HASH_A) % _NEYMAN_M
+        * F.col("n_pop")
+        < F.col("alloc_n") * _NEYMAN_M
+    )
+    sampled = (
+        cust.join(F.broadcast(alloc.select("seg", "n_pop", "alloc_n")), "seg")
+        .select("seg", F.when(kept, 1).otherwise(0).alias("kept"))
+        .groupBy("seg")
+        .agg(F.sum("kept").cast("bigint").alias("n_sampled"))
+    )
+    return alloc.join(sampled, "seg").select(
+        "seg",
+        "n_pop",
+        F.round("s_cents", 6).alias("s_cents"),
+        "alloc_n",
+        "n_sampled",
+    )

@@ -1165,3 +1165,64 @@ def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_reassigned"),
     )
+
+
+# --- coarse-quantization residual energy --------------------------------
+# How much signal the IVF coarse step removes: per-cluster
+# Σ‖v−c‖² / Σ‖v‖². Low retained-residual ⇒ residual-PQ codes (the
+# IVF-PQ standard) get an easier target. One broadcast of the K
+# centroids; everything else is a per-label aggregation.
+
+
+@register(
+    "emb_residual_energy",
+    oracle=f"""
+    WITH {_SQL_CENTROID},
+    v AS (SELECT vec_id, label, embedding AS qe FROM embeddings),
+    j AS (
+      SELECT v.label,
+             list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+               AS e_tot,
+             list_sum(list_transform(range(1, len(qe) + 1),
+               i -> (CAST(qe[i] AS DOUBLE) - ce[i]) * (CAST(qe[i] AS DOUBLE) - ce[i])))
+               AS e_res
+      FROM v JOIN cent ON v.label = cent.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(e_res) / sum(e_tot), 6) AS residual_frac
+    FROM j GROUP BY label
+    """,
+)
+def emb_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster residual-energy fraction after coarse quantization
+    (native-label centroids, broadcast): Σ‖v−c‖²/Σ‖v‖²."""
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select("label", F.transform("pv", lambda s: s["mv"]).alias("ce"))
+    )
+    v = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("qe")
+    )
+    j = v.join(F.broadcast(cent), "label")
+    e_tot = dot_expr(F.col("qe"), F.col("qe"))
+    diff = F.zip_with(F.col("qe"), F.col("ce"), lambda a, b: a - b)
+    e_res = dot_expr(diff, diff)
+    return (
+        j.select("label", e_tot.alias("e_tot"), e_res.alias("e_res"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            F.round(F.sum("e_res") / F.sum("e_tot"), 6).alias("residual_frac"),
+        )
+    )

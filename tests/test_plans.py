@@ -862,3 +862,26 @@ def test_scd2_asof_broadcasts_snapshot_list(spark):
     plan = _plan(spark, "scd2_asof_read")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_nearest_no_join_explosion(spark):
+    """Both directional passes stay union+window; the arbitration join
+    is keyed on event_id — no range/nested-loop joins anywhere."""
+    plan = _plan(spark, "join_asof_nearest")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_residual_energy_broadcasts_centroids(spark):
+    plan = _plan(spark, "emb_residual_energy")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_neyman_broadcasts_allocation_table(spark):
+    """The per-stratum allocation (|segments| rows) must broadcast back
+    to the row-local keep test; the customer table never shuffles for
+    the membership pass."""
+    plan = _plan(spark, "sample_stratified_neyman")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
