@@ -1732,3 +1732,116 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_censored",
         F.round(F.exp(F.sum(log_term).over(w_cum)), 6).alias("survival"),
     )
+
+
+@register(
+    "stream_cep_live",
+    oracle=f"""
+    WITH sym AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                  WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
+                  ELSE 'e' END AS ch
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS s
+      FROM sym GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, '{_CEP_PATTERN}')) AS BIGINT)
+             AS n_conversions
+    FROM seq
+    """,
+)
+def stream_cep_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming CEP under the driver's value oracle: the
+    applyInPandasWithState pattern machine (streaming/windows.py)
+    replayed availableNow over a multi-file source, update-mode
+    emissions landed in a memory sink, and the FINAL emission per user
+    (max n_seen) selected with max_by. Must equal the batch
+    events_cep_pattern answer exactly — out-of-order micro-batch
+    arrival is reconciled by the operator's state buffer."""
+    import os
+    import tempfile
+
+    from mapreduce_word2vec_spark.streaming.windows import stateful_cep_counts
+
+    ev = read_testdata(spark, sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_cep_")
+    src = os.path.join(base, "src")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    name = f"cep_{tag}"
+    q = (
+        stateful_cep_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name)
+    return emissions.groupBy("user_id").agg(
+        F.max("n_seen").cast("bigint").alias("seq_len"),
+        F.max_by("n_conversions", "n_seen").cast("bigint").alias("n_conversions"),
+    )
+
+
+@register(
+    "stream_sliding_live",
+    oracle="""
+    WITH starts AS (
+      SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS b,
+             event_type, ts
+      FROM events
+    ),
+    both_w AS (
+      SELECT b AS window_start, event_type FROM starts
+      UNION ALL
+      SELECT b - INTERVAL '5 minutes' AS window_start, event_type FROM starts
+    )
+    SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS n
+    FROM both_w GROUP BY window_start, event_type
+    """,
+)
+def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming sliding windows (width 10m, slide 5m ⇒ each
+    event lands in exactly two windows) under the value oracle —
+    incremental multi-window state across availableNow micro-batches
+    must equal the batch two-window expansion."""
+    import os
+    import tempfile
+
+    ev = read_testdata(spark, sf_dir, "events").select("ts", "event_type")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_ssl2_")
+    src = os.path.join(base, "src")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    agg = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    name = f"ssl2_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
