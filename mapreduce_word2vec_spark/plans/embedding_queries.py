@@ -458,3 +458,64 @@ def emb_pairwise_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy(bin_.alias("bin")).agg(
         F.count("*").cast("bigint").alias("n_pairs")
     )
+
+
+# --- class-balanced downsampling ----------------------------------------
+# Balance a labeled training set by downsampling every class to the
+# minority-class size, picking survivors in deterministic hash order
+# (not "first N in storage order", which correlates with ingestion
+# time). Per-label rank windows partition by label; the minority size
+# is a broadcast 1-row aggregate.
+
+_BAL_HASH_A = 2_654_435_761
+_BAL_M = 4_294_967_296  # 2^32
+
+
+@register(
+    "sample_class_balanced",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id, label,
+             ((vec_id % {_BAL_M}) * {_BAL_HASH_A}) % {_BAL_M} AS hv
+      FROM embeddings
+    ),
+    m AS (SELECT min(cnt) AS n_min FROM
+            (SELECT count(*) AS cnt FROM h GROUP BY label)),
+    r AS (
+      SELECT vec_id, label, hv,
+             row_number() OVER (PARTITION BY label ORDER BY hv, vec_id) AS rn
+      FROM h
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_pop,
+           CAST(sum(CASE WHEN rn <= n_min THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= n_min THEN vec_id ELSE 0 END) AS BIGINT)
+             AS kept_id_sum
+    FROM r CROSS JOIN m
+    GROUP BY label
+    """,
+)
+def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downsample every class to the minority-class size in
+    deterministic hash order; per-label population, kept count, and a
+    kept-id checksum as the value evidence."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        (((F.col("vec_id") % _BAL_M) * _BAL_HASH_A) % _BAL_M).alias("hv"),
+    )
+    sizes = emb.groupBy("label").agg(F.count("*").alias("cnt"))
+    n_min = sizes.agg(F.min("cnt").alias("n_min"))
+    w = Window.partitionBy("label").orderBy("hv", "vec_id")
+    r = emb.withColumn("rn", F.row_number().over(w)).crossJoin(F.broadcast(n_min))
+    return r.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum(F.when(F.col("rn") <= F.col("n_min"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") <= F.col("n_min"), F.col("vec_id")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_id_sum"),
+    )

@@ -700,3 +700,45 @@ def source_csv_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         parts.getItem(1).alias("addr_line2"),
         F.round("bal", 6).alias("bal"),
     )
+
+
+@register(
+    "source_nested_pruning",
+    oracle="""
+    SELECT n_nationkey,
+           n_name AS nation_name,
+           CAST(length(n_name) AS INT) AS name_len
+    FROM nation
+    """,
+)
+def source_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-field schema pruning: write nation as parquet with a
+    struct payload {name, comment, stats{...}}, read back selecting
+    ONLY payload.name — the scan's ReadSchema must prune to that one
+    leaf (asserted in tests/test_plans.py). At 100 TB nested pruning
+    is the difference between reading a 5% column and the whole
+    struct blob."""
+    import os
+    import tempfile
+
+    nation = read_testdata(spark, sf_dir, "nation")
+    nested = nation.select(
+        "n_nationkey",
+        F.struct(
+            F.col("n_name").alias("name"),
+            F.repeat(F.col("n_name"), 10).alias("blob"),
+            F.struct(
+                F.length("n_name").alias("name_len"),
+                F.col("n_regionkey").alias("region"),
+            ).alias("stats"),
+        ).alias("payload"),
+    )
+    base = tempfile.mkdtemp(prefix="mw2v_nest_")
+    path = os.path.join(base, "nation_nested")
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.select(
+        "n_nationkey",
+        F.col("payload.name").alias("nation_name"),
+        F.length("payload.name").cast("int").alias("name_len"),
+    )

@@ -885,3 +885,23 @@ def test_neyman_broadcasts_allocation_table(spark):
     plan = _plan(spark, "sample_stratified_neyman")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_nested_pruning_reads_single_leaf(spark):
+    """The read-back scan must prune the struct to payload.name only —
+    no comment, no stats subtree."""
+    import re
+
+    plan = _plan(spark, "source_nested_pruning")
+    scan = plan.split("FileScan")[-1]
+    m = re.search(r"ReadSchema: (\S+)", scan)
+    assert m and "name" in m.group(1)
+    assert "blob" not in m.group(1) and "stats" not in m.group(1)
+
+
+def test_class_balanced_windows_partition_by_label(spark):
+    plan = _plan(spark, "sample_class_balanced")
+    assert "Exchange SinglePartition" not in plan or plan.count(
+        "Exchange SinglePartition"
+    ) <= 1  # only the 1-row min aggregate may single-partition
+    assert "Window" in plan
