@@ -148,6 +148,13 @@ _PRIORITY = (
 # dedup_url_canonical, dedup_paragraphs, doc_quality_classifier,
 # corpus_kneser_ney_bigram, tokenizer_bpe_train (rows-only),
 # tokenizer_bpe_fertility (rows-only), doc_compression_ratio (rows-only),
+# events_cep_pattern, doc_lang_id_trigram, multimodal_pair_batches,
+# select_quality_quantile, events_window_funnel, emb_hubness,
+# events_survival_km, orders_id_gaps, sample_poisson_bootstrap,
+# emb_ivf_balance, layout_compaction_plan, multimodal_scene_cuts,
+# scd2_asof_read, corpus_burstiness, join_asof_nearest,
+# emb_residual_energy, sample_stratified_neyman, stream_cep_live,
+# stream_sliding_live, sample_class_balanced, source_nested_pruning,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,
