@@ -1845,3 +1845,74 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- bot detection --------------------------------------------------------
+# Traffic cleaning before any behavioral analytics: bots fire events
+# at machine-regular intervals (low coefficient of variation of
+# inter-arrival gaps) and at volume. Gap moments are integer-µs sums
+# (exact cross-engine); one user-keyed window for gaps + one
+# aggregation. Thresholds: n ≥ 50 events and cv < 0.5. Moments use
+# integer MILLIseconds: µs squares overflow int64 (4.2e9² > 2⁶³) in
+# both engines; ms squares peak ~1.8e13.
+
+_BOT_MIN_EVENTS = 50
+_BOT_CV = 0.5
+
+
+@register(
+    "events_bot_detection",
+    oracle=f"""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS gap
+      FROM events
+    ),
+    m AS (
+      SELECT user_id,
+             CAST(count(gap) AS BIGINT) AS n_gaps,
+             sum(gap) AS s1, sum(gap * gap) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, n_gaps,
+           round(CAST(s1 AS DOUBLE) / n_gaps / 1000, 6) AS mean_gap_s,
+           round(sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                      - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps))
+                 / (CAST(s1 AS DOUBLE) / n_gaps), 6) AS gap_cv,
+           n_gaps + 1 >= {_BOT_MIN_EVENTS}
+             AND sqrt(CAST(s2 AS DOUBLE) / n_gaps
+                      - (CAST(s1 AS DOUBLE) / n_gaps) * (CAST(s1 AS DOUBLE) / n_gaps))
+                 / (CAST(s1 AS DOUBLE) / n_gaps) < {_BOT_CV} AS is_bot
+    FROM m
+    """,
+)
+def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot heuristic per user: coefficient of variation of
+    inter-arrival gaps (integer-µs moments) with a volume floor —
+    machine-regular high-volume traffic flags as bot."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.unix_micros("ts").alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        F.floor((F.col("us") - F.lag("us").over(w)) / 1000).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    m = g.groupBy("user_id").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_gaps")
+    sd = F.sqrt(F.col("s2").cast("double") / F.col("n_gaps") - mean * mean)
+    cv = sd / mean
+    return m.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean / 1_000, 6).alias("mean_gap_s"),
+        F.round(cv, 6).alias("gap_cv"),
+        ((F.col("n_gaps") + 1 >= _BOT_MIN_EVENTS) & (cv < _BOT_CV)).alias("is_bot"),
+    )

@@ -3344,3 +3344,93 @@ def corpus_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total"), "word")
         .limit(_BURST_TOPK)
     )
+
+
+# --- chat-template formatting + packing ---------------------------------
+# Finetune-data preparation: synthesize (instruction, response) pairs
+# from documents (first 10 tokens prompt, remainder response), render
+# a chat template with special tokens, count template tokens, and
+# greedily pack rendered examples into 512-token training rows in
+# deterministic doc order. The packing cumsum rides a quality-ordered
+# window per LANGUAGE stream (bounded-cardinality partitions), the
+# same layout doc_packing uses.
+
+_CHAT_PROMPT_W = 10
+_CHAT_PACK = 512
+
+
+@register(
+    "doc_chat_template",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS ws FROM documents),
+    pairs AS (
+      SELECT doc_id, lang,
+             array_to_string(ws[1 : {_CHAT_PROMPT_W}], ' ') AS prompt,
+             array_to_string(ws[{_CHAT_PROMPT_W} + 1 : len(ws)], ' ') AS response
+      FROM toks WHERE len(ws) > {_CHAT_PROMPT_W}
+    ),
+    rendered AS (
+      SELECT doc_id, lang,
+             '<|system|>assistant<|user|>' || prompt || '<|assistant|>'
+               || response || '<|end|>' AS text,
+             CAST(4 + len(str_split(prompt, ' ')) + len(str_split(response, ' '))
+                  AS BIGINT) AS n_tokens
+      FROM pairs
+    ),
+    packed AS (
+      SELECT doc_id, lang, n_tokens, md5(text) AS text_md5,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               // {_CHAT_PACK} AS BIGINT) AS pack_id
+      FROM rendered
+    )
+    SELECT doc_id, lang, n_tokens, text_md5, pack_id FROM packed
+    """,
+)
+def doc_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template rendering (special-token wrapping of synthesized
+    instruction pairs) + greedy 512-token packing per language stream.
+    The rendered text leaves as md5 (scalar-only output); packing is a
+    lang-partitioned prefix-sum window."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    toks = docs.select("doc_id", "lang", ws.alias("ws")).where(
+        F.size("ws") > _CHAT_PROMPT_W
+    )
+    prompt = F.array_join(F.slice("ws", 1, _CHAT_PROMPT_W), " ")
+    response = F.array_join(
+        F.slice("ws", _CHAT_PROMPT_W + 1, F.size("ws") - _CHAT_PROMPT_W), " "
+    )
+    rendered = toks.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("<|system|>assistant<|user|>"),
+            prompt,
+            F.lit("<|assistant|>"),
+            response,
+            F.lit("<|end|>"),
+        ).alias("text"),
+        (
+            F.lit(4)
+            + F.size(F.split(prompt, " "))
+            + F.size(F.split(response, " "))
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return rendered.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.md5("text").alias("text_md5"),
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _CHAT_PACK)
+        .cast("bigint")
+        .alias("pack_id"),
+    )

@@ -905,3 +905,16 @@ def test_class_balanced_windows_partition_by_label(spark):
         "Exchange SinglePartition"
     ) <= 1  # only the 1-row min aggregate may single-partition
     assert "Window" in plan
+
+
+def test_bot_detection_single_user_exchange(spark):
+    """Gap window + moment aggregation share the user_id exchange."""
+    plan = _plan(spark, "events_bot_detection")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_chat_template_pack_window_partitions_by_lang(spark):
+    plan = _plan(spark, "doc_chat_template")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
