@@ -1197,3 +1197,75 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("kept_text"),
     )
+
+
+# --- common-neighbor link prediction ------------------------------------
+# Link prediction on a behavioral graph: users are adjacent when they
+# purchased in the same 5-minute window; predicted links are
+# non-adjacent pairs ranked by common-neighbor count (the classic
+# baseline — here "likely same cohort/campaign"). Wedge enumeration =
+# adjacency self-join on the middle node (the graph_triangles shape);
+# known edges drop out via an anti-join. (The near-dup doc graph is
+# unusable for this: synthetic duplicates form perfect cliques, so
+# every wedge closes.)
+
+
+@register(
+    "graph_link_prediction",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    wedges AS (
+      SELECT l.v AS id_a, r.v AS id_b, CAST(count(*) AS BIGINT) AS n_common
+      FROM adj l JOIN adj r ON l.u = r.u AND l.v < r.v
+      GROUP BY 1, 2
+    )
+    SELECT w.id_a, w.id_b, w.n_common
+    FROM wedges w ANTI JOIN edges e
+      ON w.id_a = e.id_a AND w.id_b = e.id_b
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-purchase-window
+    user graph: wedge counts for non-adjacent pairs."""
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    ev = read_testdata(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+    )
+    a = p.select(F.col("user_id").alias("id_a"), "b")
+    bb = p.select(F.col("user_id").alias("id_b"), "b")
+    edges = tracked_persist(
+        a.join(bb, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    adj = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    l = adj.select(F.col("u"), F.col("v").alias("id_a"))
+    r = adj.select(F.col("u"), F.col("v").alias("id_b"))
+    wedges = (
+        l.join(r, "u")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("n_common"))
+    )
+    return wedges.join(edges, ["id_a", "id_b"], "left_anti")

@@ -3434,3 +3434,100 @@ def doc_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pack_id"),
     )
+
+
+# --- span-corruption pretraining pairs ----------------------------------
+# T5-style denoising objective data: mask ~15% of tokens in 3-token
+# spans (span membership from an integer hash of (doc_id, span
+# group) — bit-identical in both engines), emit the corrupted input
+# (spans collapsed to one <mask> at the span start) and the target
+# (the masked tokens). Everything is HOFs over the token array —
+# ZERO exchanges; the 100 TB plan is scan → project.
+
+_SPAN_W = 3
+_SPAN_PCT = 15
+_SPAN_MIX = 1_000_003
+_SPAN_MIX2 = 40_503
+_SPAN_MUL = 2_654_435_761
+_SPAN_M = 4_294_967_296
+
+
+def _span_masked_sql(i: str) -> str:
+    return (
+        f"(((doc_id * {_SPAN_MIX} + ({i}) // {_SPAN_W} * {_SPAN_MIX2} + 7)"
+        f" * {_SPAN_MUL}) % {_SPAN_M}) >> 16"
+    )
+
+
+@register(
+    "doc_span_corruption",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    ne AS (SELECT doc_id, ws FROM toks WHERE len(ws) > 0),
+    m AS (
+      SELECT doc_id, ws,
+             list_transform(range(0, len(ws)),
+                            i -> ({_span_masked_sql("i")}) % 100 < {_SPAN_PCT})
+               AS mk
+      FROM ne
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(range(0, len(ws)), i -> mk[i + 1])) AS BIGINT)
+             AS n_masked,
+           md5(array_to_string(list_transform(
+                 list_filter(range(0, len(ws)),
+                             i -> NOT mk[i + 1] OR i % {_SPAN_W} = 0),
+                 i -> CASE WHEN mk[i + 1] THEN '<mask>' ELSE ws[i + 1] END), ' '))
+             AS input_md5,
+           md5(coalesce(array_to_string(list_transform(
+                 list_filter(range(0, len(ws)), i -> mk[i + 1]),
+                 i -> ws[i + 1]), ' '), ''))
+             AS target_md5
+    FROM m
+    """,
+)
+def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption (input, target) pair synthesis: deterministic
+    3-token span masking at ~15%, corrupted input with collapsed
+    <mask> sentinels, target = masked tokens. Text leaves as md5
+    (scalar-only output)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    base = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+
+    def masked(i):
+        h = (
+            (
+                F.col("doc_id") * _SPAN_MIX
+                + F.floor(i / _SPAN_W).cast("long") * _SPAN_MIX2
+                + 7
+            )
+            * _SPAN_MUL
+        ) % _SPAN_M
+        return (F.shiftrightunsigned(h.cast("long"), 16) % 100) < _SPAN_PCT
+
+    idx = F.sequence(F.lit(0), F.size("ws") - 1)
+    m = base.select(
+        "doc_id", "ws", F.transform(idx, masked).alias("mk")
+    )
+    tok_at = lambda i: F.element_at(F.col("ws"), (i + 1).cast("int"))
+    mk_at = lambda i: F.element_at(F.col("mk"), (i + 1).cast("int"))
+    all_idx = F.sequence(F.lit(0), F.size("ws") - 1)
+    input_txt = F.array_join(
+        F.transform(
+            F.filter(all_idx, lambda i: (~mk_at(i)) | (i % _SPAN_W == 0)),
+            lambda i: F.when(mk_at(i), F.lit("<mask>")).otherwise(tok_at(i)),
+        ),
+        " ",
+    )
+    target_txt = F.array_join(
+        F.transform(F.filter(all_idx, lambda i: mk_at(i)), tok_at), " "
+    )
+    return m.select(
+        "doc_id",
+        F.size("ws").cast("bigint").alias("n_tokens"),
+        F.size(F.filter(all_idx, lambda i: mk_at(i))).cast("bigint").alias("n_masked"),
+        F.md5(input_txt).alias("input_md5"),
+        F.md5(target_txt).alias("target_md5"),
+    )

@@ -918,3 +918,18 @@ def test_chat_template_pack_window_partitions_by_lang(spark):
     plan = _plan(spark, "doc_chat_template")
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_span_corruption_is_shuffle_free(spark):
+    """Span-corruption pair synthesis is pure HOF projection — zero
+    exchanges, no Python crossing."""
+    plan = _plan(spark, "doc_span_corruption")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_prediction_no_cartesian(spark):
+    plan = _plan(spark, "graph_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
