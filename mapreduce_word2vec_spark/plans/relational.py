@@ -5517,3 +5517,63 @@ def sample_stratified_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         "alloc_n",
         "n_sampled",
     )
+
+
+# --- weighted median --------------------------------------------------------
+# Quantity-weighted median price per return flag: the first value (in
+# (price, key) order) whose cumulative weight reaches half the group
+# total. percentile()/median() can't weight; the closed form is a
+# cumulative-weight window over the per-value aggregate (bounded by
+# distinct values per group), lower-median convention on exact ties.
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH per AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(sum(l_quantity) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT flag, price, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM per
+    )
+    SELECT flag, round(min(price), 2) AS weighted_median_price,
+           CAST(min(tw) AS BIGINT) AS total_weight
+    FROM cum WHERE cw * 2 >= tw
+    GROUP BY flag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of l_extendedprice per return flag via
+    the cumulative-weight window over the (flag, price) aggregate."""
+    li = rt(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        "l_quantity",
+    )
+    per = li.groupBy("flag", "price").agg(
+        F.sum("l_quantity").cast("bigint").alias("w")
+    )
+    w_cum = Window.partitionBy("flag").orderBy("price").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = per.select(
+        "flag",
+        "price",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("tw"),
+    )
+    return (
+        cum.where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.round(F.min("price"), 2).alias("weighted_median_price"),
+            F.min("tw").cast("bigint").alias("total_weight"),
+        )
+    )

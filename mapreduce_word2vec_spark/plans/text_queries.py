@@ -3531,3 +3531,76 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(input_txt).alias("input_md5"),
         F.md5(target_txt).alias("target_md5"),
     )
+
+
+# --- fill-in-middle transform ---------------------------------------------
+# The FIM objective (code-LLM pretraining): split each document into
+# (prefix, middle, suffix) at two deterministic hash-derived points
+# and re-emit in PSM order with sentinels. Same zero-exchange HOF
+# shape as doc_span_corruption; split points are integer hashes so
+# both engines agree bit-for-bit.
+
+_FIM_MIX = 7_368_787
+_FIM_MUL = 2_654_435_761
+_FIM_M = 4_294_967_296
+
+
+@register(
+    "doc_fim_transform",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    ne AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 3),
+    cuts AS (
+      SELECT doc_id, ws, n,
+             1 + ((((doc_id * {_FIM_MUL} + 1 * {_FIM_MIX}) % {_FIM_M}) >> 16) % (n - 1))
+               AS c1,
+             1 + ((((doc_id * {_FIM_MUL} + 2 * {_FIM_MIX}) % {_FIM_M}) >> 16) % (n - 1))
+               AS c2
+      FROM ne
+    ),
+    spans AS (
+      SELECT doc_id, ws, n,
+             least(c1, c2) AS lo, greatest(c1, c2) AS hi
+      FROM cuts
+    )
+    SELECT doc_id,
+           CAST(lo AS BIGINT) AS prefix_len,
+           CAST(hi - lo AS BIGINT) AS middle_len,
+           CAST(n - hi AS BIGINT) AS suffix_len,
+           md5('<|fim_pre|>' || coalesce(array_to_string(ws[1 : lo], ' '), '')
+               || '<|fim_suf|>' || coalesce(array_to_string(ws[hi + 1 : n], ' '), '')
+               || '<|fim_mid|>' || coalesce(array_to_string(ws[lo + 1 : hi], ' '), ''))
+             AS psm_md5
+    FROM spans
+    """,
+)
+def doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-middle (PSM order) transform with deterministic cut
+    points; rendered text leaves as md5."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    ne = docs.select("doc_id", ws.alias("ws")).where(F.size(ws) >= 3)
+    n = F.size("ws")
+
+    def cut(salt):
+        h = (F.col("doc_id") * _FIM_MUL + salt * _FIM_MIX) % _FIM_M
+        return 1 + (F.shiftrightunsigned(h.cast("long"), 16) % (n - 1))
+
+    c1, c2 = cut(1), cut(2)
+    lo, hi = F.least(c1, c2), F.greatest(c1, c2)
+    spans = ne.select("doc_id", "ws", n.alias("n"), lo.alias("lo"), hi.alias("hi"))
+    seg = lambda a, b: F.array_join(
+        F.slice("ws", (a + 1).cast("int"), (b - a).cast("int")), " "
+    )
+    psm = F.concat(
+        F.lit("<|fim_pre|>"), seg(F.lit(0), F.col("lo")),
+        F.lit("<|fim_suf|>"), seg(F.col("hi"), F.col("n")),
+        F.lit("<|fim_mid|>"), seg(F.col("lo"), F.col("hi")),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("lo").cast("bigint").alias("prefix_len"),
+        (F.col("hi") - F.col("lo")).cast("bigint").alias("middle_len"),
+        (F.col("n") - F.col("hi")).cast("bigint").alias("suffix_len"),
+        F.md5(psm).alias("psm_md5"),
+    )

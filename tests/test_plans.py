@@ -933,3 +933,16 @@ def test_link_prediction_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
+
+
+def test_fim_transform_is_shuffle_free(spark):
+    plan = _plan(spark, "doc_fim_transform")
+    assert "Exchange" not in plan
+
+
+def test_weighted_median_window_on_value_aggregate(spark):
+    """The cumulative-weight window consumes the (flag, price)
+    aggregate, never raw lineitem rows."""
+    plan = _plan(spark, "agg_weighted_median")
+    assert "HashAggregate" in plan.split("Window")[-1]
+    assert "partial_sum" in plan
