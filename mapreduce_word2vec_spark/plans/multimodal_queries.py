@@ -518,3 +518,71 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.where(F.abs("delta") > _SCENE_CUT_DELTA).select(
         "doc_id", "frame_idx", F.round(F.abs("delta"), 6).alias("luma_delta")
     )
+
+
+# --- tar entry index ------------------------------------------------------
+# WebDataset random access needs the BYTE offset of every tar entry:
+# each member costs a 512-byte header plus payload padded up to a
+# 512 boundary. Shards here hold a fixed 64 samples (the usual
+# webdataset build), so the offset cumsum is a SHARD-PARTITIONED
+# window — unlike the global manifest cumsum, this form needs no
+# binned decomposition at scale.
+
+_TAR_BLOCK = 512
+_TAR_SAMPLES_PER_SHARD = 64
+
+
+@register(
+    "multimodal_tar_index",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(doc_id // {_TAR_SAMPLES_PER_SHARD} AS BIGINT) AS shard,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, shard, n_bytes,
+             {_TAR_BLOCK} + CAST(ceil(n_bytes * 1.0 / {_TAR_BLOCK}) AS BIGINT)
+               * {_TAR_BLOCK} AS entry_bytes
+      FROM b
+    )
+    SELECT doc_id, shard, n_bytes, entry_bytes,
+           CAST(coalesce(sum(entry_bytes) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS tar_offset
+    FROM e
+    """,
+)
+def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tar member byte offsets per 64-sample shard (512-byte headers,
+    512-padded payloads) — the random-access index a WebDataset
+    loader seeks with."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    b = attach_media_expr(docs).select(
+        "doc_id",
+        F.floor(F.col("doc_id") / _TAR_SAMPLES_PER_SHARD).cast("bigint").alias("shard"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    )
+    entry = (
+        F.lit(_TAR_BLOCK)
+        + F.ceil(F.col("n_bytes") / _TAR_BLOCK).cast("bigint") * _TAR_BLOCK
+    )
+    e = b.withColumn("entry_bytes", entry.cast("bigint"))
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return e.select(
+        "doc_id",
+        "shard",
+        "n_bytes",
+        "entry_bytes",
+        F.coalesce(F.sum("entry_bytes").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("tar_offset"),
+    )

@@ -5577,3 +5577,70 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tw").cast("bigint").alias("total_weight"),
         )
     )
+
+
+# --- transaction-log snapshot replay ----------------------------------------
+# Lakehouse table-format mechanics: the current snapshot is the
+# last-action-wins replay of an ordered (version, action, file) log.
+# Log synthesized from the lineitem month manifest: v0 adds every
+# month, v1 removes 1993, v2 re-adds 1993 H1 as compacted files.
+# Replay = max_by(action, version) per file, keep 'add' — one
+# file-keyed aggregation over a metadata-scale log.
+
+
+@register(
+    "table_log_replay",
+    oracle="""
+    WITH months AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    log AS (
+      SELECT 0 AS version, 'add' AS action, file_id, n_rows FROM months
+      UNION ALL
+      SELECT 1, 'remove', file_id, n_rows FROM months
+      WHERE file_id LIKE '1993-%'
+      UNION ALL
+      SELECT 2, 'add', file_id, n_rows FROM months
+      WHERE file_id IN ('1993-01', '1993-02', '1993-03',
+                        '1993-04', '1993-05', '1993-06')
+    ),
+    latest AS (
+      SELECT file_id,
+             max_by(action, version) AS last_action,
+             max_by(n_rows, version) AS n_rows,
+             CAST(max(version) AS INT) AS at_version
+      FROM log GROUP BY file_id
+    )
+    SELECT file_id, n_rows, at_version
+    FROM latest WHERE last_action = 'add'
+    """,
+)
+def table_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay an add/remove transaction log to the live-file snapshot
+    (last action per file wins)."""
+    months = (
+        rt(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("file_id"))
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    v0 = months.select(
+        F.lit(0).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
+    )
+    v1 = months.where(F.col("file_id").startswith("1993-")).select(
+        F.lit(1).alias("version"), F.lit("remove").alias("action"), "file_id", "n_rows"
+    )
+    h1 = ["1993-0%d" % i for i in range(1, 7)]
+    v2 = months.where(F.col("file_id").isin(h1)).select(
+        F.lit(2).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
+    )
+    log = v0.unionByName(v1).unionByName(v2)
+    latest = log.groupBy("file_id").agg(
+        F.max_by("action", "version").alias("last_action"),
+        F.max_by("n_rows", "version").alias("n_rows"),
+        F.max("version").cast("int").alias("at_version"),
+    )
+    return latest.where(F.col("last_action") == "add").select(
+        "file_id", "n_rows", "at_version"
+    )

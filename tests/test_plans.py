@@ -946,3 +946,16 @@ def test_weighted_median_window_on_value_aggregate(spark):
     plan = _plan(spark, "agg_weighted_median")
     assert "HashAggregate" in plan.split("Window")[-1]
     assert "partial_sum" in plan
+
+
+def test_tar_index_window_is_shard_partitioned(spark):
+    plan = _plan(spark, "multimodal_tar_index")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
+
+
+def test_log_replay_single_file_keyed_aggregate(spark):
+    """Replay is one file-keyed aggregation over the unioned log."""
+    plan = _plan(spark, "table_log_replay")
+    assert "max_by" in plan or "partial_max_by" in plan
+    assert "Join" not in plan
