@@ -5644,3 +5644,29 @@ def table_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("last_action") == "add").select(
         "file_id", "n_rows", "at_version"
     )
+
+
+@register(
+    "scalar_bround",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round_even(l_extendedprice / 7, 2) AS half_even_2,
+           round_even(l_extendedprice / 7, 0) AS half_even_0,
+           round(l_extendedprice / 7, 2) AS half_up_2
+    FROM lineitem WHERE l_orderkey < 200
+    """,
+)
+def scalar_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banker's rounding parity (Spark bround ≡ DuckDB round_even) next
+    to the default half-away round — the money-aggregation rounding
+    family, where half-mode mismatches are the classic cross-system
+    penny drift."""
+    li = rt(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    x = F.col("l_extendedprice") / 7
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.bround(x, 2).alias("half_even_2"),
+        F.bround(x, 0).alias("half_even_0"),
+        F.round(x, 2).alias("half_up_2"),
+    )

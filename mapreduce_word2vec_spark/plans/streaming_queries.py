@@ -1916,3 +1916,89 @@ def events_bot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 6).alias("gap_cv"),
         ((F.col("n_gaps") + 1 >= _BOT_MIN_EVENTS) & (cv < _BOT_CV)).alias("is_bot"),
     )
+
+
+# --- CUSUM changepoint detection ------------------------------------------
+# Monitoring over the event stream: detect the day the purchase-value
+# level shifts, via the classic two-sided CUSUM on per-day means
+# against the global mean. All moments are exact decimal-cent sums;
+# the recursive CUSUM fold runs over the BOUNDED per-day series
+# (observation horizon), expressed as an aggregate-then-fold — the
+# per-day table is tiny so the fold is a row-local HOF over a packed
+# array, not a corpus-scale recursion.
+
+_CUSUM_K_CENTS = 100  # slack: 1.00 of value units
+_CUSUM_H_CENTS = 2_000  # alarm threshold: 20.00
+
+
+@register(
+    "events_changepoint_cusum",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_cents,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    g AS (SELECT sum(v_cents) * 1.0 / sum(n) AS mu FROM daily),
+    dev AS (
+      SELECT d, v_cents, n,
+             v_cents * 1.0 / n - mu AS dev
+      FROM daily CROSS JOIN g
+    ),
+    packed AS (
+      SELECT list(dev ORDER BY d) AS devs, list(d ORDER BY d) AS days FROM dev
+    ),
+    folded AS (
+      SELECT days,
+             list_transform(
+               range(1, len(devs) + 1),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS DOUBLE), devs[1:i]),
+                      (acc, x) -> greatest(0.0, acc + x - {_CUSUM_K_CENTS}))
+             ) AS cpos
+      FROM packed
+    )
+    SELECT strftime(CAST(unnest(days) AS DATE), '%Y-%m-%d') AS d,
+           round(unnest(cpos), 6) AS cusum_pos,
+           unnest(cpos) > {_CUSUM_H_CENTS} AS alarm
+    FROM folded
+    """,
+)
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided (upper) CUSUM on daily purchase-value means: exact
+    cent-integer daily sums, deviations vs the global mean, the CUSUM
+    recursion as an array fold over the bounded day series."""
+    ev = read_testdata(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    daily = ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("v_cents"),
+        F.count("*").alias("n"),
+    )
+    g = daily.agg(
+        (F.sum("v_cents") / F.sum("n")).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(g)).select(
+        "d", (F.col("v_cents") / F.col("n") - F.col("mu")).alias("dev")
+    )
+    packed = dev.agg(
+        F.array_sort(F.collect_list(F.struct("d", "dev"))).alias("pairs")
+    )
+    devs = F.transform(F.col("pairs"), lambda s: s["dev"])
+    days = F.transform(F.col("pairs"), lambda s: s["d"])
+    cpos = F.transform(
+        F.sequence(F.lit(1), F.size(devs)),
+        lambda i: F.aggregate(
+            F.slice(devs, 1, i),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(F.lit(0.0), acc + x - _CUSUM_K_CENTS),
+        ),
+    )
+    folded = packed.select(days.alias("days"), cpos.alias("cpos"))
+    z = F.explode(F.arrays_zip("days", "cpos")).alias("z")
+    return folded.select(z).select(
+        F.date_format(F.col("z.days"), "yyyy-MM-dd").alias("d"),
+        F.round(F.col("z.cpos"), 6).alias("cusum_pos"),
+        (F.col("z.cpos") > _CUSUM_H_CENTS).alias("alarm"),
+    )

@@ -959,3 +959,18 @@ def test_log_replay_single_file_keyed_aggregate(spark):
     plan = _plan(spark, "table_log_replay")
     assert "max_by" in plan or "partial_max_by" in plan
     assert "Join" not in plan
+
+
+def test_cusum_fold_runs_on_packed_day_series(spark):
+    """The CUSUM recursion is an array fold over ONE packed row of the
+    bounded per-day aggregate — the day aggregation must sit below the
+    packing aggregate, and no window operator appears at all."""
+    plan = _plan(spark, "events_changepoint_cusum")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_bround_pushes_orderkey_filter(spark):
+    plan = _plan(spark, "scalar_bround")
+    assert "LessThan(l_orderkey,200)" in plan
+    assert "Exchange" not in plan
