@@ -1226,3 +1226,104 @@ def emb_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("e_res") / F.sum("e_tot"), 6).alias("residual_frac"),
         )
     )
+
+
+# --- late-interaction (MaxSim) retrieval ---------------------------------
+# ColBERT-style scoring: treat each 64-d embedding as 4 "token"
+# subvectors of 16 dims; score(q, d) = Σ_i max_j cos(q_i, d_j).
+# Queries (vec_id < 10) broadcast as 4-subvector bundles; the corpus
+# streams; the per-pair score is a nested HOF (no explode — token
+# count never multiplies rows). Top-5 per query via rank window.
+
+_MAXSIM_TOKENS = 4
+_MAXSIM_SUB = 16
+
+_SQL_SUBVECS = (
+    "list_transform(range(0, {t}), k -> "
+    "list_transform({col}[k * {s} + 1 : k * {s} + {s}], x -> CAST(x AS DOUBLE)))"
+)
+_SQL_SUBCOS = (
+    "list_sum(list_transform(range(1, {s} + 1), i -> qi[i] * dj[i]))"
+    " / (sqrt(list_sum(list_transform(qi, x -> x * x)))"
+    "    * sqrt(list_sum(list_transform(dj, x -> x * x))))"
+)
+
+
+@register(
+    "knn_maxsim",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             {_SQL_SUBVECS.format(t=_MAXSIM_TOKENS, s=_MAXSIM_SUB, col="embedding")} AS qs
+      FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id,
+             {_SQL_SUBVECS.format(t=_MAXSIM_TOKENS, s=_MAXSIM_SUB, col="embedding")} AS ds
+      FROM embeddings
+    ),
+    s AS (
+      SELECT query_id, neighbor_id,
+             list_sum(list_transform(qs, qi ->
+               list_max(list_transform(ds, dj ->
+                 {_SQL_SUBCOS.format(s=_MAXSIM_SUB)})))) AS maxsim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, maxsim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY maxsim DESC, neighbor_id) AS rn
+      FROM s
+    )
+    SELECT query_id, neighbor_id, round(maxsim, 6) AS maxsim
+    FROM r WHERE rn <= 5
+    """,
+)
+def knn_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction top-5: MaxSim over 4×16-d subvector bundles,
+    queries broadcast, nested HOF scoring, rank-window top-k."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+
+    def subvecs(col):
+        e = F.col(col).cast("array<double>")
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_MAXSIM_TOKENS - 1)),
+            lambda k: F.slice(e, (k * _MAXSIM_SUB + 1).cast("int"), _MAXSIM_SUB),
+        )
+
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), subvecs("embedding").alias("qs")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), subvecs("embedding").alias("ds"))
+
+    def cos(qi, dj):
+        dot = F.aggregate(
+            F.zip_with(qi, dj, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+        )
+        nq = F.sqrt(
+            F.aggregate(F.transform(qi, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+        nd = F.sqrt(
+            F.aggregate(F.transform(dj, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+        )
+        return dot / (nq * nd)
+
+    maxsim = F.aggregate(
+        F.col("qs"),
+        F.lit(0.0),
+        lambda acc, qi: acc
+        + F.array_max(F.transform(F.col("ds"), lambda dj: cos(qi, dj))),
+    )
+    s = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", maxsim.alias("maxsim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), "neighbor_id")
+    return (
+        s.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.round("maxsim", 6).alias("maxsim"))
+    )

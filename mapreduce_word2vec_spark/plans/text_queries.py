@@ -3604,3 +3604,83 @@ def doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.col("hi")).cast("bigint").alias("suffix_len"),
         F.md5(psm).alias("psm_md5"),
     )
+
+
+# --- ensemble quality filter ----------------------------------------------
+# FineWeb-style multi-filter curation: independent signals vote and
+# the document survives on majority. Signals here: the Gopher word
+# bounds, the hashed linear classifier's sign, and a character-entropy
+# floor — each already row-local, so the ensemble is STILL one
+# codegen'd projection (signals compose in-row; no per-filter passes).
+
+_ENS_MIN_WORDS = 15
+_ENS_MAX_WORDS = 5_000
+_ENS_MIN_ENTROPY = 3.0
+
+
+@register(
+    "doc_filter_ensemble",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ws, lower(text) AS lt FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+             len(ws) BETWEEN {_ENS_MIN_WORDS} AND {_ENS_MAX_WORDS} AS pass_len,
+             CASE WHEN len(ws) > 0
+                  THEN list_sum(list_transform(ws, w -> {_SQL_QCLS_W})) >= 0.0
+                  ELSE FALSE END AS pass_cls,
+             (SELECT -sum(p * log2(p)) FROM (
+                SELECT count(*) * 1.0 / length(lt) AS p
+                FROM unnest(split(lt, '')) AS u(ch) GROUP BY ch
+             )) >= {_ENS_MIN_ENTROPY} AS pass_entropy
+      FROM t WHERE length(lt) > 0
+    )
+    SELECT doc_id, pass_len, pass_cls, pass_entropy,
+           (CASE WHEN pass_len THEN 1 ELSE 0 END
+            + CASE WHEN pass_cls THEN 1 ELSE 0 END
+            + CASE WHEN pass_entropy THEN 1 ELSE 0 END) >= 2 AS keep
+    FROM sig
+    """,
+)
+def doc_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote ensemble of three row-local quality signals
+    (length bounds, hashed-classifier sign, char-entropy floor) —
+    one projection, zero exchange."""
+    from mapreduce_word2vec_spark.functions.text import string_hash_expr
+
+    docs = read_testdata(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ws = tokens_expr("text")
+    lt = F.lower(F.col("text"))
+    n = F.size(ws)
+    pass_len = (n >= _ENS_MIN_WORDS) & (n <= _ENS_MAX_WORDS)
+
+    def weight(w):
+        b = string_hash_expr(w) % _QCLS_BUCKETS
+        return ((b * F.lit(_QCLS_MIX)) % 2048) / F.lit(1024.0) - F.lit(1.0)
+
+    s = F.aggregate(F.transform(ws, weight), F.lit(0.0), lambda a, x: a + x)
+    pass_cls = F.when(n > 0, s >= 0.0).otherwise(F.lit(False))
+    # char entropy: counts per distinct char via HOFs on the sorted
+    # char array (same formulation as doc_char_entropy)
+    chars = F.split(lt, "")
+    n_chars = F.size(chars)
+    distinct_chars = F.array_distinct(chars)
+    probs = F.transform(
+        distinct_chars,
+        lambda ch: F.size(F.filter(chars, lambda c: c == ch)) / n_chars,
+    )
+    entropy = -F.aggregate(
+        probs, F.lit(0.0), lambda a, p: a + p * F.log2(p)
+    )
+    pass_entropy = entropy >= _ENS_MIN_ENTROPY
+    votes = (
+        pass_len.cast("int") + pass_cls.cast("int") + pass_entropy.cast("int")
+    )
+    return docs.select(
+        "doc_id",
+        pass_len.alias("pass_len"),
+        pass_cls.alias("pass_cls"),
+        pass_entropy.alias("pass_entropy"),
+        (votes >= 2).alias("keep"),
+    )

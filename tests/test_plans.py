@@ -974,3 +974,14 @@ def test_bround_pushes_orderkey_filter(spark):
     plan = _plan(spark, "scalar_bround")
     assert "LessThan(l_orderkey,200)" in plan
     assert "Exchange" not in plan
+
+
+def test_maxsim_broadcasts_queries(spark):
+    plan = _plan(spark, "knn_maxsim")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "Generate" not in plan  # no token explode — HOF scoring
+
+
+def test_filter_ensemble_is_shuffle_free(spark):
+    plan = _plan(spark, "doc_filter_ensemble")
+    assert "Exchange" not in plan
