@@ -519,3 +519,104 @@ def sample_class_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("kept_id_sum"),
     )
+
+
+# --- embedding drift (PSI) -------------------------------------------------
+# Model/embedding monitoring: Population Stability Index per
+# dimension between two corpus snapshots (here: low vs high vec_id
+# halves), over FIXED value breakpoints (quantile breakpoints would
+# be data-dependent and engine-divergent). PSI = Σ (p−q)·ln(p/q);
+# > 0.2 is the usual "investigate" bar. Everything reduces to a
+# (dim, bucket) count exchange; the PSI rollup is |dims|×|buckets|.
+
+_PSI_DIMS = 8
+_PSI_BREAKS = (-0.5, -0.25, 0.0, 0.25, 0.5)  # 6 buckets
+_PSI_EPS = 1e-6
+
+
+def _psi_bucket_sql(v: str) -> str:
+    cases = " ".join(
+        f"WHEN {v} < {b} THEN {i}" for i, b in enumerate(_PSI_BREAKS)
+    )
+    return f"(CASE {cases} ELSE {len(_PSI_BREAKS)} END)"
+
+
+@register(
+    "emb_drift_psi",
+    oracle=f"""
+    WITH half AS (
+      SELECT vec_id, embedding,
+             vec_id >= (SELECT max(vec_id) + 1 FROM embeddings) // 2 AS is_new
+      FROM embeddings
+    ),
+    vals AS (
+      SELECT is_new, CAST(i AS INT) AS dim,
+             CAST(embedding[i + 1] AS DOUBLE) AS v
+      FROM half CROSS JOIN (SELECT unnest(range(0, {_PSI_DIMS})) AS i)
+    ),
+    counts AS (
+      SELECT dim, {_psi_bucket_sql("v")} AS bucket,
+             CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      FROM vals GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+             CAST(sum(n_new) AS BIGINT) AS t_new
+      FROM counts WHERE dim = 0
+    )
+    SELECT dim,
+           round(sum((n_old * 1.0 / t_old + {_PSI_EPS}
+                      - n_new * 1.0 / t_new - {_PSI_EPS})
+                     * ln((n_old * 1.0 / t_old + {_PSI_EPS})
+                          / (n_new * 1.0 / t_new + {_PSI_EPS}))), 6) AS psi,
+           sum((n_old * 1.0 / t_old + {_PSI_EPS}
+                - n_new * 1.0 / t_new - {_PSI_EPS})
+               * ln((n_old * 1.0 / t_old + {_PSI_EPS})
+                    / (n_new * 1.0 / t_new + {_PSI_EPS}))) > 0.2 AS drifted
+    FROM counts CROSS JOIN tot
+    GROUP BY dim
+    """,
+)
+def emb_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift per embedding dimension (first {8} dims) between the
+    low- and high-id corpus halves, fixed breakpoints, ε-smoothed."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    half_pt = emb.agg(
+        F.floor((F.max("vec_id") + 1) / 2).cast("bigint").alias("h")
+    )
+    e = emb.crossJoin(F.broadcast(half_pt)).select(
+        (F.col("vec_id") >= F.col("h")).alias("is_new"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_PSI_DIMS - 1)),
+                lambda i: F.struct(
+                    i.cast("int").alias("dim"),
+                    F.element_at(
+                        F.col("embedding").cast("array<double>"), (i + 1).cast("int")
+                    ).alias("v"),
+                ),
+            )
+        ).alias("x"),
+    ).select("is_new", "x.dim", "x.v")
+    bucket = F.lit(len(_PSI_BREAKS))
+    for i, b in reversed(list(enumerate(_PSI_BREAKS))):
+        bucket = F.when(F.col("v") < b, F.lit(i)).otherwise(bucket)
+    counts = e.select("is_new", "dim", bucket.alias("bucket")).groupBy(
+        "dim", "bucket"
+    ).agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("bigint").alias("n_old"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("bigint").alias("n_new"),
+    )
+    tot = counts.where(F.col("dim") == 0).agg(
+        F.sum("n_old").cast("bigint").alias("t_old"),
+        F.sum("n_new").cast("bigint").alias("t_new"),
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    p = F.col("n_old") / F.col("t_old") + _PSI_EPS
+    q = F.col("n_new") / F.col("t_new") + _PSI_EPS
+    term = (p - q) * F.log(p / q)
+    return j.groupBy("dim").agg(
+        F.round(F.sum(term), 6).alias("psi"),
+        (F.sum(term) > 0.2).alias("drifted"),
+    )

@@ -5670,3 +5670,67 @@ def scalar_bround(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bround(x, 0).alias("half_even_0"),
         F.round(x, 2).alias("half_up_2"),
     )
+
+
+# --- mergeable exact variance (Chan partials) -------------------------------
+# Incremental-rollup arithmetic for second moments: per-shard
+# (n, sum, sumsq) partials in exact whole-currency-unit integers
+# merge by plain addition, and the merged global variance must equal
+# the direct whole-table variance bit-for-bit. This is the
+# maintenance path for variance/stddev dashboards at 100 TB —
+# rebuild nothing, add partials. (Cent-scale squares already
+# overflow int64 in BOTH engines at 15k rows; where even unit
+# squares would overflow, production merges the float (n, mean, M2)
+# Chan form instead — the integer form is what makes the oracle
+# bit-exact.)
+
+
+@register(
+    "incr_variance_merge",
+    oracle="""
+    WITH partials AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS shard,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)
+                      * CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS s2
+      FROM orders GROUP BY 1
+    ),
+    merged AS (
+      SELECT CAST(sum(n) AS BIGINT) AS n,
+             CAST(sum(s1) AS BIGINT) AS s1, CAST(sum(s2) AS BIGINT) AS s2
+      FROM partials
+    )
+    SELECT n,
+           round(CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+                 4) AS variance_merged,
+           CAST((SELECT count(*) FROM partials) AS BIGINT) AS n_partials
+    FROM merged
+    """,
+)
+def incr_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global price variance assembled from per-month (n, Σ, Σ²)
+    partials — exact integer-unit moments, so the merge is pure
+    addition and engine-identical."""
+    units = F.round(F.col("o_totalprice")).cast("bigint")
+    partials = (
+        rt(spark, sf_dir, "orders")
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("shard"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(units).cast("bigint").alias("s1"),
+            F.sum(units * units).cast("bigint").alias("s2"),
+        )
+    )
+    merged = partials.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s1"),
+        F.sum("s2").cast("bigint").alias("s2"),
+        F.count("*").cast("bigint").alias("n_partials"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return merged.select(
+        "n", F.round(var, 4).alias("variance_merged"), "n_partials"
+    )

@@ -985,3 +985,17 @@ def test_maxsim_broadcasts_queries(spark):
 def test_filter_ensemble_is_shuffle_free(spark):
     plan = _plan(spark, "doc_filter_ensemble")
     assert "Exchange" not in plan
+
+
+def test_variance_merge_is_two_level_aggregation(spark):
+    """Partials then merge — two aggregate levels, no window, no join
+    other than the scalar subquery count."""
+    plan = _plan(spark, "incr_variance_merge")
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" not in plan
+
+
+def test_psi_drift_broadcast_totals_no_global_window(spark):
+    plan = _plan(spark, "emb_drift_psi")
+    assert "Exchange SinglePartition" not in plan or "Window" not in plan
+    assert "partial_sum" in plan
