@@ -155,6 +155,11 @@ _PRIORITY = (
 # scd2_asof_read, corpus_burstiness, join_asof_nearest,
 # emb_residual_energy, sample_stratified_neyman, stream_cep_live,
 # stream_sliding_live, sample_class_balanced, source_nested_pruning,
+# events_bot_detection, doc_chat_template, doc_span_corruption,
+# graph_link_prediction, doc_fim_transform, agg_weighted_median,
+# multimodal_tar_index, table_log_replay, events_changepoint_cusum,
+# scalar_bround, knn_maxsim, doc_filter_ensemble,
+# incr_variance_merge, emb_drift_psi,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,
