@@ -5734,3 +5734,73 @@ def incr_variance_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "n", F.round(var, 4).alias("variance_merged"), "n_partials"
     )
+
+
+# --- higher moments from exact integer sums ---------------------------------
+# Skewness/kurtosis per return flag, computed from raw integer power
+# sums (Σx..Σx⁴ of whole-unit prices) rather than the built-ins —
+# Spark's skewness()/kurtosis() and DuckDB's use different bias
+# corrections, so the moment-sum form is both engine-exact AND the
+# mergeable shape incremental rollups need (same family as
+# incr_variance_merge). l_quantity (1..50) keeps x⁴ sums far from
+# int64 overflow at any row count the fixture reaches.
+
+
+@register(
+    "agg_higher_moments",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag AS flag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT) ** 2) AS BIGINT) AS s2,
+             CAST(sum(CAST(l_quantity AS BIGINT) ** 3) AS BIGINT) AS s3,
+             CAST(sum(CAST(l_quantity AS BIGINT) ** 4) AS BIGINT) AS s4
+      FROM lineitem GROUP BY 1
+    )
+    SELECT flag, n,
+           round((CAST(s3 AS DOUBLE) / n
+                  - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+                  + 2 * (CAST(s1 AS DOUBLE) / n) ** 3)
+                 / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) ** 2) ** 1.5),
+                 6) AS skewness_pop,
+           round((CAST(s4 AS DOUBLE) / n
+                  - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+                  + 6 * (CAST(s1 AS DOUBLE) / n) ** 2 * (CAST(s2 AS DOUBLE) / n)
+                  - 3 * (CAST(s1 AS DOUBLE) / n) ** 4)
+                 / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) ** 2) ** 2)
+                 - 3, 6) AS excess_kurtosis_pop
+    FROM m
+    """,
+)
+def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of l_quantity per
+    return flag from exact integer power sums (mergeable partials)."""
+    q = F.col("l_quantity").cast("bigint")
+    m = (
+        rt(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_returnflag").alias("flag"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(q).cast("bigint").alias("s1"),
+            F.sum(q * q).cast("bigint").alias("s2"),
+            F.sum(q * q * q).cast("bigint").alias("s3"),
+            F.sum(q * q * q * q).cast("bigint").alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    m1 = F.col("s1") / n
+    m2 = F.col("s2") / n
+    m3 = F.col("s3") / n
+    m4 = F.col("s4") / n
+    var = m2 - m1 * m1
+    skew = (m3 - 3 * m1 * m2 + 2 * F.pow(m1, 3)) / F.pow(var, 1.5)
+    kurt = (m4 - 4 * m1 * m3 + 6 * F.pow(m1, 2) * m2 - 3 * F.pow(m1, 4)) / F.pow(
+        var, 2
+    ) - 3
+    return m.select(
+        "flag",
+        "n",
+        F.round(skew, 6).alias("skewness_pop"),
+        F.round(kurt, 6).alias("excess_kurtosis_pop"),
+    )

@@ -2002,3 +2002,53 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.cpos"), 6).alias("cusum_pos"),
         (F.col("z.cpos") > _CUSUM_H_CENTS).alias("alarm"),
     )
+
+
+# --- daily peak detection ---------------------------------------------------
+# Ops-dashboard staple: days that are STRICT local maxima of event
+# volume (higher than both neighbors). lag/lead over the bounded
+# per-day aggregate; endpoints never qualify (one-sided neighbors).
+
+
+@register(
+    "events_daily_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ),
+    nbr AS (
+      SELECT d, n,
+             lag(n) OVER (ORDER BY d) AS prev_n,
+             lead(n) OVER (ORDER BY d) AS next_n
+      FROM daily
+    )
+    SELECT d, n, prev_n, next_n
+    FROM nbr
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+    """,
+)
+def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local maxima of daily event volume (lag/lead over the
+    bounded per-day series)."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = Window.orderBy("d")
+    nbr = daily.select(
+        "d",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return nbr.where(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n") > F.col("prev_n"))
+        & (F.col("n") > F.col("next_n"))
+    )

@@ -999,3 +999,14 @@ def test_psi_drift_broadcast_totals_no_global_window(spark):
     plan = _plan(spark, "emb_drift_psi")
     assert "Exchange SinglePartition" not in plan or "Window" not in plan
     assert "partial_sum" in plan
+
+
+def test_higher_moments_partial_aggregated(spark):
+    plan = _plan(spark, "agg_higher_moments")
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_daily_peaks_window_on_day_aggregate(spark):
+    plan = _plan(spark, "events_daily_peaks")
+    assert "HashAggregate" in plan.split("Window")[-1]
