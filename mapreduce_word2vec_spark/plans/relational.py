@@ -5804,3 +5804,52 @@ def agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness_pop"),
         F.round(kurt, 6).alias("excess_kurtosis_pop"),
     )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+# Fraud/data-quality screening: order totals spanning several orders
+# of magnitude should follow Benford's law, P(d) = log10(1 + 1/d).
+# Observed first-digit shares + the chi-square distance; the digit
+# table is 9 rows after one partial-aggregated count.
+
+
+@register(
+    "orders_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM obs)
+    SELECT digit, n,
+           round(n * 1.0 / t, 6) AS obs_share,
+           round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+           round((n * 1.0 / t - log10(1.0 + 1.0 / digit))
+                 * (n * 1.0 / t - log10(1.0 + 1.0 / digit))
+                 / log10(1.0 + 1.0 / digit), 6) AS chi2_term
+    FROM obs CROSS JOIN tot
+    """,
+)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-digit distribution of order totals vs Benford's law with
+    per-digit chi-square terms."""
+    o = rt(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    obs = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("t"))
+    j = obs.crossJoin(F.broadcast(tot))
+    share = F.col("n") / F.col("t")
+    bshare = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return j.select(
+        "digit",
+        "n",
+        F.round(share, 6).alias("obs_share"),
+        F.round(bshare, 6).alias("benford_share"),
+        F.round((share - bshare) * (share - bshare) / bshare, 6).alias("chi2_term"),
+    )

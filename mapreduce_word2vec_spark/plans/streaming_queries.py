@@ -2052,3 +2052,92 @@ def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n") > F.col("prev_n"))
         & (F.col("n") > F.col("next_n"))
     )
+
+
+# --- token-bucket rate-limit audit ----------------------------------------
+# "How many of these requests WOULD a 10-per-minute token bucket have
+# rejected?" — the capacity-planning replay every gateway team runs.
+# The bucket is inherently sequential per user, so the per-user event
+# times pack into an array (session-bounded) and the bucket runs as a
+# deterministic list fold with a [last_ts, tokens, n_rejected] state
+# vector — the same aggregate-then-fold shape as the CUSUM detector.
+
+_RL_CAP = 10.0
+_RL_RATE_PER_US = 10.0 / 60e6  # 10 tokens per minute
+
+
+@register(
+    "events_rate_limit_audit",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, CAST(epoch_us(ts) AS DOUBLE) AS us, event_id
+      FROM events
+    ),
+    packed AS (
+      SELECT user_id,
+             list([us, 0.0, 0.0] ORDER BY us, event_id) AS evs
+      FROM e GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, len(evs) AS n_events,
+             CASE WHEN len(evs) = 1
+                  THEN [evs[1][1], {_RL_CAP} - 1.0, 0.0]
+                  ELSE list_reduce(
+                    list_prepend([evs[1][1], {_RL_CAP} - 1.0, 0.0], evs[2:]),
+                    (acc, x) ->
+                      [x[1],
+                       CASE WHEN least({_RL_CAP}, acc[2] + (x[1] - acc[1]) * {_RL_RATE_PER_US}) >= 1.0
+                            THEN least({_RL_CAP}, acc[2] + (x[1] - acc[1]) * {_RL_RATE_PER_US}) - 1.0
+                            ELSE least({_RL_CAP}, acc[2] + (x[1] - acc[1]) * {_RL_RATE_PER_US}) END,
+                       acc[3] + CASE WHEN least({_RL_CAP}, acc[2] + (x[1] - acc[1]) * {_RL_RATE_PER_US}) >= 1.0
+                                     THEN 0.0 ELSE 1.0 END])
+             END AS st
+      FROM packed
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           CAST(st[3] AS BIGINT) AS n_rejected,
+           round(st[2], 6) AS tokens_left
+    FROM folded
+    """,
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a 10/minute token bucket over each user's event stream:
+    rejected-request count and final token level, as a list fold over
+    the (ts, event_id)-ordered packed times."""
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    packed = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("us", "event_id"))),
+            lambda s: F.array(s["us"].cast("double"), F.lit(0.0), F.lit(0.0)),
+        ).alias("evs")
+    )
+    cap = F.lit(_RL_CAP)
+    rate = F.lit(_RL_RATE_PER_US)
+    first = F.element_at("evs", 1)
+    init = F.array(F.element_at(first, 1), cap - 1.0, F.lit(0.0))
+
+    def step(acc, x):
+        refill = F.least(cap, F.element_at(acc, 2) + (F.element_at(x, 1) - F.element_at(acc, 1)) * rate)
+        allowed = refill >= 1.0
+        return F.array(
+            F.element_at(x, 1),
+            F.when(allowed, refill - 1.0).otherwise(refill),
+            F.element_at(acc, 3) + F.when(allowed, 0.0).otherwise(1.0),
+        )
+
+    st = F.aggregate(
+        F.slice("evs", 2, F.size("evs") - 1), init, step
+    )
+    folded = packed.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        st.alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.element_at("st", 3).cast("bigint").alias("n_rejected"),
+        F.round(F.element_at("st", 2), 6).alias("tokens_left"),
+    )

@@ -1010,3 +1010,17 @@ def test_higher_moments_partial_aggregated(spark):
 def test_daily_peaks_window_on_day_aggregate(spark):
     plan = _plan(spark, "events_daily_peaks")
     assert "HashAggregate" in plan.split("Window")[-1]
+
+
+def test_rate_limit_fold_single_user_exchange(spark):
+    """Bucket replay = one user-keyed exchange (the pack aggregate);
+    the fold itself is row-local."""
+    plan = _plan(spark, "events_rate_limit_audit")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_benford_digit_table_broadcast_total(spark):
+    plan = _plan(spark, "orders_benford")
+    assert "partial_count" in plan
+    assert "SortMergeJoin" not in plan
