@@ -742,3 +742,40 @@ def source_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload.name").alias("nation_name"),
         F.length("payload.name").cast("int").alias("name_len"),
     )
+
+
+@register(
+    "source_compression_roundtrip",
+    oracle="""
+    SELECT codec,
+           CAST((SELECT count(*) FROM nation) AS BIGINT) AS n_rows,
+           CAST((SELECT sum(n_nationkey) FROM nation) AS BIGINT) AS key_sum
+    FROM (VALUES ('gzip'), ('snappy'), ('zstd')) AS t(codec)
+    """,
+)
+def source_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec matrix: write nation as parquet under gzip/snappy/zstd,
+    read each back, verify row count + key checksum survive every
+    codec. (Sizes differ per codec and are env-dependent, so the
+    oracle checks content, not bytes.)"""
+    import os
+    import tempfile
+
+    nation = read_testdata(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="mw2v_codec_")
+    outs = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path = os.path.join(base, codec)
+        nation.write.mode("overwrite").option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -2141,3 +2141,47 @@ def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("st", 3).cast("bigint").alias("n_rejected"),
         F.round(F.element_at("st", 2), 6).alias("tokens_left"),
     )
+
+
+# --- feature-store rolling features -----------------------------------------
+# Point-in-time training features: for every event, the SAME user's
+# trailing-1h activity (count + value sum, current row included) via
+# an event-time RANGE frame — the interval-frame window surface that
+# per-row feature materialization needs. One user-keyed exchange;
+# Spark's range frame wants a numeric ordering key, so the frame
+# runs on unix_micros(ts) (DuckDB mirrors with epoch_us + the same
+# integer bound).
+
+_ROLL_US = 3_600 * 1_000_000
+
+
+@register(
+    "events_rolling_features",
+    oracle=f"""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_events_1h,
+           round(sum(value) OVER w, 6) AS value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_ROLL_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1h per-user event count and value sum at every event
+    (event-time RANGE frame on the µs ordering key)."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_ROLL_US, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("bigint").alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 6).alias("value_1h"),
+    )

@@ -1024,3 +1024,14 @@ def test_benford_digit_table_broadcast_total(spark):
     plan = _plan(spark, "orders_benford")
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rolling_features_range_frame_user_partitioned(spark):
+    plan = _plan(spark, "events_rolling_features")
+    assert "Exchange SinglePartition" not in plan
+    assert "specifiedwindowframe(RangeFrame" in plan
+
+
+def test_compression_roundtrip_reads_all_codecs(spark):
+    plan = _plan(spark, "source_compression_roundtrip")
+    assert plan.count("FileScan parquet") >= 3
