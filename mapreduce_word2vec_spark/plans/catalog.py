@@ -159,7 +159,9 @@ _PRIORITY = (
 # graph_link_prediction, doc_fim_transform, agg_weighted_median,
 # multimodal_tar_index, table_log_replay, events_changepoint_cusum,
 # scalar_bround, knn_maxsim, doc_filter_ensemble,
-# incr_variance_merge, emb_drift_psi,
+# incr_variance_merge, emb_drift_psi, agg_higher_moments,
+# events_daily_peaks, events_rate_limit_audit, orders_benford,
+# source_compression_roundtrip, events_rolling_features,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,
