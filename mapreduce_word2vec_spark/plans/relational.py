@@ -5853,3 +5853,80 @@ def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bshare, 6).alias("benford_share"),
         F.round((share - bshare) * (share - bshare) / bshare, 6).alias("chi2_term"),
     )
+
+
+# --- seasonal decomposition ---------------------------------------------------
+# Classical additive decomposition of monthly revenue: trend = full
+# 13-month centered moving average, seasonal = per-calendar-month
+# mean deviation from trend, residual = remainder. Every window runs
+# on the BOUNDED monthly aggregate (~84 rows for 7 TPC-H years);
+# revenue accumulates as exact integer cents so both engines see the
+# same series.
+
+
+@register(
+    "orders_seasonal_decompose",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(substr(strftime(o_orderdate, '%Y-%m'), 6, 2) AS INT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT month, m, rev_c,
+             CASE WHEN count(*) OVER w = 13
+                  THEN avg(rev_c * 1.0) OVER w END AS trend_c
+      FROM monthly
+      WINDOW w AS (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    seas AS (
+      SELECT m, avg(rev_c - trend_c) AS seasonal_c
+      FROM tr WHERE trend_c IS NOT NULL GROUP BY m
+    )
+    SELECT month, round(rev_c / 100.0, 2) AS revenue,
+           round(trend_c / 100.0, 4) AS trend,
+           round(seasonal_c / 100.0, 4) AS seasonal,
+           round((rev_c - trend_c - seasonal_c) / 100.0, 4) AS residual
+    FROM tr JOIN seas USING (m)
+    """,
+)
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive trend/seasonal/residual decomposition of monthly
+    revenue (13-month centered MA, per-month seasonal means)."""
+    monthly = (
+        rt(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(-6, 6)
+    tr = monthly.select(
+        "month",
+        "m",
+        "rev_c",
+        F.when(F.count("*").over(w) == 13, F.avg(F.col("rev_c") * 1.0).over(w)).alias(
+            "trend_c"
+        ),
+    )
+    seas = (
+        tr.where(F.col("trend_c").isNotNull())
+        .groupBy("m")
+        .agg(F.avg(F.col("rev_c") - F.col("trend_c")).alias("seasonal_c"))
+    )
+    j = tr.join(F.broadcast(seas), "m")
+    return j.select(
+        "month",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(F.col("trend_c") / 100.0, 4).alias("trend"),
+        F.round(F.col("seasonal_c") / 100.0, 4).alias("seasonal"),
+        F.round(
+            (F.col("rev_c") - F.col("trend_c") - F.col("seasonal_c")) / 100.0, 4
+        ).alias("residual"),
+    )

@@ -1035,3 +1035,9 @@ def test_rolling_features_range_frame_user_partitioned(spark):
 def test_compression_roundtrip_reads_all_codecs(spark):
     plan = _plan(spark, "source_compression_roundtrip")
     assert plan.count("FileScan parquet") >= 3
+
+
+def test_seasonal_decompose_windows_on_monthly_aggregate(spark):
+    plan = _plan(spark, "orders_seasonal_decompose")
+    assert "HashAggregate" in plan.split("Window")[-1]
+    assert "SortMergeJoin" not in plan
