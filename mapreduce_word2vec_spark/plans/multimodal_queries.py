@@ -586,3 +586,93 @@ def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("tar_offset"),
     )
+
+
+# --- energy-threshold VAD segments ----------------------------------------
+# Voice-activity detection over the PCM windowing: a window is
+# "speech" when its RMS clears the threshold; contiguous speech
+# windows merge into segments (the gaps-and-islands cumsum trick,
+# per-doc partitions). The real first step of any speech-data
+# curation pipeline; the stub byte-PCM stands in for decoded audio
+# exactly as in multimodal_audio_windows.
+
+_VAD_RMS = 105.0
+_VAD_WIN = 256
+
+
+@register(
+    "multimodal_vad_segments",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, win,
+             list_transform(split(substring(text, win * {_VAD_WIN} + 1, {_VAD_WIN}), ''),
+                            ch -> ascii(ch)) AS cs
+      FROM (SELECT doc_id, text,
+                   unnest(range(0, CAST(ceil(length(text) / {_VAD_WIN}.0) AS INT))) AS win
+            FROM documents)
+    ),
+    rms AS (
+      SELECT doc_id, CAST(win AS INT) AS win,
+             sqrt(CAST(list_sum(list_transform(cs, c -> c * c)) AS DOUBLE)
+                  / len(cs)) AS r
+      FROM w WHERE len(cs) > 0
+    ),
+    flags AS (
+      SELECT doc_id, win, r >= {_VAD_RMS} AS speech,
+             CASE WHEN (r >= {_VAD_RMS}) AND NOT coalesce(
+               lag(r >= {_VAD_RMS}) OVER (PARTITION BY doc_id ORDER BY win), FALSE)
+             THEN 1 ELSE 0 END AS seg_start
+      FROM rms
+    ),
+    segs AS (
+      SELECT doc_id, win,
+             sum(seg_start) OVER (PARTITION BY doc_id ORDER BY win
+                                  ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM flags WHERE speech
+    )
+    SELECT doc_id, CAST(seg_id AS BIGINT) AS seg_id,
+           CAST(min(win) AS INT) AS start_win,
+           CAST(max(win) AS INT) AS end_win,
+           CAST(count(*) AS BIGINT) AS n_windows
+    FROM segs GROUP BY doc_id, seg_id
+    """,
+)
+def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous speech segments (RMS ≥ {105}) over the 256-sample
+    PCM windows: per-doc lag flags starts, cumsum numbers segments,
+    one group-by emits (start, end, length)."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.operators.multimodal import (
+        attach_media_expr,
+        audio_windows,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    rms = audio_windows(attach_media_expr(docs), window=_VAD_WIN).select(
+        "doc_id", "window_idx", "rms"
+    )
+    w = Window.partitionBy("doc_id").orderBy("window_idx")
+    speech = F.col("rms") >= _VAD_RMS
+    flags = rms.select(
+        "doc_id",
+        "window_idx",
+        speech.alias("speech"),
+        F.when(
+            speech & ~F.coalesce(F.lag(speech).over(w), F.lit(False)), 1
+        )
+        .otherwise(0)
+        .alias("seg_start"),
+    )
+    segs = flags.where("speech").select(
+        "doc_id",
+        "window_idx",
+        F.sum("seg_start")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("seg_id"),
+    )
+    return segs.groupBy("doc_id", F.col("seg_id").cast("bigint").alias("seg_id")).agg(
+        F.min("window_idx").cast("int").alias("start_win"),
+        F.max("window_idx").cast("int").alias("end_win"),
+        F.count("*").cast("bigint").alias("n_windows"),
+    )

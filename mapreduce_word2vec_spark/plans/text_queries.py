@@ -3684,3 +3684,73 @@ def doc_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass_entropy.alias("pass_entropy"),
         (votes >= 2).alias("keep"),
     )
+
+
+# --- distance-weighted co-occurrence (GloVe-style) -----------------------
+# The word2vec/GloVe training-data primitive the reference's pipeline
+# leads to: for every ordered token pair within a ±4 window, weight
+# 1/distance, accumulate. Pair generation is a HOF over (i, d) index
+# pairs (no self-join!); weights are exact 1/d rationals at d ≤ 4.
+# Top-100 by weight with full tie-breaks.
+
+_COOC_WINDOW = 4
+_COOC_TOPN = 100
+
+
+@register(
+    "w2v_cooccurrence",
+    oracle=f"""
+    WITH toks AS (SELECT {_SQL_TOKENS} AS ws FROM documents),
+    pairs AS (
+      SELECT u.p[1] AS w1, u.p[2] AS w2, CAST(u.p[3] AS INT) AS d
+      FROM toks,
+           unnest(flatten(list_transform(range(1, len(ws) + 1), i ->
+             list_transform(range(1, least({_COOC_WINDOW}, len(ws) - i) + 1), d ->
+               [ws[i], ws[i + d], CAST(d AS VARCHAR)])))) AS u(p)
+    )
+    SELECT w1, w2,
+           round(sum(1.0 / d), 6) AS weight,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY w1, w2
+    ORDER BY weight DESC, w1, w2
+    LIMIT {_COOC_TOPN}
+    """,
+)
+def w2v_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{100} distance-weighted co-occurrence pairs (window ±4,
+    weight Σ1/d): the GloVe/word2vec statistics pass, pairs generated
+    by a HOF index sweep, one (w1, w2) count exchange, TakeOrdered
+    top-k."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    toks = docs.select(ws.alias("ws")).where(F.size("ws") >= 2)
+    # i stops at size-1: Spark's sequence(1, 0) DESCENDS instead of
+    # returning empty, so the last index must never reach the HOF
+    pair_lists = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(_COOC_WINDOW), F.size("ws") - i),
+                ),
+                lambda d: F.struct(
+                    F.element_at("ws", i.cast("int")).alias("w1"),
+                    F.element_at("ws", (i + d).cast("int")).alias("w2"),
+                    d.cast("int").alias("d"),
+                ),
+            ),
+        )
+    )
+    pairs = toks.select(F.explode(pair_lists).alias("p")).select(
+        "p.w1", "p.w2", "p.d"
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(
+            F.round(F.sum(F.lit(1.0) / F.col("d")), 6).alias("weight"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+        .orderBy(F.desc("weight"), "w1", "w2")
+        .limit(_COOC_TOPN)
+    )

@@ -1041,3 +1041,17 @@ def test_seasonal_decompose_windows_on_monthly_aggregate(spark):
     plan = _plan(spark, "orders_seasonal_decompose")
     assert "HashAggregate" in plan.split("Window")[-1]
     assert "SortMergeJoin" not in plan
+
+
+def test_cooccurrence_single_pair_exchange_topk(spark):
+    """Pair generation is a HOF sweep (no self-join); one (w1,w2)
+    exchange; top-k via TakeOrdered."""
+    plan = _plan(spark, "w2v_cooccurrence")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_vad_segments_windows_partition_by_doc(spark):
+    plan = _plan(spark, "multimodal_vad_segments")
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan
