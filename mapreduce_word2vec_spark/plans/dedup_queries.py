@@ -1269,3 +1269,49 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_common"))
     )
     return wedges.join(edges, ["id_a", "id_b"], "left_anti")
+
+
+# --- prefix-hash dedup -----------------------------------------------------
+# The cheap first-pass dedup production crawls actually run before
+# MinHash: hash the first N tokens (templated intros / boilerplate
+# openings collide immediately) and group. One narrow projection +
+# one md5-keyed aggregation; no shingles, no joins.
+
+_PREFIX_W = 32
+
+
+@register(
+    "dedup_prefix_hash",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    p AS (
+      SELECT doc_id,
+             md5(array_to_string(ws[1 : {_PREFIX_W}], ' ')) AS prefix_md5
+      FROM toks WHERE len(ws) > 0
+    )
+    SELECT prefix_md5,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc
+    FROM p GROUP BY prefix_md5
+    HAVING count(*) > 1
+    """,
+)
+def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-{32}-token prefix-hash dup groups (>1 member) with
+    min-doc_id survivors."""
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    p = docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(ws, 1, _PREFIX_W), " ")).alias("prefix_md5"),
+    ).where(F.size(ws) > 0)
+    return (
+        p.groupBy("prefix_md5")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("survivor_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+    )

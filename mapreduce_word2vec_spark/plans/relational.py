@@ -5583,7 +5583,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lakehouse table-format mechanics: the current snapshot is the
 # last-action-wins replay of an ordered (version, action, file) log.
 # Log synthesized from the lineitem month manifest: v0 adds every
-# month, v1 removes 1993, v2 re-adds 1993 H1 as compacted files.
+# month, v1 removes 1996, v2 re-adds 1996 H1 as compacted files.
 # Replay = max_by(action, version) per file, keep 'add' — one
 # file-keyed aggregation over a metadata-scale log.
 
@@ -5600,11 +5600,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 0 AS version, 'add' AS action, file_id, n_rows FROM months
       UNION ALL
       SELECT 1, 'remove', file_id, n_rows FROM months
-      WHERE file_id LIKE '1993-%'
+      WHERE file_id LIKE '1996-%'
       UNION ALL
       SELECT 2, 'add', file_id, n_rows FROM months
-      WHERE file_id IN ('1993-01', '1993-02', '1993-03',
-                        '1993-04', '1993-05', '1993-06')
+      WHERE file_id IN ('1996-01', '1996-02', '1996-03',
+                        '1996-04', '1996-05', '1996-06')
     ),
     latest AS (
       SELECT file_id,
@@ -5628,10 +5628,10 @@ def table_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     v0 = months.select(
         F.lit(0).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
     )
-    v1 = months.where(F.col("file_id").startswith("1993-")).select(
+    v1 = months.where(F.col("file_id").startswith("1996-")).select(
         F.lit(1).alias("version"), F.lit("remove").alias("action"), "file_id", "n_rows"
     )
-    h1 = ["1993-0%d" % i for i in range(1, 7)]
+    h1 = ["1996-0%d" % i for i in range(1, 7)]
     v2 = months.where(F.col("file_id").isin(h1)).select(
         F.lit(2).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
     )
@@ -5929,4 +5929,64 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             (F.col("rev_c") - F.col("trend_c") - F.col("seasonal_c")) / 100.0, 4
         ).alias("residual"),
+    )
+
+
+@register(
+    "table_vacuum_plan",
+    oracle="""
+    WITH months AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM lineitem GROUP BY 1
+    ),
+    log AS (
+      SELECT 0 AS version, 'add' AS action, file_id, n_rows FROM months
+      UNION ALL
+      SELECT 1, 'remove', file_id, n_rows FROM months
+      WHERE file_id LIKE '1996-%'
+      UNION ALL
+      SELECT 2, 'add', file_id, n_rows FROM months
+      WHERE file_id IN ('1996-01', '1996-02', '1996-03',
+                        '1996-04', '1996-05', '1996-06')
+    ),
+    latest AS (
+      SELECT file_id,
+             max_by(action, version) AS last_action,
+             max_by(n_rows, version) AS n_rows,
+             CAST(max(version) AS INT) AS tombstoned_at
+      FROM log GROUP BY file_id
+    )
+    SELECT file_id, n_rows, tombstoned_at
+    FROM latest WHERE last_action = 'remove'
+    """,
+)
+def table_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM complement to table_log_replay: files whose LAST log
+    action is a remove — the tombstones eligible for physical
+    deletion once the retention window passes. Same one-aggregation
+    replay over the metadata log."""
+    months = (
+        rt(spark, sf_dir, "lineitem")
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("file_id"))
+        .agg(F.count("*").cast("bigint").alias("n_rows"))
+    )
+    v0 = months.select(
+        F.lit(0).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
+    )
+    v1 = months.where(F.col("file_id").startswith("1996-")).select(
+        F.lit(1).alias("version"), F.lit("remove").alias("action"), "file_id", "n_rows"
+    )
+    h1 = ["1996-0%d" % i for i in range(1, 7)]
+    v2 = months.where(F.col("file_id").isin(h1)).select(
+        F.lit(2).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
+    )
+    log = v0.unionByName(v1).unionByName(v2)
+    latest = log.groupBy("file_id").agg(
+        F.max_by("action", "version").alias("last_action"),
+        F.max_by("n_rows", "version").alias("n_rows"),
+        F.max("version").cast("int").alias("tombstoned_at"),
+    )
+    return latest.where(F.col("last_action") == "remove").select(
+        "file_id", "n_rows", "tombstoned_at"
     )

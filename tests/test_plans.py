@@ -1055,3 +1055,14 @@ def test_vad_segments_windows_partition_by_doc(spark):
     plan = _plan(spark, "multimodal_vad_segments")
     assert "Exchange SinglePartition" not in plan
     assert "Window" in plan
+
+
+def test_prefix_hash_dedup_single_exchange(spark):
+    plan = _plan(spark, "dedup_prefix_hash")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_vacuum_plan_no_join(spark):
+    plan = _plan(spark, "table_vacuum_plan")
+    assert "Join" not in plan
