@@ -5990,3 +5990,26 @@ def table_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return latest.where(F.col("last_action") == "remove").select(
         "file_id", "n_rows", "tombstoned_at"
     )
+
+
+@register(
+    "agg_bool_aggregates",
+    oracle="""
+    SELECT event_type,
+           bool_and(value > 0) AS all_positive,
+           bool_or(value > 30) AS any_large,
+           CAST(sum(CASE WHEN value > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate family: bool_and / bool_or / count_if per
+    event type (ANSI EVERY/ANY surface)."""
+    ev = rt(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.bool_and(F.col("value") > 0).alias("all_positive"),
+        F.bool_or(F.col("value") > 30).alias("any_large"),
+        F.count_if(F.col("value") > 30).cast("bigint").alias("n_large"),
+        F.count("*").cast("bigint").alias("n"),
+    )
