@@ -6013,3 +6013,58 @@ def agg_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("value") > 30).cast("bigint").alias("n_large"),
         F.count("*").cast("bigint").alias("n"),
     )
+
+
+# --- Wilson score interval ----------------------------------------------------
+# Proportion estimates at corpus scale need intervals, and the Wilson
+# score behaves at extreme p̂ where the normal approximation breaks.
+# Counts are exact integers; the interval is row-local closed-form
+# math over the tiny per-group aggregate (z = 1.96, 95%).
+
+_WILSON_Z = 1.96
+
+
+@register(
+    "agg_wilson_ci",
+    oracle=f"""
+    WITH m AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 30 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, k,
+           round(k * 1.0 / n, 6) AS p_hat,
+           round((k * 1.0 / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  - {_WILSON_Z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                       + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_lo,
+           round((k * 1.0 / n + {_WILSON_Z} * {_WILSON_Z} / (2 * n)
+                  + {_WILSON_Z} * sqrt((k * 1.0 / n) * (1 - k * 1.0 / n) / n
+                                       + {_WILSON_Z} * {_WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {_WILSON_Z} * {_WILSON_Z} / n), 6) AS ci_hi
+    FROM m
+    """,
+)
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the share of high-value events
+    per type (exact integer counts, closed-form interval)."""
+    ev = rt(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 30, 1).otherwise(0)).cast("bigint").alias("k"),
+    )
+    z = _WILSON_Z
+    n = F.col("n")
+    p = F.col("k") * F.lit(1.0) / n
+    center = p + z * z / (2 * n)
+    half = z * F.sqrt(p * (1 - p) / n + F.lit(z * z) / (4.0 * n * n))
+    denom = 1 + F.lit(z * z) / n
+    return m.select(
+        "event_type",
+        "n",
+        "k",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    )
