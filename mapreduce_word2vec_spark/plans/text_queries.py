@@ -3754,3 +3754,117 @@ def w2v_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("weight"), "w1", "w2")
         .limit(_COOC_TOPN)
     )
+
+
+# --- RAKE keyphrase extraction ---------------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal stopword-free token runs; each word scores
+# degree/frequency (degree = Σ length of phrases containing it), a
+# phrase scores the sum of its words. Phrase segmentation is the
+# gaps-and-islands cumsum per document; word stats are vocab-sized
+# and broadcast back onto phrase members.
+
+_RAKE_TOPN = 20
+
+
+@register(
+    "doc_keyphrase_rake",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, ws FROM (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents)
+      WHERE len(ws) > 0
+    ),
+    pos AS (
+      SELECT doc_id, i AS p, ws[i] AS w,
+             ws[i] IN ({_SQL_STOPSET}) AS is_stop
+      FROM toks, unnest(range(1, len(ws) + 1)) AS t(i)
+    ),
+    -- phrase ids come from a cumsum over ALL rows (stop rows included)
+    -- computed in a subquery, because WHERE runs before window eval
+    seg2 AS (
+      SELECT doc_id, p, w, phrase_id FROM (
+        SELECT doc_id, p, w, is_stop,
+               sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY p) AS phrase_id
+        FROM pos
+      ) WHERE NOT is_stop
+    ),
+    phrases AS (
+      SELECT doc_id, phrase_id,
+             string_agg(w, ' ' ORDER BY p) AS phrase,
+             count(*) AS plen
+      FROM seg2 GROUP BY doc_id, phrase_id
+    ),
+    members AS (
+      SELECT s.w, ph.plen
+      FROM seg2 s JOIN phrases ph USING (doc_id, phrase_id)
+    ),
+    wstats AS (
+      SELECT w, count(*) AS freq, sum(plen) AS deg FROM members GROUP BY w
+    ),
+    scored AS (
+      SELECT ph.phrase,
+             sum(ws.deg * 1.0 / ws.freq) AS score
+      FROM phrases ph
+      JOIN seg2 s USING (doc_id, phrase_id)
+      JOIN wstats ws ON s.w = ws.w
+      GROUP BY ph.doc_id, ph.phrase_id, ph.phrase
+    )
+    SELECT phrase,
+           round(max(score), 6) AS score,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM scored GROUP BY phrase
+    ORDER BY score DESC, phrase
+    LIMIT {_RAKE_TOPN}
+    """,
+)
+def doc_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE top-{20} keyphrases: stopword-delimited phrase islands,
+    degree/frequency word scores broadcast onto members, per-phrase
+    sums, distinct-phrase rollup, TakeOrdered top-k."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.text import STOPWORDS
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    toks = docs.select("doc_id", ws.alias("ws")).where(F.size("ws") > 0)
+    pos = toks.select(
+        "doc_id", F.posexplode("ws").alias("p", "w")
+    ).withColumn("is_stop", F.col("w").isin(list(STOPWORDS)))
+    w_cum = Window.partitionBy("doc_id").orderBy("p")
+    seg2 = (
+        pos.withColumn(
+            "phrase_id", F.sum(F.col("is_stop").cast("int")).over(w_cum)
+        )
+        .where(~F.col("is_stop"))
+        .select("doc_id", "p", "w", "phrase_id")
+    )
+    phrases = seg2.groupBy("doc_id", "phrase_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "w"))), lambda s: s["w"]
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    members = seg2.join(phrases, ["doc_id", "phrase_id"])
+    wstats = members.groupBy("w").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        seg2.join(phrases, ["doc_id", "phrase_id"])
+        .join(F.broadcast(wstats), "w")
+        .groupBy("doc_id", "phrase_id", "phrase")
+        .agg(F.sum(F.col("deg") * 1.0 / F.col("freq")).alias("score"))
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.round(F.max("score"), 6).alias("score"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(_RAKE_TOPN)
+    )

@@ -1066,3 +1066,12 @@ def test_prefix_hash_dedup_single_exchange(spark):
 def test_vacuum_plan_no_join(spark):
     plan = _plan(spark, "table_vacuum_plan")
     assert "Join" not in plan
+
+
+def test_rake_word_stats_broadcast(spark):
+    """Word degree/frequency (vocab-sized) must broadcast back onto
+    phrase members; the island window partitions by doc."""
+    plan = _plan(spark, "doc_keyphrase_rake")
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "TakeOrderedAndProject" in plan
