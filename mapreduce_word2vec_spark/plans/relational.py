@@ -6068,3 +6068,56 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     )
+
+
+# --- dormancy win-back ---------------------------------------------------------
+# Lifecycle marketing's retention question: how many customers went
+# dormant (>180 days between consecutive orders) and then came back,
+# and how long were the dormancy spells? One customer-keyed lag
+# window over (customer, order date), then a rollup.
+
+_DORMANT_DAYS = 180
+
+
+@register(
+    "orders_dormancy_winback",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) AS prev_d
+      FROM orders
+    ),
+    spells AS (
+      SELECT o_custkey, date_diff('day', prev_d, o_orderdate) AS gap_days
+      FROM o WHERE prev_d IS NOT NULL
+        AND date_diff('day', prev_d, o_orderdate) > {_DORMANT_DAYS}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_winbacks,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(min(gap_days) AS BIGINT) AS min_gap_days,
+           CAST(max(gap_days) AS BIGINT) AS max_gap_days,
+           round(avg(gap_days), 6) AS avg_gap_days
+    FROM spells
+    """,
+)
+def orders_dormancy_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Win-back events: consecutive same-customer orders more than
+    {180} days apart, with spell-length stats."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = rt(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        F.lag("o_orderdate").over(w).alias("prev_d"),
+    )
+    spells = o.where(
+        F.col("prev_d").isNotNull()
+        & (F.datediff("o_orderdate", "prev_d") > _DORMANT_DAYS)
+    ).select("o_custkey", F.datediff("o_orderdate", "prev_d").alias("gap_days"))
+    return spells.agg(
+        F.count("*").cast("bigint").alias("n_winbacks"),
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.min("gap_days").cast("bigint").alias("min_gap_days"),
+        F.max("gap_days").cast("bigint").alias("max_gap_days"),
+        F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
+    )

@@ -2185,3 +2185,66 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).cast("bigint").alias("n_events_1h"),
         F.round(F.sum("value").over(w), 6).alias("value_1h"),
     )
+
+
+# --- session outcome / cart abandonment -------------------------------------
+# The e-commerce staple: classify every session (30-min gap rule, the
+# engine's standard sessionization) as converted (purchase), abandoned
+# (click, no purchase), or browse-only, and report per-outcome session
+# counts and average size. Reuses the lag/cumsum sessionization — one
+# user-keyed exchange, one session aggregate, one outcome rollup.
+
+
+@register(
+    "events_session_abandonment",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, event_type,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_idx
+      FROM g
+    ), sess AS (
+      SELECT user_id, session_idx,
+             count(*) AS n_events,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS has_p,
+             max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_c
+      FROM s GROUP BY user_id, session_idx
+    )
+    SELECT CASE WHEN has_p = 1 THEN 'converted'
+                WHEN has_c = 1 THEN 'abandoned'
+                ELSE 'browse_only' END AS outcome,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           round(avg(n_events), 6) AS avg_events
+    FROM sess GROUP BY 1
+    """,
+)
+def events_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session outcomes (converted / abandoned / browse-only) with
+    counts and mean session size over 30-min-gap sessions."""
+    from mapreduce_word2vec_spark.streaming.windows import assign_sessions
+
+    ev = read_testdata(spark, sf_dir, "events")
+    s = assign_sessions(ev, gap_minutes=30)
+    sess = s.groupBy("user_id", "session_idx").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "has_p"
+        ),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_c"),
+    )
+    outcome = (
+        F.when(F.col("has_p") == 1, "converted")
+        .when(F.col("has_c") == 1, "abandoned")
+        .otherwise("browse_only")
+    )
+    return sess.groupBy(outcome.alias("outcome")).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.round(F.avg("n_events"), 6).alias("avg_events"),
+    )

@@ -1075,3 +1075,15 @@ def test_rake_word_stats_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "Exchange SinglePartition" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_session_abandonment_single_user_exchange(spark):
+    plan = _plan(spark, "events_session_abandonment")
+    assert plan.count("Exchange hashpartitioning") <= 2  # user sessionize + outcome
+    assert "Join" not in plan
+
+
+def test_dormancy_winback_lag_user_partitioned(spark):
+    plan = _plan(spark, "orders_dormancy_winback")
+    assert "Exchange SinglePartition" in plan  # only the 1-row final agg
+    assert plan.count("Exchange hashpartitioning") == 1
