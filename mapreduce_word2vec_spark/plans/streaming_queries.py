@@ -2248,3 +2248,61 @@ def events_session_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_sessions"),
         F.round(F.avg("n_events"), 6).alias("avg_events"),
     )
+
+
+# --- timeout (absence) alerts ------------------------------------------------
+# CEP's other half: alert when an expected FOLLOW-UP never arrives —
+# per user, first 'view' events whose next purchase is more than 1h
+# away (or never). The as-of forward lookup is one min-aggregation +
+# user-keyed join, the same keyed shapes as events_window_funnel; at
+# stream time this is exactly what state timeouts implement.
+
+
+@register(
+    "events_timeout_alerts",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_next_purchase
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.t_view
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view AS t_view_us,
+           p.t_next_purchase AS t_purchase_us,
+           p.t_next_purchase IS NULL
+             OR p.t_next_purchase - v.t_view > {_FUNNEL_WINDOW_US} AS timed_out
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def events_timeout_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absence detection: users whose first view is not followed by a
+    purchase within 1h (or ever)."""
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_next_purchase"))
+    )
+    j = v.join(p, "user_id", "left")
+    timed_out = F.col("t_next_purchase").isNull() | (
+        F.col("t_next_purchase") - F.col("t_view") > _FUNNEL_WINDOW_US
+    )
+    return j.select(
+        "user_id",
+        F.col("t_view").alias("t_view_us"),
+        F.col("t_next_purchase").alias("t_purchase_us"),
+        timed_out.alias("timed_out"),
+    )
