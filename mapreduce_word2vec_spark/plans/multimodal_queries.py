@@ -676,3 +676,73 @@ def multimodal_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("window_idx").cast("int").alias("end_win"),
         F.count("*").cast("bigint").alias("n_windows"),
     )
+
+
+# --- ViT patch-grid addressing ----------------------------------------------
+# Vision-transformer data prep: each image decomposes into 16×16
+# patches; a patch loader needs (row, col, byte_offset) addressing
+# into the row-major RGB buffer. Pure arithmetic over the typed
+# metadata (the decode stays stubbed, exactly as multimodal_decode
+# documents); one narrow projection + an explode bounded by the
+# patch count, no exchange.
+
+_VIT_P = 16
+_VIT_BPP = 3  # RGB bytes per pixel
+
+
+@register(
+    "multimodal_vit_patches",
+    oracle=f"""
+    WITH meta AS (
+      SELECT doc_id,
+             CAST(64 + (doc_id % 5) * 32 AS INT) AS width,
+             CAST(64 + (doc_id % 7) * 16 AS INT) AS height
+      FROM documents
+    ),
+    grid AS (
+      SELECT doc_id, width, height,
+             width // {_VIT_P} AS nx, height // {_VIT_P} AS ny
+      FROM meta
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS patch_idx,
+           CAST(i % nx AS INT) AS px,
+           CAST(i // nx AS INT) AS py,
+           CAST(((i // nx) * {_VIT_P} * width + (i % nx) * {_VIT_P})
+                * {_VIT_BPP} AS BIGINT) AS byte_offset
+    FROM grid, unnest(range(0, nx * ny)) AS t(i)
+    """,
+)
+def multimodal_vit_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Patch-grid address table per image: 16x16 patches over the
+    typed metadata dims, row-major RGB byte offsets."""
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    m = attach_media_expr(docs).select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    nx = F.floor(F.col("width") / _VIT_P).cast("int")
+    ny = F.floor(F.col("height") / _VIT_P).cast("int")
+    g = m.select("doc_id", "width", nx.alias("nx"), ny.alias("ny"))
+    i = F.col("i")
+    return g.select(
+        "doc_id",
+        "width",
+        "nx",
+        F.explode(F.sequence(F.lit(0), F.col("nx") * F.col("ny") - 1)).alias("i"),
+    ).select(
+        "doc_id",
+        i.cast("int").alias("patch_idx"),
+        (i % F.col("nx")).cast("int").alias("px"),
+        F.floor(i / F.col("nx")).cast("int").alias("py"),
+        (
+            (F.floor(i / F.col("nx")) * _VIT_P * F.col("width")
+             + (i % F.col("nx")) * _VIT_P)
+            * _VIT_BPP
+        )
+        .cast("bigint")
+        .alias("byte_offset"),
+    )

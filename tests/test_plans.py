@@ -1087,3 +1087,9 @@ def test_dormancy_winback_lag_user_partitioned(spark):
     plan = _plan(spark, "orders_dormancy_winback")
     assert "Exchange SinglePartition" in plan  # only the 1-row final agg
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_vit_patches_is_exchange_free(spark):
+    plan = _plan(spark, "multimodal_vit_patches")
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the bounded patch explode
