@@ -166,7 +166,7 @@ _PRIORITY = (
 # multimodal_vad_segments, dedup_prefix_hash, table_vacuum_plan,
 # agg_bool_aggregates, agg_wilson_ci, doc_keyphrase_rake,
 # events_session_abandonment, orders_dormancy_winback,
-# events_timeout_alerts,
+# events_timeout_alerts, multimodal_vit_patches,
 # layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
 # scalar_regex, scalar_try_functions, source_python_datasource,
 # join_lateral_topn, table_stats_profile, table_quality_checks,
