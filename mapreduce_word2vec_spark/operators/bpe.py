@@ -64,6 +64,12 @@ def train_bpe_merges(
         )
     )
     rules: list[tuple[int, str, str, str, int]] = []
+    # Cache lifecycle: each iteration's fold reads the PREVIOUS
+    # materialized symbols, so the previous cache can be dropped only
+    # after the new one materializes (the per-iteration collect()).
+    # `prev` holds that one deferred unpersist — exactly two
+    # vocabulary-sized caches live at any time instead of n_merges.
+    prev: DataFrame | None = None
     for rank in range(n_merges):
         pairs = (
             syms.where(F.size("sym") >= 2)
@@ -86,16 +92,31 @@ def train_bpe_merges(
         # (the PageRank-convergence-check contract, not a data
         # collect); ties break on the pair text for determinism.
         best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        # The collect() materialized the CURRENT syms cache, so the
+        # previous iteration's cache is no longer reachable — drop it.
+        if prev is not None:
+            prev.unpersist()
+            prev = None
         if not best:
             break
         left, right, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         rules.append((rank, left, right, left + right, cnt))
-        # Apply the merge and re-persist: each iteration's fold runs
-        # on the PREVIOUS materialized symbols, keeping lineage (and
-        # the per-iteration plan) constant-depth.
-        syms = tracked_persist(
-            syms.select(_merge_fold(F.col("sym"), left, right).alias("sym"), "freq")
+        # Apply the merge: each iteration's fold runs on the PREVIOUS
+        # materialized symbols, keeping the per-iteration plan
+        # constant-depth. Every third merge the lineage is cut with an
+        # eager localCheckpoint (the connected_components/pagerank
+        # pattern) so a cache-block eviction under memory pressure
+        # never recomputes through the whole merge-fold chain.
+        folded = syms.select(
+            _merge_fold(F.col("sym"), left, right).alias("sym"), "freq"
         )
+        if (rank + 1) % 3 == 0:
+            new_syms = folded.localCheckpoint(eager=True)
+            syms.unpersist()  # checkpoint materialized — safe now
+        else:
+            new_syms = tracked_persist(folded)
+            prev = syms  # still feeding new_syms until its first action
+        syms = new_syms
     return rules
 
 

@@ -50,96 +50,77 @@ _loaded = False
 
 # The driver's CORRECTNESS check covers only the FIRST 50 registrations
 # (CORRECTNESS_r01.json is exactly the first 50 in catalog order), so
-# registration order is verification budget. Rounds 1–2 verified 89
-# distinct queries green; this round-3 window (a) re-checks the 8
-# round-2 rows burned by the two driver-canonicalizer interactions
-# (raw array outputs, HUGEINT oracle typing — both fixed, see
-# VERDICT.md r2), (b) promotes the 5 rotation candidates that shared
-# the array shape (now flattened), (c) spends the rest on
-# never-driver-tested names led by the LLM-ops flagships, and (d)
-# keeps a green sentinel per already-verified family so regressions
-# surface. Everything not listed keeps its original registration order
-# behind these; queries verified in an earlier round stay registered
-# (and pytest-gated) but yield their slot.
+# registration order is verification budget. Rounds 1–3 verified 135
+# distinct queries green (r3 window: 50/50). This round-4 window
+# executes the rotation plan recorded below in round 3: all 50 r3-green
+# names yield their slot; the window is (a) the round-3 catalog
+# additions, never driver-tested, in SURVEY §2.B order, (b) one
+# never-tested pick each for the two families the r3 additions don't
+# touch (multimodal, embedding), and (c) four green sentinels spread
+# across families so a regression in verified code still surfaces.
+# Everything not listed keeps its original registration order behind
+# these; queries verified in an earlier round stay registered (and
+# pytest-gated) but yield their slot.
 _PRIORITY = (
-    # --- re-checks: the 8 non-green round-2 rows, all fixed ---
-    "agg_percentile",
-    "array_functions",
-    "map_functions",
-    "emb_label_mean",
-    "emb_normalize",
-    "emb_quantize",
-    "multimodal_decode",
-    "events_funnel",
-    # --- sketches upgraded from rows-only to contract oracles ---
-    "agg_approx_distinct",
-    "agg_hll_sketch",
-    # --- rotation candidates that shared the array shape (flattened) ---
-    "doc_inverted_index",
-    "emb_matryoshka_truncate",
-    "emb_pq_quantize",
-    "multimodal_dedup_phash",
-    "multimodal_payload_hash_dedup",
-    # --- LLM-ops flagships, never driver-tested ---
-    "hybrid_search_rrf",
-    "dedup_semantic_clustered",
-    "knn_ivf_pq",
-    "knn_pq_adc",
-    "pipeline_pretrain_mix",
-    "doc_gopher_filter",
-    "select_dsir_weights",
-    "graph_pagerank",
-    # --- TPC-H part 3, never driver-tested ---
-    "q2_min_cost_supplier",
-    "q9_product_type_profit",
-    "q11_important_stock",
-    "q16_supplier_part_counts",
-    "q20_promotion_suppliers",
-    # --- green sentinels (one per already-verified family) ---
+    # --- round-3 additions, never driver-tested (44) ---
+    "cte_recursive_series",
+    "scalar_bitwise",
+    "join_bloom_semi",
+    "agg_countmin_words",
+    "source_xml_roundtrip",
+    "source_binaryfile_scan",
+    "source_dpp_prune",
+    "set_intersect_all",
+    "set_except_all",
+    "subquery_not_in_nulls",
+    "observe_metrics",
+    "join_null_safe",
+    "agg_percentile_within_group",
+    "scalar_url_parse",
+    "stream_foreach_batch_merge",
+    "table_ctas_insert",
+    "join_shuffle_hash_hint",
+    "sql_parameterized",
+    "ps_pandas_on_spark",
+    "w2v_skipgram_pairs",
+    "w2v_negative_sampling",
+    "w2v_subsample_probs",
+    "events_attribution_last_touch",
+    "agg_bitmap_distinct",
+    "doc_winnowing",
+    "agg_listagg",
+    "scalar_collation",
+    "events_sliding_distinct_bitmap",
+    "stream_tumbling_live",
+    "stream_session_live",
+    "udf_arrow_scalar",
+    "agg_hll_union_sketch",
+    "source_python_stream",
+    "scalar_xpath",
+    "grouping_id_rollup",
+    "events_ewma",
+    "ml_logreg_gd",
+    "ml_linreg_normal",
+    "events_ab_ttest",
+    "orders_gini_coefficient",
+    "doc_lang_confusion",
+    "events_equidepth_histogram",
+    "join_interval_overlap",
+    # --- family coverage: never-tested similarity/multimodal/embedding ---
+    "knn_maxsim",
+    "multimodal_pair_batches",
+    "emb_hubness",
+    # --- green sentinels (regression tripwires across families) ---
     "doc_wordcount",
-    "knn_bruteforce",
     "dedup_exact",
     "source_csv_roundtrip",
-    # --- never-driver-tested breadth ---
-    "udf_map_in_arrow",
-    "source_orc_roundtrip",
-    "source_partitioned_roundtrip",
-    "source_schema_evolution",
-    "source_csv_malformed",
-    "doc_chunking",
-    "doc_packing",
-    "select_token_budget",
-    "doc_char_entropy",
-    "sample_temperature",
-    "dedup_containment",
-    "dedup_split_leakage",
-    "doc_contamination_fuzzy",
-    "knn_matryoshka_cascade",
-    "graph_triangles",
-    "events_dau_wau",
-    "stream_topk_trending",
-    "join_asof_forward",
+    "events_funnel",
 )
 
-# Round-4 rotation plan: once CORRECTNESS_r03 lands green, swap the
+# Round-5 rotation plan: once CORRECTNESS_r04 lands green, swap the
 # verified names out and promote the remaining never-driver-tested
-# oracle-backed names (~90), starting with the round-3 additions —
-# cte_recursive_series, scalar_bitwise, join_bloom_semi,
-# agg_countmin_words, source_xml_roundtrip, source_binaryfile_scan,
-# source_dpp_prune, set_intersect_all, set_except_all,
-# subquery_not_in_nulls, observe_metrics, join_null_safe,
-# agg_percentile_within_group, scalar_url_parse,
-# stream_foreach_batch_merge, table_ctas_insert,
-# join_shuffle_hash_hint, sql_parameterized, ps_pandas_on_spark,
-# w2v_skipgram_pairs, w2v_negative_sampling, w2v_subsample_probs,
-# events_attribution_last_touch, agg_bitmap_distinct, doc_winnowing,
-# agg_listagg, scalar_collation, events_sliding_distinct_bitmap,
-# stream_tumbling_live, stream_session_live, udf_arrow_scalar,
-# agg_hll_union_sketch, source_python_stream, scalar_xpath,
-# grouping_id_rollup, events_ewma, ml_logreg_gd, ml_linreg_normal,
-# events_ab_ttest, orders_gini_coefficient, doc_lang_confusion,
-# events_equidepth_histogram, scalar_surrogate_uuid,
-# join_interval_overlap, doc_pareto_frontier, orders_trend_forecast,
+# oracle-backed names (~110), continuing in SURVEY §2.B order —
+# doc_pareto_frontier, orders_trend_forecast,
 # source_csv_multiline, sample_weighted_reservoir,
 # orders_lorenz_curve, corpus_kl_divergence,
 # doc_url_blocklist_filter, scalar_ipv4_octets,
@@ -148,8 +129,8 @@ _PRIORITY = (
 # dedup_url_canonical, dedup_paragraphs, doc_quality_classifier,
 # corpus_kneser_ney_bigram, tokenizer_bpe_train (rows-only),
 # tokenizer_bpe_fertility (rows-only), doc_compression_ratio (rows-only),
-# events_cep_pattern, doc_lang_id_trigram, multimodal_pair_batches,
-# select_quality_quantile, events_window_funnel, emb_hubness,
+# events_cep_pattern, doc_lang_id_trigram,
+# select_quality_quantile, events_window_funnel,
 # events_survival_km, orders_id_gaps, sample_poisson_bootstrap,
 # emb_ivf_balance, layout_compaction_plan, multimodal_scene_cuts,
 # scd2_asof_read, corpus_burstiness, join_asof_nearest,
@@ -158,7 +139,7 @@ _PRIORITY = (
 # events_bot_detection, doc_chat_template, doc_span_corruption,
 # graph_link_prediction, doc_fim_transform, agg_weighted_median,
 # multimodal_tar_index, table_log_replay, events_changepoint_cusum,
-# scalar_bround, knn_maxsim, doc_filter_ensemble,
+# scalar_bround, scalar_surrogate_uuid, doc_filter_ensemble,
 # incr_variance_merge, emb_drift_psi, agg_higher_moments,
 # events_daily_peaks, events_rate_limit_audit, orders_benford,
 # source_compression_roundtrip, events_rolling_features,
@@ -182,7 +163,7 @@ _PRIORITY = (
 # fuzzy_name_pairs, unpivot_lineitem, subquery_scalar,
 # skew_salted_agg, skew_salted_join, q7/q8/q12/q13/q15/q17/q21/q22,
 # merge_scd2, merge_delete_apply, diff_snapshots, agg_mode,
-# join_asof_forward, join_range, window_distinct_cumulative,
+# join_range, window_distinct_cumulative,
 # window_moving_median, basket_part_lift, customer_rfm_segments,
 # orders_cohort_ltv, supplier_concentration_hhi, orders_backlog_curve,
 # customer_order_streaks, customer_pareto_deciles, orders_mom_growth,

@@ -1391,14 +1391,14 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_session_live",
     oracle="""
     WITH g AS (
-      SELECT user_id, value, ts,
+      SELECT user_id, value, ts, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, value, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_idx
       FROM g
@@ -1459,8 +1459,33 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 # agree on leftmost-first semantics). At 100 TB the per-user sequence
 # build is one hash exchange; sequences are session-sized, the regex
 # is row-local.
+#
+# The pattern and symbol alphabet are imported from streaming.windows
+# (the stateful CEP operator) so the batch queries, both oracles, and
+# the stream operator share ONE definition — editing any copy can't
+# silently break the stream-vs-batch equality contract.
 
-_CEP_PATTERN = "v[^e]*?c[^e]*?p"  # view → click → purchase, no error between
+from mapreduce_word2vec_spark.streaming.windows import (  # noqa: E402
+    CEP_CHAR as _CEP_CHAR,
+    CEP_OTHER as _CEP_OTHER,
+    CEP_PATTERN as _CEP_PATTERN,
+)
+
+_CEP_CASE_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _CEP_CHAR.items())
+    + f" ELSE '{_CEP_OTHER}' END"
+)
+
+
+def _cep_symbol_col():
+    """Spark when-chain mirroring _CEP_CASE_SQL, from the same dict."""
+    ch = None
+    for k, v in _CEP_CHAR.items():
+        ch = F.when(F.col("event_type") == k, v) if ch is None else ch.when(
+            F.col("event_type") == k, v
+        )
+    return ch.otherwise(_CEP_OTHER)
 
 
 @register(
@@ -1468,9 +1493,7 @@ _CEP_PATTERN = "v[^e]*?c[^e]*?p"  # view → click → purchase, no error betwee
     oracle=f"""
     WITH sym AS (
       SELECT user_id, ts, event_id,
-             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
-                  WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
-                  ELSE 'e' END AS ch
+             {_CEP_CASE_SQL} AS ch
       FROM events
     ),
     seq AS (
@@ -1490,14 +1513,7 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervening error' matches over the (ts, event_id)-ordered
     per-user symbol string."""
     ev = read_testdata(spark, sf_dir, "events")
-    ch = (
-        F.when(F.col("event_type") == "view", "v")
-        .when(F.col("event_type") == "click", "c")
-        .when(F.col("event_type") == "signup", "s")
-        .when(F.col("event_type") == "purchase", "p")
-        .otherwise("e")
-    )
-    sym = ev.select("user_id", "ts", "event_id", ch.alias("ch"))
+    sym = ev.select("user_id", "ts", "event_id", _cep_symbol_col().alias("ch"))
     seq = sym.groupBy("user_id").agg(
         F.array_join(
             F.transform(
@@ -1739,9 +1755,7 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sym AS (
       SELECT user_id, ts, event_id,
-             CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
-                  WHEN 'signup' THEN 's' WHEN 'purchase' THEN 'p'
-                  ELSE 'e' END AS ch
+             {_CEP_CASE_SQL} AS ch
       FROM events
     ),
     seq AS (
@@ -1781,6 +1795,88 @@ def stream_cep_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"cep_{tag}"
     q = (
         stateful_cep_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name)
+    return emissions.groupBy("user_id").agg(
+        F.max("n_seen").cast("bigint").alias("seq_len"),
+        F.max_by("n_conversions", "n_seen").cast("bigint").alias("n_conversions"),
+    )
+
+
+@register(
+    "stream_cep_bounded_live",
+    oracle=f"""
+    WITH sym AS (
+      SELECT user_id, ts, event_id,
+             {_CEP_CASE_SQL} AS ch
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, string_agg(ch, '' ORDER BY ts, event_id) AS s
+      FROM sym GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(s, '{_CEP_PATTERN}')) AS BIGINT)
+             AS n_conversions
+    FROM seq
+    """,
+)
+def stream_cep_bounded_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-state streaming CEP under the driver's value oracle:
+    the watermark-evicting pattern machine
+    (streaming/windows.py stateful_cep_counts_bounded) keeps per-user
+    state = (DFA fold of the evicted prefix) + (symbols above the
+    1-hour event-time horizon) — constant-plus-horizon, not
+    stream-length. Source files are written repartitionByRange(ts) so
+    the availableNow replay arrives in event-time order; the range
+    boundaries guarantee no event ever lands below the advancing
+    watermark, so eviction is exercised on every batch and the final
+    emission per user still equals the batch events_cep_pattern
+    answer exactly."""
+    import os
+    import tempfile
+
+    from mapreduce_word2vec_spark.streaming.windows import (
+        stateful_cep_counts_bounded,
+    )
+
+    ev = read_testdata(spark, sf_dir, "events")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_cepb_")
+    src = os.path.join(base, "src")
+    (
+        ev.repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    # FileStreamSource orders files by MODIFICATION TIME, and parallel
+    # write tasks finish in arbitrary order — pin replay order to the
+    # range-partition order (part-00000 = lowest ts range) by stamping
+    # strictly increasing mtimes on the sorted part files.
+    import glob as _glob
+    import time as _time
+
+    t0 = _time.time()
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    name = f"cepb_{tag}"
+    q = (
+        stateful_cep_counts_bounded(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
@@ -2199,14 +2295,14 @@ def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_abandonment",
     oracle="""
     WITH g AS (
-      SELECT user_id, event_type, ts,
+      SELECT user_id, event_type, ts, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
                   OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, event_type,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_idx
       FROM g

@@ -297,8 +297,14 @@ def stateful_running_counts_tws(events: DataFrame) -> DataFrame:
 
 CEP_SCHEMA = "user_id long, n_seen long, n_conversions long"
 _CEP_STATE_SCHEMA = "us array<long>, eid array<long>, ch array<string>"
-CEP_PATTERN = "v[^e]*?c[^e]*?p"  # shared with plans.streaming_queries
-_CEP_CHAR = {"view": "v", "click": "c", "signup": "s", "purchase": "p"}
+# Single source of truth for the CEP symbol alphabet + pattern:
+# plans.streaming_queries derives its Spark when-chain AND both DuckDB
+# oracle CASE expressions from these, so stream and batch can never
+# silently disagree on the pattern semantics.
+CEP_PATTERN = "v[^e]*?c[^e]*?p"  # view → click → purchase, no error between
+CEP_OTHER = "e"  # the "anything else" symbol the pattern excludes
+CEP_CHAR = {"view": "v", "click": "c", "signup": "s", "purchase": "p"}
+_CEP_CHAR = CEP_CHAR  # backwards-compat alias
 
 
 def stateful_cep_counts(events: DataFrame) -> DataFrame:
@@ -340,6 +346,93 @@ def stateful_cep_counts(events: DataFrame) -> DataFrame:
         update,
         CEP_SCHEMA,
         _CEP_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# CEP_PATTERN compiled to its linear step form ("vcp"): the pattern is
+# step1 [^other]*? step2 [^other]*? step3, so stripping the lazy
+# separator yields the step sequence. Derived, not re-typed, from the
+# single pattern definition above.
+CEP_STEPS = CEP_PATTERN.replace(f"[^{CEP_OTHER}]*?", "")
+_CEP_BOUNDED_STATE_SCHEMA = (
+    "n_folded long, dfa long, cnt long, "
+    "us array<long>, eid array<long>, ch array<string>"
+)
+
+
+def cep_dfa_fold(
+    count: int, st: int, symbols: "Iterator[str] | list[str]"
+) -> tuple[int, int]:
+    """Fold a symbol sequence through the DFA equivalent of
+    ``CEP_PATTERN``'s non-overlapping leftmost match count: advance on
+    the next expected step, reset mid-pattern on the excluded symbol,
+    count + reset on the final step. Equivalence with
+    ``len(re.findall(CEP_PATTERN, s))`` is property-tested
+    (tests/test_streaming.py). This fold is what makes watermark
+    eviction possible: an evicted prefix collapses to two integers
+    (count so far, DFA state) instead of a growing buffer."""
+    for c in symbols:
+        if st > 0 and c == CEP_OTHER:
+            st = 0
+        elif c == CEP_STEPS[st]:
+            st += 1
+            if st == len(CEP_STEPS):
+                count += 1
+                st = 0
+    return count, st
+
+
+def stateful_cep_counts_bounded(events: DataFrame) -> DataFrame:
+    """Watermark-evicting twin of :func:`stateful_cep_counts` — the
+    bounded-state form a real stream needs. Per-user state holds (a)
+    the DFA fold of every symbol already below the event-time
+    watermark (two integers + a count, CONSTANT size) and (b) only the
+    symbols still above the horizon, which a late event could still
+    reorder against. Each batch: append new symbols, evict everything
+    below ``state.getCurrentWatermarkMs()`` into the fold in (ts,
+    event_id) order, then emit the fold continued through the
+    still-buffered suffix. The input stream must carry
+    ``withWatermark`` on ``ts``; with in-horizon arrival the final
+    emission per user equals the batch ``events_cep_pattern`` answer,
+    while state stays bounded by the watermark delay instead of the
+    stream length."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        n_folded, dfa, cnt, us, eid, ch = (
+            (state.get[0], state.get[1], state.get[2],
+             list(state.get[3]), list(state.get[4]), list(state.get[5]))
+            if state.exists
+            else (0, 0, 0, [], [], [])
+        )
+        for pdf in batches:
+            for ts, e, t in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+                us.append(int(ts.value // 1_000))
+                eid.append(int(e))
+                ch.append(CEP_CHAR.get(t, CEP_OTHER))
+        order = sorted(range(len(us)), key=lambda i: (us[i], eid[i]))
+        wm_us = state.getCurrentWatermarkMs() * 1_000
+        evict = [i for i in order if us[i] < wm_us]
+        keep = [i for i in order if us[i] >= wm_us]
+        cnt, dfa = cep_dfa_fold(cnt, dfa, (ch[i] for i in evict))
+        n_folded += len(evict)
+        us, eid, ch = ([xs[i] for i in keep] for xs in (us, eid, ch))
+        state.update((n_folded, dfa, cnt, us, eid, ch))
+        live_cnt, _ = cep_dfa_fold(cnt, dfa, ch)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_seen": [n_folded + len(ch)],
+                "n_conversions": [live_cnt],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        CEP_SCHEMA,
+        _CEP_BOUNDED_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,
     )

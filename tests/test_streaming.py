@@ -396,3 +396,97 @@ def test_stateful_cep_equals_batch_pattern_counts(spark, events_dir):
         "user_id", "n_conversions", "seq_len"
     )
     assert _rows(final.select("user_id", "n_conversions", "seq_len")) == _rows(expected)
+
+
+def test_cep_dfa_fold_equals_regex():
+    """The DFA fold behind the bounded CEP operator must count exactly
+    like ``len(re.findall(CEP_PATTERN, s))`` (non-overlapping leftmost)
+    for arbitrary symbol strings — including symbols outside the
+    alphabet and the excluded symbol in every position. The fold is
+    what lets a watermark-evicted prefix collapse to constant state, so
+    its equivalence IS the bounded operator's correctness argument."""
+    import random
+    import re
+
+    from mapreduce_word2vec_spark.streaming.windows import (
+        CEP_PATTERN,
+        cep_dfa_fold,
+    )
+
+    pat = re.compile(CEP_PATTERN)
+    rng = random.Random(42)
+    alphabet = "vcspe"
+    for trial in range(500):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        count, _ = cep_dfa_fold(0, 0, s)
+        assert count == len(pat.findall(s)), s
+        # split anywhere: folding the prefix then continuing through
+        # the suffix must give the same count (the eviction contract)
+        if s:
+            k = rng.randrange(0, len(s))
+            c1, st = cep_dfa_fold(0, 0, s[:k])
+            c2, _ = cep_dfa_fold(c1, st, s[k:])
+            assert c2 == len(pat.findall(s)), (s, k)
+
+
+def test_stateful_cep_bounded_equals_batch_and_evicts(spark):
+    """The watermark-evicting CEP twin must (a) produce the exact
+    batch events_cep_pattern answer when replay arrives in event-time
+    order, and (b) actually advance the event-time watermark past the
+    earliest events (so eviction ran — the test is not vacuous)."""
+    import glob
+    import os
+    import tempfile
+    import time
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.streaming.windows import (
+        stateful_cep_counts_bounded,
+    )
+
+    batch = read_testdata(spark, SF_SMOKE, "events")
+    base = tempfile.mkdtemp(prefix="t_cepb_")
+    src = os.path.join(base, "src")
+    (
+        batch.repartitionByRange(6, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    t0 = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    q = (
+        stateful_cep_counts_bounded(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_cep_bounded")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    watermarks = [
+        p["eventTime"]["watermark"]
+        for p in q.recentProgress
+        if p.get("eventTime", {}).get("watermark")
+    ]
+    q.stop()
+    # (b) the watermark advanced beyond epoch zero → later batches
+    # folded + evicted sub-horizon symbols instead of buffering forever
+    assert watermarks and max(watermarks) > "1971", watermarks
+    final = spark.table("t_cep_bounded").groupBy("user_id").agg(
+        F.max_by("n_conversions", "n_seen").alias("n_conversions"),
+        F.max("n_seen").alias("seq_len"),
+    )
+    expected = catalog.queries()["events_cep_pattern"](spark, SF_SMOKE).select(
+        "user_id", "n_conversions", "seq_len"
+    )
+    assert _rows(final.select("user_id", "n_conversions", "seq_len")) == _rows(expected)
+    shutil.rmtree(base, ignore_errors=True)
