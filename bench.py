@@ -63,6 +63,17 @@ HEADLINE = [
     "stream_tumbling",
     "stream_session",
     "stream_interval_join",
+    # LLM-ops flagships (round-4 additions to the suite: the catalog's
+    # most-composed plans, so their wall-time is tracked per-round
+    # instead of resting on plan assertions alone)
+    "hybrid_search_rrf",
+    "knn_ivf_pq",
+    "dedup_semantic_clustered",
+    "pipeline_pretrain_mix",
+    "graph_pagerank",
+    "w2v_skipgram_pairs",
+    "doc_winnowing",
+    "events_sliding_distinct_bitmap",
 ]
 
 
@@ -103,6 +114,17 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
     total = round(sum(times.values()), 3)
+    # Spread: per-query max-min across the interleaved rounds, plus
+    # each round's whole-suite total. Cross-round comparisons are only
+    # meaningful within this band (BASELINE.md records ±45% host-noise
+    # drift on identical code), so the band ships with every result.
+    spread = {
+        name: round(max(ts) - min(ts), 3) for name, ts in samples.items()
+    }
+    run_totals = [
+        round(sum(samples[name][i] for name in HEADLINE), 3)
+        for i in range(n_runs)
+    ]
     print(
         json.dumps(
             {
@@ -113,6 +135,8 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": n_runs,
                 "aggregation": "median",
+                "spread": spread,
+                "run_totals": run_totals,
             }
         )
     )

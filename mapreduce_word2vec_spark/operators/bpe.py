@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_word2vec_spark.runtime import tracked_persist
+from mapreduce_word2vec_spark.runtime import (
+    release_checkpoint,
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 
 
 def _merge_fold(sym: Column, left: str, right: str) -> Column:
@@ -111,8 +115,9 @@ def train_bpe_merges(
             _merge_fold(F.col("sym"), left, right).alias("sym"), "freq"
         )
         if (rank + 1) % 3 == 0:
-            new_syms = folded.localCheckpoint(eager=True)
+            new_syms = tracked_local_checkpoint(folded)
             syms.unpersist()  # checkpoint materialized — safe now
+            release_checkpoint(syms)  # no-op unless syms was a ckpt
         else:
             new_syms = tracked_persist(folded)
             prev = syms  # still feeding new_syms until its first action

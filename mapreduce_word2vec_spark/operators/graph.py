@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mapreduce_word2vec_spark.runtime import tracked_persist
+from mapreduce_word2vec_spark.runtime import (
+    release_checkpoint,
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 
 
 def connected_components(
@@ -47,6 +51,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev_ckpt: DataFrame | None = None
     for i in range(max_iterations):
         # neighbor minimum this round
         msgs = (
@@ -67,7 +72,12 @@ def connected_components(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            updated = updated.localCheckpoint(eager=True)
+            # eager checkpoint materialized — the PREVIOUS checkpoint's
+            # blocks are unreachable now and can be freed immediately
+            updated = tracked_local_checkpoint(updated)
+            if prev_ckpt is not None:
+                release_checkpoint(prev_ckpt)
+            prev_ckpt = updated
         n_changed = updated.where(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if n_changed == 0:
@@ -112,6 +122,7 @@ def pagerank(
         F.col("s").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
     )
     base = F.lit(1.0 - damping) / F.col("n")
+    prev_ckpt: DataFrame | None = None
     for i in range(iterations):
         contribs = (
             sym.join(deg, "s")
@@ -125,5 +136,8 @@ def pagerank(
             .select("node", (base + F.lit(damping) * F.col("in_sum")).alias("rank"))
         )
         if (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = tracked_local_checkpoint(ranks)
+            if prev_ckpt is not None:
+                release_checkpoint(prev_ckpt)
+            prev_ckpt = ranks
     return ranks

@@ -120,7 +120,9 @@ _PRIORITY = (
 # Round-5 rotation plan: once CORRECTNESS_r04 lands green, swap the
 # verified names out and promote the remaining never-driver-tested
 # oracle-backed names (~110), continuing in SURVEY §2.B order —
-# doc_pareto_frontier, orders_trend_forecast,
+# doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
+# emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
+# doc_compression_ratio, w2v_vocabulary,
 # source_csv_multiline, sample_weighted_reservoir,
 # orders_lorenz_curve, corpus_kl_divergence,
 # doc_url_blocklist_filter, scalar_ipv4_octets,
@@ -128,7 +130,7 @@ _PRIORITY = (
 # doc_boilerplate_fraction, scalar_base64_hex,
 # dedup_url_canonical, dedup_paragraphs, doc_quality_classifier,
 # corpus_kneser_ney_bigram, tokenizer_bpe_train (rows-only),
-# tokenizer_bpe_fertility (rows-only), doc_compression_ratio (rows-only),
+# tokenizer_bpe_fertility (rows-only),
 # events_cep_pattern, doc_lang_id_trigram,
 # select_quality_quantile, events_window_funnel,
 # events_survival_km, orders_id_gaps, sample_poisson_bootstrap,
@@ -139,7 +141,7 @@ _PRIORITY = (
 # events_bot_detection, doc_chat_template, doc_span_corruption,
 # graph_link_prediction, doc_fim_transform, agg_weighted_median,
 # multimodal_tar_index, table_log_replay, events_changepoint_cusum,
-# scalar_bround, scalar_surrogate_uuid, doc_filter_ensemble,
+# scalar_bround, doc_filter_ensemble,
 # incr_variance_merge, emb_drift_psi, agg_higher_moments,
 # events_daily_peaks, events_rate_limit_audit, orders_benford,
 # source_compression_roundtrip, events_rolling_features,

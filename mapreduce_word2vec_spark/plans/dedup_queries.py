@@ -1315,3 +1315,56 @@ def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") > 1)
     )
+
+
+# --- boundary-overlap chaining (split/concat crawl artifacts) ---------
+# A document whose trailing characters exactly equal another document's
+# leading characters is the signature of a text that was SPLIT across
+# extraction records (or of two records concatenated from one source) —
+# an artifact class prefix/paragraph dedup misses because neither doc
+# duplicates the other. Scale shape: two projections of a K-char
+# boundary key off the same scan, equi-join on the key — only
+# (id, 12-char key) pairs ever shuffle, the text never leaves the scan.
+
+_BOUNDARY_K = 12  # fixture-tuned: long enough to be selective, short
+# enough that the synthetic corpus's shared sentence frames produce
+# real chains to verify against
+
+
+@register(
+    "dedup_boundary_overlap",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id AS id_b, left(text, {_BOUNDARY_K}) AS key
+      FROM documents WHERE strlen(text) >= {_BOUNDARY_K}
+    ),
+    s AS (
+      SELECT doc_id AS id_a, right(text, {_BOUNDARY_K}) AS key
+      FROM documents WHERE strlen(text) >= {_BOUNDARY_K}
+    )
+    SELECT DISTINCT id_a, id_b, key
+    FROM s JOIN p USING (key) WHERE id_a <> id_b
+    """,
+)
+def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split/concatenation artifact pairs: doc A's trailing
+    ``_BOUNDARY_K`` chars equal doc B's leading ``_BOUNDARY_K`` chars
+    (A ≠ B) — candidate A→B continuation chains for re-assembly or
+    boundary-dedup. Exact oracle; the synthetic corpus's repeated
+    sentence frames make the result non-empty (35 pairs at sf0.01)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    long_enough = docs.where(F.length("text") >= _BOUNDARY_K)
+    pref = long_enough.select(
+        F.col("doc_id").alias("id_b"),
+        F.left(F.col("text"), F.lit(_BOUNDARY_K)).alias("key"),
+    )
+    suf = long_enough.select(
+        F.col("doc_id").alias("id_a"),
+        F.right(F.col("text"), F.lit(_BOUNDARY_K)).alias("key"),
+    )
+    return (
+        suf.join(pref, "key")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b", "key")
+        .distinct()
+    )

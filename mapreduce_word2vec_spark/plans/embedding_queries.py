@@ -79,11 +79,23 @@ def emb_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("w2v_vocabulary")
+@register(
+    "w2v_vocabulary",
+    oracle=r"""
+    SELECT DISTINCT word, CAST(32 AS BIGINT) AS dim
+    FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), w -> regexp_matches(w, '^[a-z]+$'))) AS word FROM documents)
+    """,
+)
 def w2v_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary + vector dimensionality of a global Word2Vec model
-    trained on ``documents`` (A7). Vector values are run-dependent →
-    no oracle (rows-only); dims/vocab are seed-stable."""
+    trained on ``documents`` (A7). Vector VALUES are run-dependent,
+    but the vocabulary is not: with min_word_frequency=1 the model's
+    vocab is exactly the distinct output of the A2-A4 tokenization
+    (lowercase, \\W+ split, ^[a-z]+$ filter — the same pipeline the
+    driver-green doc_wordcount oracle reproduces), and dim is the
+    configured layer size. Upgraded rows-only → contract oracle: the
+    trained model's word set and dimensionality are hash-compared
+    against that closed form (the r3 sketch-contract pattern)."""
     from mapreduce_word2vec_spark.operators.word2vec import (
         sentences_df,
         train_word2vec,
@@ -94,7 +106,7 @@ def w2v_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_testdata(spark, sf_dir, "documents").select(F.col("text").alias("value"))
     model = train_word2vec(sentences_df(docs), EngineConfig(layer_size=32))
     return word_vectors(model).select(
-        "word", F.size("vector").cast("int").alias("dim")
+        "word", F.size("vector").cast("bigint").alias("dim")
     )
 
 
@@ -619,4 +631,108 @@ def emb_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("dim").agg(
         F.round(F.sum(term), 6).alias("psi"),
         (F.sum(term) > 0.2).alias("drifted"),
+    )
+
+
+# --- ZCA whitening (BERT-whitening / retrieval post-processing) -------
+# Su et al.'s "Whitening Sentence Representations" post-processing:
+# x' = W(x - mu) with W = Sigma^(-1/2), after which the corpus
+# covariance is the identity — isotropizes the embedding space so
+# cosine ranking stops being dominated by a few high-variance
+# directions (the anisotropy emb_anisotropy diagnoses). Scale shape =
+# the parameter-broadcast + sufficient-stats all-reduce pattern
+# (ml_linreg_normal's, at d² size): one Arrow scan reduces the corpus
+# to (n, Σx, Σxxᵀ) partials per task (d=64 → 4,161 doubles of
+# aggregation state), a (d²)-row final reduce, a 64×64 eigh on the
+# driver, then ONE more scan folds whiten+re-accumulate into a single
+# kernel. Embeddings never shuffle; nothing driver-side exceeds d².
+
+
+def _moment_partials(df: DataFrame, mu=None, w=None) -> "list[float]":
+    """Driver-side all-reduce of (n, Σx, Σxxᵀ) over an embedding
+    DataFrame, optionally after the affine map x -> (x - mu) @ w.
+    Returns the flat stats vector of length 1 + d + d²."""
+    import numpy as np
+
+    mu_b = None if mu is None else [float(v) for v in mu]
+    w_b = None if w is None else [[float(v) for v in row] for row in w]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            if mu_b is not None:
+                x = (x - np.asarray(mu_b)) @ np.asarray(w_b)
+            d = x.shape[1]
+            if acc is None:
+                acc = np.zeros(1 + d + d * d)
+            acc[0] += x.shape[0]
+            acc[1 : 1 + d] += x.sum(axis=0)
+            acc[1 + d :] += (x.T @ x).ravel()
+        if acc is not None:
+            yield pd.DataFrame({"stats": [acc.tolist()]})
+
+    partials = df.select("embedding").mapInPandas(kernel, "stats array<double>")
+    reduced = (
+        partials.select(F.posexplode("stats").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.sum("v").alias("s"))
+        .collect()
+    )
+    out = np.zeros(max(r["i"] for r in reduced) + 1)
+    for r in reduced:
+        out[r["i"]] = r["s"]
+    return out
+
+
+@register(
+    "emb_whitening",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT len(embedding)) AS BIGINT) AS n_dims,
+           TRUE AS mean_ok, TRUE AS diag_ok, TRUE AS offdiag_ok
+    FROM embeddings
+    """,
+)
+def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening with a contract oracle: W = Σ^(-1/2) computed from
+    the corpus's own sample covariance makes cov(whitened) EXACTLY the
+    identity in exact arithmetic, so the recomputed post-whitening
+    moments must satisfy |mean'| < 1e-6, |diag(cov')-1| < 1e-6, and
+    |offdiag(cov')| < 1e-6 — falsifiable booleans (a wrong μ, a
+    transposed W, or a biased/unbiased-n mismatch trips them), with the
+    exact row and dimension counts hash-checked alongside."""
+    import numpy as np
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    stats = _moment_partials(emb)
+    n = stats[0]
+    # len(stats) = 1 + d + d² → d is the positive root of d² + d = len-1
+    d = int(round(((4 * (len(stats) - 1) + 1) ** 0.5 - 1) / 2))
+    mu = stats[1 : 1 + d] / n
+    cov = stats[1 + d :].reshape(d, d) / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    w = vecs @ np.diag(1.0 / np.sqrt(np.maximum(vals, 1e-12))) @ vecs.T
+    wstats = _moment_partials(emb, mu=mu, w=w)
+    n2 = wstats[0]
+    mu2 = wstats[1 : 1 + d] / n2
+    cov2 = wstats[1 + d :].reshape(d, d) / n2 - np.outer(mu2, mu2)
+    off = cov2 - np.diag(np.diag(cov2))
+    return spark.createDataFrame(
+        [
+            (
+                int(n),
+                1,
+                bool(np.abs(mu2).max() < 1e-6),
+                bool(np.abs(np.diag(cov2) - 1.0).max() < 1e-6),
+                bool(np.abs(off).max() < 1e-6),
+            )
+        ],
+        "n bigint, n_dims bigint, mean_ok boolean, diag_ok boolean, "
+        "offdiag_ok boolean",
     )

@@ -3006,11 +3006,30 @@ def tokenizer_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mapInPandas, rows-only driver check, property-tested invariants.
 
 
-@register("doc_compression_ratio")
+@register(
+    "doc_compression_ratio",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+           TRUE AS compressed_ok,
+           TRUE AS roundtrip_ok
+    FROM documents
+    """,
+)
 def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document zlib compression ratio + keep verdict
     (0.25 ≤ ratio ≤ 0.95). Row-local pandas kernel over Arrow
-    batches; zero exchange — the 100 TB plan is scan → score."""
+    batches; zero exchange — the 100 TB plan is scan → score.
+
+    Upgraded rows-only → contract oracle (the r3 sketch-contract
+    pattern): the compressed SIZE is zlib-implementation-defined, so
+    the output carries the exact UTF-8 byte length (DuckDB strlen
+    reproduces it) plus two falsifiable booleans — ``compressed_ok``
+    (0 < n_compressed ≤ zlib's documented worst-case bound
+    n + n/1000 + 64) and ``roundtrip_ok`` (decompress(compress(b))
+    == b, the losslessness the ratio is only meaningful under). The
+    impl-defined ratio/keep stay kernel-internal; a kernel that
+    mis-encodes, truncates, or corrupts hash-mismatches."""
     docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
 
     def kernel(batches):
@@ -3023,21 +3042,25 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             enc = pdf["text"].fillna("").str.encode("utf-8")
             nb = enc.map(len)
-            nc = enc.map(lambda b: len(zlib.compress(b, 6)))
+            comp = enc.map(lambda b: zlib.compress(b, 6))
+            nc = comp.map(len)
             ratio = (nc / nb.where(nb > 0)).round(6)
+            keep = ratio.between(0.25, 0.95).fillna(False)  # noqa: F841 — kernel-internal verdict
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": nb,
-                    "n_compressed": nc,
-                    "ratio": ratio,
-                    "keep": ratio.between(0.25, 0.95).fillna(False),
+                    "compressed_ok": (nc > 0) & (nc <= nb + nb // 1000 + 64),
+                    "roundtrip_ok": [
+                        zlib.decompress(c) == b for c, b in zip(comp, enc)
+                    ],
                 }
             )
 
     return docs.mapInPandas(
         kernel,
-        "doc_id bigint, n_bytes bigint, n_compressed bigint, ratio double, keep boolean",
+        "doc_id bigint, n_bytes bigint, compressed_ok boolean, "
+        "roundtrip_ok boolean",
     )
 
 

@@ -117,9 +117,12 @@ def test_compression_ratio_invariants(spark):
     rows = catalog.queries()["doc_compression_ratio"](spark, SF_SMOKE).collect()
     assert len(rows) > 0
     for r in rows:
+        # contract-oracle columns: exact byte length + falsifiable
+        # zlib-bound and losslessness booleans (ratio/keep stay
+        # kernel-internal since compressed size is impl-defined)
         assert r["n_bytes"] > 0
-        assert abs(r["ratio"] - round(r["n_compressed"] / r["n_bytes"], 6)) < 1e-9
-        assert r["keep"] == (0.25 <= r["ratio"] <= 0.95)
+        assert r["compressed_ok"] is True
+        assert r["roundtrip_ok"] is True
     # kernel matches plain zlib on a known payload
     df = spark.createDataFrame([(1, "spam " * 200), (2, "x")], "doc_id long, text string")
     import mapreduce_word2vec_spark.plans.text_queries as tq  # noqa: F401 (registration)
@@ -163,3 +166,26 @@ def _kernel_of(spark):
             )
 
     return kernel
+
+
+def test_bpe_trainer_storage_released(spark):
+    """The trainer must leave ZERO persistent RDD blocks behind once
+    release_tracked runs: persist-chain caches are bounded at two live
+    tables during training, and localCheckpoint blocks (which
+    DataFrame.unpersist cannot reach) are freed via the runtime's
+    RDD-id tracking — the round-3 advisor's cache-accumulation
+    finding, pinned."""
+    from mapreduce_word2vec_spark.operators.bpe import train_bpe_merges
+    from mapreduce_word2vec_spark.runtime import release_tracked
+
+    release_tracked()  # isolate from caches left by other tests
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    wf = spark.createDataFrame(
+        [("lowlow", 10), ("lowest", 5), ("newest", 7), ("wider", 3)],
+        "word string, freq long",
+    )
+    # 7 merges crosses two checkpoint boundaries (every 3rd merge)
+    rules = train_bpe_merges(wf, n_merges=7)
+    assert len(rules) >= 1
+    release_tracked()
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0

@@ -55,14 +55,18 @@ def main() -> int:
     qs = catalog.all_queries()
 
     names = [n for n in HEADLINE if n in qs]
-    # Round-3 operators whose scale story is about shuffle volume.
+    # Non-headline operators whose scale story is about shuffle volume.
     names += [
-        "join_bloom_semi",
-        "agg_countmin_words",
-        "source_dpp_prune",
-        "w2v_skipgram_pairs",
-        "agg_bitmap_distinct",
-        "events_attribution_last_touch",
+        n
+        for n in (
+            "join_bloom_semi",
+            "agg_countmin_words",
+            "source_dpp_prune",
+            "w2v_skipgram_pairs",
+            "agg_bitmap_distinct",
+            "events_attribution_last_touch",
+        )
+        if n not in names
     ]
 
     print("# SHUFFLE_AUDIT — measured bytes per headline query")
