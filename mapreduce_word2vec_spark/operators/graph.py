@@ -85,6 +85,55 @@ def connected_components(
     return labels
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    iterations: int = 3,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """(node, label) after a FIXED number of synchronous label
+    propagation rounds (community detection): label'(v) = the most
+    frequent label among v's neighbors, ties broken by the SMALLEST
+    label. Labels start as node ids.
+
+    Deterministic by construction (synchronous update + total
+    tie-break), unlike classic asynchronous LPA — so the recurrence
+    can be unrolled into SQL and oracle-checked, the same contract as
+    :func:`pagerank`. Scale shape per iteration: ONE join of the
+    label vector onto the symmetrized edge list, ONE (dst, label)
+    count aggregation, ONE argmax fold per node (``max_by`` over a
+    (count, -label) struct — no window, so the per-node state is one
+    running pair, not the sorted neighbor-label list). All three
+    hash-partition on node id; lineage is cut with ``localCheckpoint``
+    so the plan stays O(1) in the iteration count."""
+    sym = tracked_persist(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    prev_ckpt: DataFrame | None = None
+    for i in range(iterations):
+        labels = (
+            sym.join(labels, sym.s == labels.node)
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(
+                F.expr("max_by(label, struct(cnt, -label))").alias("label")
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            labels = tracked_local_checkpoint(labels)
+            if prev_ckpt is not None:
+                release_checkpoint(prev_ckpt)
+            prev_ckpt = labels
+    return labels
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "id_a",

@@ -120,6 +120,9 @@ _PRIORITY = (
 # Round-5 rotation plan: once CORRECTNESS_r04 lands green, swap the
 # verified names out and promote the remaining never-driver-tested
 # oracle-backed names (~110), continuing in SURVEY §2.B order —
+# round-4 additions first (graph_label_propagation, agg_filter_clause,
+# scalar_datetime_tz, knn_range_search, source_parquet_bloom,
+# udf_iterator_pandas, knn_binary_quantized, agg_hll_intersection), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

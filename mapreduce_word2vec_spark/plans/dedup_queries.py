@@ -483,6 +483,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+_LPA_ITERS = 3
+
+
+def _lpa_sql() -> str:
+    """Synchronous min-tie-break label propagation unrolled into
+    chained CTEs (lp0 … lp3) — the same fixed-iteration contract as
+    :func:`_pagerank_sql`."""
+    edges = f"""
+    edges AS (
+      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    lp0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)"""
+    iters = "".join(
+        f""",
+    lp{k} AS (
+      SELECT node, label FROM (
+        SELECT sym.d AS node, pl.label AS label,
+               row_number() OVER (PARTITION BY sym.d
+                                  ORDER BY count(*) DESC, pl.label) AS rn
+        FROM sym JOIN lp{k - 1} pl ON sym.s = pl.node
+        GROUP BY sym.d, pl.label
+      ) WHERE rn = 1
+    )"""
+        for k in range(1, _LPA_ITERS + 1)
+    )
+    return f"WITH {edges}{iters}\n    SELECT node, label FROM lp{_LPA_ITERS}"
+
+
+@register("graph_label_propagation", oracle=_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (3 rounds,
+    most-frequent neighbor label, min-label tie-break) over the exact
+    Jaccard ≥ 0.6 near-dup graph — the third fixed-point graph
+    operator next to connected components and PageRank. Unlike CC's
+    min-label flood (which merges everything reachable), LPA respects
+    community DENSITY: a thin bridge between two dup-clusters doesn't
+    fuse them. The oracle unrolls the identical recurrence into
+    chained SQL CTEs; determinism comes from the synchronous update +
+    total (count, label) tie-break, which classic asynchronous LPA
+    lacks."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.operators.graph import label_propagation
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    return label_propagation(pairs, iterations=_LPA_ITERS)
+
+
 _SEM_K = 8  # fixed deterministic centroid count (vec_id < 8 seeds)
 
 

@@ -6121,3 +6121,168 @@ def orders_dormancy_winback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_days").cast("bigint").alias("max_gap_days"),
         F.round(F.avg("gap_days"), 6).alias("avg_gap_days"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: FILTER-clause aggregates, timezone scalars
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           round(coalesce(sum(l_quantity) FILTER (WHERE l_tax > 0.04), 0), 6) AS qty_taxed,
+           round(avg(l_extendedprice) FILTER (WHERE l_quantity >= 25), 6) AS avg_price_bulk,
+           max(l_shipdate) FILTER (WHERE l_linestatus = 'F') AS last_f_ship
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ``FILTER (WHERE …)`` conditional aggregates — the
+    pivot-free way to fold many differently-predicated measures into
+    ONE aggregation pass (Catalyst plans one HashAggregate with
+    per-buffer predicates; the naive alternative is N self-joined
+    scans). `count` with no matches gives 0, `sum`/`avg`/`max` give
+    NULL — both semantics pinned (`qty_taxed` coalesced on both sides
+    so the 0-vs-NULL convention is explicit, not engine-default)."""
+    li = rt(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.expr("count(*) FILTER (WHERE l_discount > 0.05)").alias("n_disc"),
+        F.round(
+            F.coalesce(
+                F.expr("sum(l_quantity) FILTER (WHERE l_tax > 0.04)"), F.lit(0)
+            ),
+            6,
+        ).alias("qty_taxed"),
+        F.round(
+            F.expr("avg(l_extendedprice) FILTER (WHERE l_quantity >= 25)"), 6
+        ).alias("avg_price_bulk"),
+        F.expr("max(l_shipdate) FILTER (WHERE l_linestatus = 'F')").alias(
+            "last_f_ship"
+        ),
+    )
+
+
+@register(
+    "scalar_datetime_tz",
+    oracle="""
+    SELECT event_id,
+           timezone('America/New_York', timezone('UTC', ts)) AS ts_nyc,
+           timezone('Asia/Tokyo',       timezone('UTC', ts)) AS ts_tokyo,
+           timezone('UTC', timezone('Europe/Paris',
+             timezone('Europe/Paris', timezone('UTC', ts)))) AS ts_roundtrip,
+           CAST(hour(timezone('America/Los_Angeles', timezone('UTC', ts))) AS INT) AS hour_la,
+           CAST(date_trunc('week', ts) AS TIMESTAMP) AS week_start
+    FROM events WHERE event_id % 97 = 0
+    """,
+)
+def scalar_datetime_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA timezone conversion parity: ``from_utc_timestamp`` /
+    ``to_utc_timestamp`` against DuckDB's two-step ``timezone()``
+    (naive→instant→zone wall clock), across a DST zone (NYC), a
+    non-DST zone (Tokyo), a convert-and-back roundtrip, hour
+    extraction in a zone, and ISO Monday week truncation. Both
+    engines resolve zones from the same IANA tzdb, so wall-clock
+    results — including rows on either side of DST transitions — must
+    hash-match exactly. Row-local projection, zero exchanges; the
+    modulo subset keeps the checked surface deterministic."""
+    ev = rt(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") % 97 == 0).select(
+        "event_id",
+        F.from_utc_timestamp("ts", "America/New_York").alias("ts_nyc"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("ts_tokyo"),
+        F.to_utc_timestamp(
+            F.from_utc_timestamp("ts", "Europe/Paris"), "Europe/Paris"
+        ).alias("ts_roundtrip"),
+        F.hour(F.from_utc_timestamp("ts", "America/Los_Angeles"))
+        .cast("int")
+        .alias("hour_la"),
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+    )
+
+
+@register(
+    "agg_hll_intersection",
+    oracle="""
+    WITH a AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'click' AND day(ts) <= 10),
+    b AS (SELECT DISTINCT user_id FROM events
+          WHERE event_type = 'purchase' AND day(ts) >= 20)
+    SELECT CAST((SELECT count(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT count(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT) AS exact_union,
+           CAST((SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT) AS exact_inter,
+           true AS union_ok,
+           true AS inter_ok
+    """,
+)
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: distinct-user INTERSECTION cardinality
+    ("did both X early and Y late") estimated from two HLL sketches
+    by inclusion–exclusion — est(A∩B) = est(A) + est(B) − est(A∪B),
+    the union coming from ``hll_union_agg`` without rescanning rows.
+    HLLs only union natively; inclusion–exclusion is how every
+    sketch-backed audience-overlap product answers AND-queries, with
+    error proportional to the UNION size (not the intersection).
+    Contract oracle (r3 sketch pattern): all four exact cardinalities
+    hash-compare, plus falsifiable bound booleans — union estimate
+    within 5% of exact, intersection estimate within 10% of the exact
+    UNION (the honest bound for differenced sketches)."""
+    ev = rt(spark, sf_dir, "events")
+    a = ev.where((F.col("event_type") == "click") & (F.dayofmonth("ts") <= 10)).select(
+        "user_id"
+    )
+    b = ev.where(
+        (F.col("event_type") == "purchase") & (F.dayofmonth("ts") >= 20)
+    ).select("user_id")
+    sk_a = a.agg(
+        F.expr("hll_sketch_agg(user_id)").alias("ska"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_a"),
+    )
+    sk_b = b.agg(
+        F.expr("hll_sketch_agg(user_id)").alias("skb"),
+        F.count_distinct("user_id").cast("bigint").alias("exact_b"),
+    )
+    exact_u = (
+        a.union(b)
+        .agg(F.count_distinct("user_id").cast("bigint").alias("exact_union"))
+    )
+    exact_i = (
+        a.distinct()
+        .join(b.distinct(), "user_id", "inner")
+        .agg(F.count("*").cast("bigint").alias("exact_inter"))
+    )
+    est = (
+        sk_a.crossJoin(sk_b)
+        .select(
+            "exact_a",
+            "exact_b",
+            F.expr("hll_sketch_estimate(ska)").alias("est_a"),
+            F.expr("hll_sketch_estimate(skb)").alias("est_b"),
+            F.expr("hll_sketch_estimate(hll_union(ska, skb))").alias("est_u"),
+        )
+        .crossJoin(exact_u)
+        .crossJoin(exact_i)
+    )
+    return est.select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_inter",
+        (
+            F.abs(F.col("est_u") - F.col("exact_union"))
+            <= 0.05 * F.col("exact_union") + F.lit(1.0)
+        ).alias("union_ok"),
+        (
+            F.abs(
+                (F.col("est_a") + F.col("est_b") - F.col("est_u"))
+                - F.col("exact_inter")
+            )
+            <= 0.10 * F.col("exact_union") + F.lit(1.0)
+        ).alias("inter_ok"),
+    )

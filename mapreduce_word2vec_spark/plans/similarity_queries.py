@@ -1327,3 +1327,140 @@ def knn_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id", F.round("maxsim", 6).alias("maxsim"))
     )
+
+
+@register(
+    "knn_range_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+         s AS (
+           SELECT query_id, neighbor_id,
+                  round({_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}), 6) AS cos
+           FROM q, c WHERE query_id <> neighbor_id
+         )
+    SELECT query_id, neighbor_id, cos FROM s WHERE cos >= 0.35
+    """,
+)
+def knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (threshold) similarity search: ALL corpus vectors with
+    cosine ≥ 0.35 per query — top-k's complement, the primitive under
+    "find every document similar enough" (dedup candidate recall,
+    radius-bounded retrieval). Same broadcast-queries scoring join as
+    knn_bruteforce but the cut is a row-local predicate on the ROUNDED
+    score (both engines threshold the identical 6-dp value, so the
+    boundary cannot flip on a last-ulp difference), and the result
+    size is data-dependent instead of k-bounded — at 100 TB the
+    operator composes with the IVF probe exactly like top-k does,
+    scoring only the probed fraction."""
+    from mapreduce_word2vec_spark.operators.similarity import cosine_pairs
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    scored = cosine_pairs(emb.where(F.col("vec_id") < 10), emb)
+    return scored.withColumn("cos", F.round("cos", 6)).where(F.col("cos") >= 0.35)
+
+
+_BQ_CODE_SQL = (
+    "list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN CAST({e}[{off} + i + 1] AS DOUBLE) >= 0 "
+    "THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))"
+)
+
+
+@register(
+    "knn_binary_quantized",
+    oracle=f"""
+    WITH coded AS (
+      SELECT vec_id, embedding,
+             {_BQ_CODE_SQL.format(e="embedding", off=0)} AS code_lo,
+             {_BQ_CODE_SQL.format(e="embedding", off=32)} AS code_hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qe, code_lo AS q_lo, code_hi AS q_hi
+          FROM coded WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce, code_lo, code_hi FROM coded),
+    ham AS (
+      SELECT query_id, neighbor_id, ce, qe,
+             bit_count(xor(code_lo, q_lo)) + bit_count(xor(code_hi, q_hi)) AS hamming,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY bit_count(xor(code_lo, q_lo))
+                                       + bit_count(xor(code_hi, q_hi)), neighbor_id) AS hrn
+      FROM q, c WHERE query_id <> neighbor_id
+    ),
+    resc AS (
+      SELECT query_id, neighbor_id, CAST(hamming AS INT) AS hamming,
+             {_SQL_DOT} / ({_SQL_NORM_Q} * {_SQL_NORM_C}) AS cos
+      FROM ham WHERE hrn <= 20
+    ),
+    r AS (
+      SELECT query_id, neighbor_id, hamming, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+      FROM resc
+    )
+    SELECT query_id, neighbor_id, hamming, round(cos, 6) AS cos FROM r WHERE rn <= 5
+    """,
+)
+def knn_binary_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization retrieval cascade: every embedding packs to
+    a 64-bit sign code (two 32-bit BIGINT lanes — lane packing keeps
+    both engines inside non-negative shift range), stage 1 ranks by
+    HAMMING distance on the codes alone (top-20 candidates/query,
+    integer-exact so the candidate set is deterministic), stage 2
+    rescores only those with full-precision cosine (top-5). This is
+    the 32×-memory-cut BQ design modern vector stores ship: at 100 TB
+    the code table is 8 bytes/vector — it fits where float vectors
+    don't, stage 1 is XOR+popcount (no float math, SIMD-friendly,
+    codes-only shuffle), and stage-2 cost is candidate-bounded,
+    independent of corpus size. Same cascade contract as
+    knn_matryoshka_cascade with an integer stage 1."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    code = lambda off: F.expr(  # noqa: E731
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        f"IF(CAST(embedding[{off} + i] AS DOUBLE) >= 0, "
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+    coded = emb.select(
+        "vec_id",
+        "embedding",
+        code(0).alias("code_lo"),
+        code(32).alias("code_hi"),
+    )
+    q = coded.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("code_lo").alias("q_lo"),
+        F.col("code_hi").alias("q_hi"),
+    )
+    c = coded.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "code_lo",
+        "code_hi",
+    )
+    hamming = F.bit_count(
+        F.col("code_lo").bitwiseXOR(F.col("q_lo"))
+    ) + F.bit_count(F.col("code_hi").bitwiseXOR(F.col("q_hi")))
+    hw = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    cand = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("hamming", hamming)
+        .withColumn("hrn", F.row_number().over(hw))
+        .where(F.col("hrn") <= 20)
+    )
+    from mapreduce_word2vec_spark.operators.similarity import dot_expr, norm_expr
+
+    cos = dot_expr("qv", "cv") / (norm_expr("qv") * norm_expr("cv"))
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cand.withColumn("cos", cos)
+        .withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("hamming").cast("int").alias("hamming"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )

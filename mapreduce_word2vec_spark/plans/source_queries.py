@@ -779,3 +779,43 @@ def source_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "source_parquet_bloom",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS total_price
+    FROM orders
+    WHERE o_custkey IN (1, 7, 42, 123, 999)
+    GROUP BY o_custkey
+    """,
+)
+def source_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bloom-filter layout: orders written with a bloom filter
+    on ``o_custkey``, read back through a point-lookup IN predicate.
+    Min/max row-group stats are useless for uniformly-spread keys
+    (every row group spans the whole key range), so bloom filters are
+    what makes needle-in-haystack point reads skip I/O at 100 TB —
+    the reader tests each row group's bloom before touching its
+    pages, and the predicate still pushes to the scan
+    (``PushedFilters: In(o_custkey, …)``, plan-asserted). The oracle
+    recomputes from the original table, so the bloom-annotated
+    write+filtered read must be lossless AND false-negative-free (a
+    bloom that wrongly skips a row group loses rows and
+    hash-mismatches)."""
+    o = read_testdata(spark, sf_dir, "orders")
+    path = _roundtrip_dir("parquet_bloom_orders", sf_dir)
+    (
+        o.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "20000")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).where(
+        F.col("o_custkey").isin(1, 7, 42, 123, 999)
+    )
+    return back.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("total_price"),
+    )

@@ -7,6 +7,8 @@ enough for 6-dp rounding; raw big sums are avoided)."""
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -275,4 +277,42 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_orders"),
             F.round(F.sum("o_totalprice"), 6).alias("total"),
         )
+    )
+
+
+@register(
+    "udf_iterator_pandas",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount) * 1.1), 6) AS adj_revenue
+    FROM lineitem
+    WHERE l_orderkey % 501 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def udf_iterator_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (``Iterator[pd.Series] ->
+    Iterator[pd.Series]``): the third scalar-UDF calling convention
+    next to per-batch scalar and mapInArrow. The iterator form exists
+    for EXPENSIVE ONE-TIME SETUP — the worker runs the generator body
+    once per task (load a model, open a connection, here: build the
+    rate constant) and then streams every Arrow batch through it,
+    instead of paying setup per batch. The kernel applies a
+    multiplicative adjustment that SQL reproduces exactly, so the
+    crossing itself is hash-checked; the aggregation after it stays
+    JVM-side."""
+    @F.pandas_udf(T.DoubleType())
+    def adjust(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rate = 1.1  # one-time setup, amortized across all batches
+        for s in batches:
+            yield s * rate
+
+    li = read_testdata(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 501 == 0
+    )
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.select("l_orderkey", adjust(net).alias("adj"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("adj"), 6).alias("adj_revenue"))
     )

@@ -119,3 +119,115 @@ def test_w2v_vocabulary_contract(spark):
         .collect()
     }
     assert {r["word"] for r in rows} == vocab
+
+
+def test_label_propagation_preserves_communities(spark):
+    """On two triangles joined by a single bridge edge, LPA must keep
+    two communities (density-aware) where connected components merges
+    everything into one — the behavioral difference that justifies the
+    operator; also pins the deterministic min-label tie-break."""
+    from mapreduce_word2vec_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "id_a bigint, id_b bigint",
+    )
+    lpa = {
+        r["node"]: r["label"]
+        for r in label_propagation(edges, iterations=3).collect()
+    }
+    # Each triangle converges to ONE label and the bridge does not fuse
+    # them (it's outvoted by each side's two triangle neighbors). After
+    # round 3 the synchronous dynamics give A={1,2,3}→1, B={4,5,6}→3
+    # (hand-traced; labels are identifiers, not community members).
+    assert lpa[1] == lpa[2] == lpa[3] == 1
+    assert lpa[4] == lpa[5] == lpa[6] == 3
+    assert lpa[1] != lpa[4]
+    cc = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert len(set(cc.values())) == 1  # CC merges across the bridge
+
+
+def test_parquet_bloom_read_pushes_point_filter(spark):
+    """The read side of source_parquet_bloom must push the IN
+    predicate to the parquet scan (PushedFilters) — bloom row-group
+    skipping only engages below a pushed source filter."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    df = catalog.queries()["source_parquet_bloom"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(o_custkey" in plan, plan
+
+
+def test_binary_code_packing_matches_numpy(spark):
+    """The two-lane sign-code HOF must equal a direct numpy packing
+    for every corpus vector (integer-exact bit semantics, both
+    lanes)."""
+    import numpy as np
+
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings").limit(50)
+    code = (
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        "IF(CAST(embedding[{off} + i] AS DOUBLE) >= 0, "
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+    rows = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        code.format(off=0) + " AS lo",
+        code.format(off=32) + " AS hi",
+    ).collect()
+    assert rows
+    for r in rows:
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        lo = int(((v[:32] >= 0).astype(np.int64) << np.arange(32)).sum())
+        hi = int(((v[32:64] >= 0).astype(np.int64) << np.arange(32)).sum())
+        assert (r["lo"], r["hi"]) == (lo, hi), r["vec_id"]
+
+
+def test_filter_clause_empty_match_semantics(spark):
+    """FILTER (WHERE …) with zero matching rows: count gives 0,
+    sum/avg/max give NULL — the convention agg_filter_clause pins."""
+    df = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k int, v double")
+    row = df.agg(
+        F.expr("count(*) FILTER (WHERE v > 100)").alias("c"),
+        F.expr("sum(v) FILTER (WHERE v > 100)").alias("s"),
+        F.expr("max(v) FILTER (WHERE v > 100)").alias("m"),
+    ).head()
+    assert row["c"] == 0 and row["s"] is None and row["m"] is None
+
+
+def test_from_utc_timestamp_crosses_dst(spark):
+    """Wall clocks on both sides of the 2024-03-10 US DST transition:
+    06:00 UTC is still EST (UTC−5), 08:00 UTC is EDT (UTC−4)."""
+    df = spark.createDataFrame(
+        [("2024-03-10 06:00:00",), ("2024-03-10 08:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    out = [
+        str(r["nyc"])
+        for r in df.select(
+            F.from_utc_timestamp("ts", "America/New_York").alias("nyc")
+        ).collect()
+    ]
+    assert out == ["2024-03-10 01:00:00", "2024-03-10 04:00:00"]
+
+
+def test_hll_intersection_contract_booleans(spark):
+    """Both sketch-bound booleans must hold on the fixture, and the
+    inclusion-exclusion identity must be exact for the EXACT counts
+    (a wiring error that swaps union/intersection flips it)."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    row = catalog.queries()["agg_hll_intersection"](spark, SF_SMOKE).head()
+    assert row["union_ok"] and row["inter_ok"]
+    assert (
+        row["exact_a"] + row["exact_b"]
+        == row["exact_union"] + row["exact_inter"]
+    )
