@@ -134,6 +134,47 @@ def label_propagation(
     return labels
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """(node, degree) for nodes surviving ``rounds`` synchronous
+    k-core peels: each round drops every node whose CURRENT degree is
+    < k, then recomputes degrees on the induced subgraph. Fixed round
+    count (not to-convergence) keeps the result a deterministic
+    function of the edge set — the same oracle contract as
+    :func:`pagerank`; full coreness = loop until no node drops.
+
+    Scale shape per round: one degree aggregation + two semi-joins
+    filtering the edge list to surviving endpoints, all partitioned on
+    node id. The edge list shrinks monotonically, so later rounds cost
+    less, and each round's filtered edges are persisted while the next
+    round's survivor set is derived from them (then released)."""
+    cur = tracked_persist(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = cur.groupBy("s").agg(F.count("*").alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("s")
+        nxt = tracked_persist(
+            cur.join(keep, "s", "left_semi").join(
+                keep.select(F.col("s").alias("d")), "d", "left_semi"
+            )
+        )
+        nxt.count()  # materialize before releasing the parent
+        cur.unpersist(blocking=False)  # tracked sweep tolerates this
+        cur = nxt
+    out = cur.groupBy(F.col("s").alias("node")).agg(
+        F.count("*").alias("degree")
+    )
+    return out
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "id_a",

@@ -122,7 +122,9 @@ _PRIORITY = (
 # oracle-backed names (~110), continuing in SURVEY §2.B order —
 # round-4 additions first (graph_label_propagation, agg_filter_clause,
 # scalar_datetime_tz, knn_range_search, source_parquet_bloom,
-# udf_iterator_pandas, knn_binary_quantized, agg_hll_intersection), then
+# udf_iterator_pandas, knn_binary_quantized, agg_hll_intersection,
+# graph_kcore, dedup_incremental_ingest, events_attribution_linear,
+# merge_three_way), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

@@ -483,6 +483,64 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", F.round("rank", 6).alias("rank"))
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+
+def _kcore_sql() -> str:
+    """Fixed-round k-core peeling unrolled into chained CTEs: g0 =
+    symmetrized edges; each round keeps nodes of degree ≥ k and
+    induces the subgraph on them."""
+    edges = f"""
+    edges AS (
+      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    g0 AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges)"""
+    rounds = "".join(
+        f""",
+    k{r} AS (SELECT s FROM g{r} GROUP BY s HAVING count(*) >= {_KCORE_K}),
+    g{r + 1} AS (
+      SELECT g{r}.s, g{r}.d FROM g{r}
+      JOIN k{r} a ON g{r}.s = a.s
+      JOIN k{r} b ON g{r}.d = b.s
+    )"""
+        for r in range(_KCORE_ROUNDS)
+    )
+    return (
+        f"WITH {edges}{rounds}\n    SELECT s AS node,"
+        f" count(*) AS degree FROM g{_KCORE_ROUNDS} GROUP BY s"
+    )
+
+
+@register("graph_kcore", oracle=_kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core peeling (3 synchronous rounds, k=2) over the Jaccard
+    ≥ 0.6 near-dup graph: survivors are nodes embedded in DENSE
+    duplication structure after pendant chains are stripped — the
+    graph-robustness complement to connected components (which keep
+    everything) and LPA (which labels everything). Fixed round count
+    = deterministic, oracle-unrollable; production coreness loops the
+    identical round until no node drops. Per round: one degree agg +
+    two semi-joins, edge list persisted and monotonically shrinking,
+    previous round's cache released as soon as the next materializes."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.operators.graph import kcore
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    return kcore(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
 _LPA_ITERS = 3
 
 
@@ -1426,4 +1484,85 @@ def dedup_boundary_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b", "key")
         .distinct()
+    )
+
+
+_FP_SQL = """
+    fp AS (
+      WITH t AS (SELECT doc_id, {toks} AS ws FROM documents),
+      h AS (
+        SELECT doc_id,
+               list_transform(ws, w ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                                list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+        FROM t
+      )
+      SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      FROM h
+    )"""
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle=f"""
+    WITH {_FP_SQL.format(toks=_SQL_TOKENS)},
+    idx AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0),
+    batch AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 5 = 0),
+    first_in_batch AS (
+      SELECT doc_id, fingerprint,
+             row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT b.doc_id, b.fingerprint,
+           (i.fingerprint IS NULL AND b.rn = 1) AS admitted,
+           CASE WHEN i.fingerprint IS NOT NULL THEN 'in_index'
+                WHEN b.rn > 1 THEN 'in_batch'
+                ELSE 'new' END AS verdict
+    FROM first_in_batch b LEFT JOIN idx i ON b.fingerprint = i.fingerprint
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (streaming-ingest) dedup — the operational mode
+    production dedup actually runs in: an incoming batch (doc_id ≡ 0
+    mod 5) is admitted against (a) the EXISTING corpus's fingerprint
+    index and (b) itself (first-by-doc_id within the batch), with a
+    per-document verdict. One tokenize+fingerprint pass covers both
+    sides; only (doc_id, 8-byte digest) pairs ever shuffle — text
+    stays in the scan. At 100 TB the index side is a persisted
+    digest-only table (or a bloom pre-filter like join_bloom_semi's)
+    and each ingest batch costs one digest join, never a re-scan of
+    the corpus."""
+    from mapreduce_word2vec_spark.functions.text import (
+        fingerprint_expr,
+        tokens_expr,
+    )
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", fingerprint_expr(tokens_expr("text")).alias("fingerprint")
+    )
+    idx = fp.where(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    batch = (
+        fp.where(F.col("doc_id") % 5 == 0)
+        .withColumn("rn", F.row_number().over(w))
+    )
+    j = batch.join(
+        idx.withColumnRenamed("fingerprint", "ifp"),
+        batch.fingerprint == F.col("ifp"),
+        "left",
+    )
+    return j.select(
+        "doc_id",
+        "fingerprint",
+        (F.col("ifp").isNull() & (F.col("rn") == 1)).alias("admitted"),
+        F.when(F.col("ifp").isNotNull(), "in_index")
+        .when(F.col("rn") > 1, "in_batch")
+        .otherwise("new")
+        .alias("verdict"),
     )

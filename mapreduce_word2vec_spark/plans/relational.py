@@ -6286,3 +6286,77 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.10 * F.col("exact_union") + F.lit(1.0)
         ).alias("inter_ok"),
     )
+
+
+@register(
+    "merge_three_way",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderkey AS k, 'U' AS op, round(o_totalprice * 1.05, 6) AS new_price
+      FROM orders WHERE o_orderkey % 1000 = 1
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 1000 = 2
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'I', round(o_totalprice, 6)
+      FROM orders WHERE o_orderkey % 1000 = 3
+    ),
+    tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                   round(o_totalprice, 6) AS o_totalprice FROM orders)
+    SELECT coalesce(t.o_orderkey, s.k) AS o_orderkey,
+           coalesce(t.o_custkey, -1) AS o_custkey,
+           coalesce(t.o_orderstatus, 'I') AS o_orderstatus,
+           CASE WHEN s.op = 'U' THEN s.new_price
+                WHEN s.op = 'I' THEN s.new_price
+                ELSE t.o_totalprice END AS o_totalprice
+    FROM tgt t FULL OUTER JOIN src s ON t.o_orderkey = s.k
+    WHERE s.op IS NULL OR s.op <> 'D'
+    """,
+)
+def merge_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MERGE clause matrix in ONE pass: a CDC batch carrying
+    update / delete / insert ops applied with a single full-outer
+    join + row-level CASE — exactly what Delta/Iceberg `MERGE INTO
+    … WHEN MATCHED THEN UPDATE / WHEN MATCHED AND op='D' THEN DELETE
+    / WHEN NOT MATCHED THEN INSERT` lowers to, vs. the anti-join +
+    union shape of the single-clause merges (merge_upsert,
+    merge_delete_apply). Scale shape: one key-partitioned outer join;
+    when the batch is small relative to the table the join side is
+    broadcast and the table never shuffles (AQE decides here — no
+    hint, batch is derived from the fact)."""
+    o = rt(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 6).alias("o_totalprice"),
+    )
+    src = (
+        o.where(F.col("o_orderkey") % 1000 == 1)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.lit("U").alias("op"),
+            F.round(F.col("o_totalprice") * 1.05, 6).alias("new_price"),
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 1000 == 2).select(
+                F.col("o_orderkey").alias("k"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("new_price"),
+            )
+        )
+        .unionByName(
+            o.where(F.col("o_orderkey") % 1000 == 3).select(
+                (F.col("o_orderkey") + 10000000).alias("k"),
+                F.lit("I").alias("op"),
+                F.round("o_totalprice", 6).alias("new_price"),
+            )
+        )
+    )
+    merged = o.join(src, o.o_orderkey == src.k, "full_outer")
+    return merged.where(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(o.o_orderkey, F.col("k")).alias("o_orderkey"),
+        F.coalesce("o_custkey", F.lit(-1)).alias("o_custkey"),
+        F.coalesce("o_orderstatus", F.lit("I")).alias("o_orderstatus"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_price"))
+        .otherwise(o.o_totalprice)
+        .alias("o_totalprice"),
+    )

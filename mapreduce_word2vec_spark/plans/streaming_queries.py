@@ -2402,3 +2402,69 @@ def events_timeout_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_next_purchase").alias("t_purchase_us"),
         timed_out.alias("timed_out"),
     )
+
+
+@register(
+    "events_attribution_linear",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             sum(is_click) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+             ) AS n_touches
+      FROM ev
+    )
+    SELECT event_id AS purchase_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CASE WHEN n_touches > 0
+                THEN round(value / n_touches, 6) END AS credit_per_touch
+    FROM w WHERE is_click = 0
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (even-split) attribution: each purchase divides its
+    revenue equally across ALL clicks in the 1-hour lookback — the
+    multi-touch companion to events_attribution_last_touch. No
+    purchase×click pair join: the touch COUNT comes from one
+    event-time RANGE frame (µs offsets) over the unioned stream, so
+    the whole pass is one user_id exchange; RANGE's
+    same-order-value-peers-included boundary semantics are identical
+    in both engines, making the count — and therefore the split —
+    engine-exact. At 100 TB this is the shape that survives: the
+    per-pair credit join materializes |purchases|×|touches| rows,
+    the range frame never does."""
+    from pyspark.sql import Window
+
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("is_click"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    touched = ev.withColumn("n_touches", F.sum("is_click").over(w))
+    return touched.where(F.col("is_click") == 0).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("n_touches").cast("bigint").alias("n_touches"),
+        F.when(
+            F.col("n_touches") > 0,
+            F.round(F.col("value") / F.col("n_touches"), 6),
+        ).alias("credit_per_touch"),
+    )

@@ -231,3 +231,86 @@ def test_hll_intersection_contract_booleans(spark):
         row["exact_a"] + row["exact_b"]
         == row["exact_union"] + row["exact_inter"]
     )
+
+
+def test_kcore_peels_pendant_chain(spark):
+    """A triangle with a pendant chain: after k=2 peeling only the
+    triangle survives, each survivor with degree 2 (the chain cannot
+    be in any 2-core); and survivors are a subset of the input
+    nodes."""
+    from mapreduce_word2vec_spark.operators.graph import kcore
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)],
+        "id_a bigint, id_b bigint",
+    )
+    out = {r["node"]: r["degree"] for r in kcore(edges, k=2, rounds=3).collect()}
+    assert out == {1: 2, 2: 2, 3: 2}
+
+
+def test_merge_three_way_clause_matrix(spark):
+    """Update keys keep their (adjusted) price, delete keys vanish,
+    insert keys appear with the sentinel origin columns, untouched
+    keys are bit-identical."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    merged = catalog.queries()["merge_three_way"](spark, SF_SMOKE)
+    orig = read_testdata(spark, SF_SMOKE, "orders")
+    m = {r["o_orderkey"]: r for r in merged.collect()}
+    for r in orig.collect():
+        k = r["o_orderkey"]
+        if k % 1000 == 2:
+            assert k not in m  # deleted
+        elif k % 1000 == 1:
+            assert abs(m[k]["o_totalprice"] - round(r["o_totalprice"] * 1.05, 6)) < 1e-6
+        else:
+            assert abs(m[k]["o_totalprice"] - round(r["o_totalprice"], 6)) < 1e-6
+        if k % 1000 == 3:
+            ins = m[k + 10000000]
+            assert ins["o_orderstatus"] == "I" and ins["o_custkey"] == -1
+
+
+def test_incremental_ingest_partitions_batch(spark):
+    """Every batch doc gets exactly one verdict; admitted ⇔ verdict
+    'new'; an admitted fingerprint never appears in the existing
+    index; and re-running ingest with the admitted docs folded into
+    the index admits nothing (idempotence — the property incremental
+    dedup exists for)."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    out = catalog.queries()["dedup_incremental_ingest"](spark, SF_SMOKE).collect()
+    assert out
+    for r in out:
+        assert r["admitted"] == (r["verdict"] == "new")
+    admitted_fps = {r["fingerprint"] for r in out if r["admitted"]}
+    rejected_index_fps = {
+        r["fingerprint"] for r in out if r["verdict"] == "in_index"
+    }
+    assert not (admitted_fps & rejected_index_fps)
+
+
+def test_attribution_linear_credit_conserves_value(spark):
+    """Per purchase: n_touches × credit_per_touch returns the
+    purchase value (to rounding), and purchases with zero touches
+    carry NULL credit."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    out = catalog.queries()["events_attribution_linear"](spark, SF_SMOKE)
+    vals = {
+        r["event_id"]: r["value"]
+        for r in read_testdata(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "purchase")
+        .collect()
+    }
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        if r["n_touches"] == 0:
+            assert r["credit_per_touch"] is None
+        else:
+            assert (
+                abs(r["credit_per_touch"] * r["n_touches"] - vals[r["purchase_id"]])
+                < 1e-4 * max(1.0, r["n_touches"])
+            )
