@@ -124,7 +124,8 @@ _PRIORITY = (
 # scalar_datetime_tz, knn_range_search, source_parquet_bloom,
 # udf_iterator_pandas, knn_binary_quantized, agg_hll_intersection,
 # graph_kcore, dedup_incremental_ingest, events_attribution_linear,
-# merge_three_way), then
+# merge_three_way, dedup_lsh_param_sweep, sql_scalar_udf,
+# sql_pipe_syntax), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

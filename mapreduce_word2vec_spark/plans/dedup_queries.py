@@ -1566,3 +1566,150 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("verdict"),
     )
+
+
+_SWEEP_CONFIGS = (2, 4, 8)  # bands; rows_per_band = 16 // bands
+
+
+def _lsh_sweep_sql() -> str:
+    """Candidate/precision/recall for each banding config, unrolled:
+    one bands/cand/stat CTE chain per (b, r) over the shared signature
+    and ground-truth CTEs."""
+    truth = f"""
+    toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    truth AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    nt AS (SELECT count(*) AS n_true FROM truth)"""
+    sig = _minhash_sig_sql().replace("toks AS", "toks2 AS").replace(
+        "FROM toks", "FROM toks2", 1
+    )
+    parts = []
+    for b in _SWEEP_CONFIGS:
+        r = len(MINHASH_COEFFS) // b
+        vals = ", ".join(f"({i})" for i in range(b))
+        parts.append(f""",
+    bands{b} AS (
+      SELECT doc_id, band, sig[band * {r} + 1 : band * {r} + {r}] AS key
+      FROM sig CROSS JOIN (VALUES {vals}) AS t(band)
+    ),
+    cand{b} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bands{b} a JOIN bands{b} b2 ON a.band = b2.band AND a.key = b2.key
+      WHERE a.doc_id < b2.doc_id
+    ),
+    stat{b} AS (
+      SELECT CAST({b} AS INT) AS bands, CAST({r} AS INT) AS rows_per_band,
+             CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(coalesce(sum(CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits
+      FROM cand{b} LEFT JOIN truth t ON cand{b}.id_a = t.id_a AND cand{b}.id_b = t.id_b
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM stat{b}" for b in _SWEEP_CONFIGS)
+    return f"""
+    WITH {truth},{sig}{"".join(parts)}
+    SELECT bands, rows_per_band, n_candidates,
+           CAST((SELECT n_true FROM nt) AS BIGINT) AS n_true, n_hits,
+           CASE WHEN n_candidates > 0 THEN round(n_hits * 1.0 / n_candidates, 6) END AS precision_,
+           CASE WHEN (SELECT n_true FROM nt) > 0
+                THEN round(n_hits * 1.0 / (SELECT n_true FROM nt), 6) END AS recall_
+    FROM ({union})
+    """
+
+
+@register("dedup_lsh_param_sweep", oracle=_lsh_sweep_sql())
+def dedup_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve tuning harness: candidate volume, precision, and
+    recall of MinHash banding at (2×8), (4×4), (8×2) bands×rows
+    against exact Jaccard ≥ 0.6 ground truth — the measurement that
+    picks b and r before a production dedup run (more bands → higher
+    recall, more candidates). One signature table and ONE ground-truth
+    pass are shared across all three configs (both persisted);
+    per-config cost is a band self-join whose shuffle carries only
+    16-long signatures. The operational mode at 100 TB: run the sweep
+    on a hash-sampled corpus slice, apply the chosen config corpus-
+    wide."""
+    from mapreduce_word2vec_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    sigs = tracked_persist(minhash_signatures(docs))
+    truth = tracked_persist(
+        ngram_jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    )
+    n_true = truth.agg(F.count("*").cast("bigint").alias("n_true"))
+    outs = []
+    for b in _SWEEP_CONFIGS:
+        r = len(MINHASH_COEFFS) // b
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.slice("sig", i * r + 1, r).alias("key"),
+                        )
+                        for i in range(b)
+                    ]
+                )
+            ).alias("bk"),
+        ).select(
+            "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        left = bands.select(
+            F.col("doc_id").alias("id_a"), "band", "key"
+        )
+        right = bands.select(
+            F.col("doc_id").alias("id_b"), "band", "key"
+        )
+        cand = (
+            left.join(right, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        stat = (
+            cand.join(truth.withColumn("_hit", F.lit(1)), ["id_a", "id_b"], "left")
+            .agg(
+                F.count("*").cast("bigint").alias("n_candidates"),
+                F.coalesce(F.sum("_hit"), F.lit(0))
+                .cast("bigint")
+                .alias("n_hits"),
+            )
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_hits",
+            )
+        )
+        outs.append(stat)
+    union = outs[0]
+    for o in outs[1:]:
+        union = union.unionByName(o)
+    return union.crossJoin(F.broadcast(n_true)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true",
+        "n_hits",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6),
+        ).alias("precision_"),
+        F.when(
+            F.col("n_true") > 0, F.round(F.col("n_hits") / F.col("n_true"), 6)
+        ).alias("recall_"),
+    )

@@ -6360,3 +6360,71 @@ def merge_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(o.o_totalprice)
         .alias("o_totalprice"),
     )
+
+
+@register(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS total_charge,
+           count(*) AS n_items
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language scalar UDF (Spark 4 `CREATE TEMPORARY FUNCTION …
+    RETURNS … RETURN <expr>`): reusable business logic declared in
+    SQL, not Python — the function body INLINES into the calling
+    plan, so it stays inside whole-stage codegen with zero
+    serialization boundary (the opposite trade of every Python UDF in
+    this catalog). The oracle applies the expression directly,
+    proving the UDF call is transparent to the result."""
+    rt(spark, sf_dir, "lineitem").createOrReplaceTempView("li_sqludf_src")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION line_charge("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(sum(line_charge(l_extendedprice, l_discount, l_tax)), 6)
+                 AS total_charge,
+               count(*) AS n_items
+        FROM li_sqludf_src
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 6) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the linear
+    FROM-first query form — each stage reads top-to-bottom like a
+    DataFrame chain but stays pure SQL. Parses to the identical
+    logical plan as the nested form (the oracle), so this is a
+    front-end surface check: filter still pushes to the scan, the
+    aggregate still splits partial/final."""
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_src")
+    return spark.sql(
+        """
+        FROM orders_pipe_src
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 6) AS revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority
+        """
+    )

@@ -314,3 +314,47 @@ def test_attribution_linear_credit_conserves_value(spark):
                 abs(r["credit_per_touch"] * r["n_touches"] - vals[r["purchase_id"]])
                 < 1e-4 * max(1.0, r["n_touches"])
             )
+
+
+def test_lsh_sweep_monotone_in_bands(spark):
+    """Band slices nest (16 = 2×8 = 4×4 = 8×2), so agreeing on a full
+    8-row band implies agreeing on its 4-row halves: the candidate set
+    — and with it recall — must be monotone non-decreasing in the band
+    count, and hits can never exceed candidates or truth."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = {
+        r["bands"]: r
+        for r in catalog.queries()["dedup_lsh_param_sweep"](spark, SF_SMOKE).collect()
+    }
+    assert set(rows) == {2, 4, 8}
+    assert (
+        rows[2]["n_candidates"] <= rows[4]["n_candidates"] <= rows[8]["n_candidates"]
+    )
+    assert rows[2]["n_hits"] <= rows[4]["n_hits"] <= rows[8]["n_hits"]
+    for r in rows.values():
+        assert r["n_hits"] <= r["n_candidates"]
+        assert r["n_hits"] <= r["n_true"]
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """The SQL-language UDF must leave NO Python evaluation node in
+    the physical plan — the whole point of declaring it in SQL is that
+    the body inlines into codegen."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    df = catalog.queries()["sql_scalar_udf"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pipe_syntax_pushes_filter(spark):
+    """The |> WHERE stage must still reach the parquet scan as a
+    pushed filter — pipe syntax is front-end sugar, not a planning
+    barrier."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    df = catalog.queries()["sql_pipe_syntax"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
