@@ -736,3 +736,71 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n bigint, n_dims bigint, mean_ok boolean, diag_ok boolean, "
         "offdiag_ok boolean",
     )
+
+
+_RP_IN = 64
+_RP_OUT = 16
+# LCG constants for the deterministic sign matrix — all arithmetic
+# stays far below 2^62, so int64 evaluation is exact in both engines.
+_RP_A = 1_103_515_245
+_RP_B = 12_345
+_RP_P = 2_147_483_647
+
+
+def _rp_sign_sql(i: str, j: str) -> str:
+    # BIGINT cast is load-bearing: Spark would otherwise evaluate the
+    # LCG in 32-bit INT and silently wrap (ANSI off), while DuckDB
+    # promotes — the product reaches ~4.5e12.
+    return (
+        f"CASE WHEN (((CAST({_RP_A} AS BIGINT) * ({i} * {_RP_IN} + {j}) "
+        f"+ {_RP_B}) % {_RP_P}) % 2) = 0 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+
+
+@register(
+    "emb_random_projection",
+    oracle=f"""
+    WITH j AS (SELECT unnest(range(0, {_RP_OUT})) AS pos)
+    SELECT vec_id, CAST(pos AS INT) AS pos,
+           round(
+             list_sum(list_transform(range(0, {_RP_IN}),
+               i -> CAST(embedding[i + 1] AS DOUBLE) * {_rp_sign_sql("i", "pos")}))
+             / sqrt({_RP_OUT}), 6) AS val
+    FROM embeddings CROSS JOIN j
+    """,
+)
+def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection 64 → 16 dims with a
+    DETERMINISTIC ±1 sign matrix (Achlioptas database-friendly
+    variant; entries from a shared LCG, so the "random" matrix is a
+    pure integer function both engines evaluate identically — no RNG
+    state, no broadcast of an actual matrix). Unlike Matryoshka
+    truncation (prefix dims, needs a trained-to-truncate model) JL
+    works on ANY embedding with distortion guarantees. Row-local:
+    each vector's 16 outputs are sequential folds over its own 64
+    entries — zero exchange (the projection "matrix" rides in the
+    codegen'd expression), so at 100 TB this is scan → project →
+    write, and the result is hash-compared VALUE-exact, not just
+    contract-bounded."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    proj = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.round(
+                        F.expr(
+                            f"aggregate(sequence(0, {_RP_IN - 1}), CAST(0.0 AS DOUBLE), "
+                            "(acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * "
+                            f"{_rp_sign_sql('i', j)})"
+                        )
+                        / F.lit(float(_RP_OUT) ** 0.5),
+                        6,
+                    )
+                    for j in range(_RP_OUT)
+                ]
+            )
+        ).alias("pos", "val"),
+    )
+    return proj.select("vec_id", F.col("pos").cast("int").alias("pos"), "val")

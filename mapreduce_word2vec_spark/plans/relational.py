@@ -6428,3 +6428,60 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "customer_segment_migration",
+    oracle="""
+    WITH p1 AS (
+      SELECT o_custkey, ntile(3) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey) AS seg
+      FROM orders WHERE year(o_orderdate) < 1998 GROUP BY o_custkey
+    ),
+    p2 AS (
+      SELECT o_custkey, ntile(3) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey) AS seg
+      FROM orders WHERE year(o_orderdate) >= 1998 GROUP BY o_custkey
+    )
+    SELECT coalesce(CAST(p1.seg AS VARCHAR), 'absent') AS seg_before,
+           coalesce(CAST(p2.seg AS VARCHAR), 'absent') AS seg_after,
+           count(*) AS n_customers
+    FROM p1 FULL OUTER JOIN p2 USING (o_custkey)
+    GROUP BY 1, 2
+    """,
+)
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment migration matrix: customers' revenue tercile BEFORE
+    1998 vs FROM 1998 (absent = no orders in that period) — the
+    period-over-period movement view behind churn/upgrade dashboards,
+    composing the RFM idiom with a full-outer self-reconciliation.
+    Deterministic terciles ((sum desc, custkey) total order under
+    ntile). Scale shape: both period aggregates fold map-side on ONE
+    orders scan each, the ntile windows order the CUSTOMER table
+    (approx-percentile threshold broadcast is the documented
+    billions-of-customers path, as in customer_rfm_segments), and the
+    matrix is ≤ 4×4 rows."""
+    o = rt(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.year("o_orderdate").alias("yr")
+    )
+
+    def seg(period):
+        agg = period.groupBy("o_custkey").agg(
+            F.sum("o_totalprice").alias("rev")
+        )
+        w = Window.orderBy(F.desc("rev"), "o_custkey")
+        return agg.select("o_custkey", F.ntile(3).over(w).alias("seg"))
+
+    p1 = seg(o.where(F.col("yr") < 1998)).withColumnRenamed("seg", "seg1")
+    p2 = seg(o.where(F.col("yr") >= 1998)).withColumnRenamed("seg", "seg2")
+    j = p1.join(p2, "o_custkey", "full_outer")
+    return (
+        j.select(
+            F.coalesce(F.col("seg1").cast("string"), F.lit("absent")).alias(
+                "seg_before"
+            ),
+            F.coalesce(F.col("seg2").cast("string"), F.lit("absent")).alias(
+                "seg_after"
+            ),
+        )
+        .groupBy("seg_before", "seg_after")
+        .agg(F.count("*").alias("n_customers"))
+    )

@@ -2468,3 +2468,58 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") / F.col("n_touches"), 6),
         ).alias("credit_per_touch"),
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path, count(*) AS n
+      FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, n FROM (
+      SELECT path, n, row_number() OVER (ORDER BY n DESC, path) AS rk
+      FROM paths
+    ) WHERE rk <= 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 three-step behavior paths (event-type trigrams over each
+    user's time-ordered stream) — the path-mining view behind Sankey /
+    next-action products, extending events_markov_transitions'
+    bigram matrix to path level. Two lead windows ride ONE user_id
+    exchange (same frame), path counts are map-side partial, and the
+    final top-10 ranks the |types|³-bounded path table — never the
+    events. Total (count desc, path) ordering makes the cut
+    deterministic; the ts tie-break (event_id) matches the engine's
+    other sequence operators."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = read_testdata(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    paths = (
+        seq.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+    )
+    rw = Window.orderBy(F.desc("n"), "path")
+    return (
+        paths.withColumn("rk", F.row_number().over(rw))
+        .where(F.col("rk") <= 10)
+        .select("path", "n")
+    )

@@ -358,3 +358,79 @@ def test_pipe_syntax_pushes_filter(spark):
     df = catalog.queries()["sql_pipe_syntax"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_random_projection_matches_numpy(spark):
+    """The in-plan LCG sign matrix and fold must equal an explicit
+    numpy projection built from the same constants, for every corpus
+    vector and output dim."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.embedding_queries import (
+        _RP_A,
+        _RP_B,
+        _RP_IN,
+        _RP_OUT,
+        _RP_P,
+    )
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    signs = np.empty((_RP_IN, _RP_OUT))
+    for i in range(_RP_IN):
+        for j in range(_RP_OUT):
+            signs[i, j] = 1.0 if ((_RP_A * (i * _RP_IN + j) + _RP_B) % _RP_P) % 2 == 0 else -1.0
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in read_testdata(spark, SF_SMOKE, "embeddings").collect()
+    }
+    got = catalog.queries()["emb_random_projection"](spark, SF_SMOKE).collect()
+    assert len(got) == len(emb) * _RP_OUT
+    for r in got:
+        want = float(emb[r["vec_id"]] @ signs[:, r["pos"]]) / np.sqrt(_RP_OUT)
+        assert abs(r["val"] - round(want, 6)) < 2e-6, (r["vec_id"], r["pos"])
+
+
+def test_top_paths_counts_match_bruteforce(spark):
+    """Top-10 trigram paths must equal a driver-side brute force over
+    the time-ordered per-user sequences (same (ts, event_id)
+    tie-break)."""
+    from collections import Counter
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    rows = read_testdata(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["us"], r["event_id"], r["event_type"]))
+    c: Counter = Counter()
+    for seq in by_user.values():
+        seq.sort()
+        types = [t for _, _, t in seq]
+        for i in range(len(types) - 2):
+            c[">".join(types[i : i + 3])] += 1
+    want = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [
+        (r["path"], r["n"])
+        for r in catalog.queries()["events_top_paths"](spark, SF_SMOKE).collect()
+    ]
+    assert sorted(got, key=lambda kv: (-kv[1], kv[0])) == want
+
+
+def test_segment_migration_marginals(spark):
+    """Matrix marginals must reconcile with direct per-period customer
+    counts (absent rows/cols carry the difference)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    m = catalog.queries()["customer_segment_migration"](spark, SF_SMOKE).collect()
+    o = read_testdata(spark, SF_SMOKE, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    n_p1 = o.where(F.col("yr") < 1998).select("o_custkey").distinct().count()
+    n_p2 = o.where(F.col("yr") >= 1998).select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in m if r["seg_before"] != "absent") == n_p1
+    assert sum(r["n_customers"] for r in m if r["seg_after"] != "absent") == n_p2
+    for r in m:
+        assert not (r["seg_before"] == "absent" and r["seg_after"] == "absent")
