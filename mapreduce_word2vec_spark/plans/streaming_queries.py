@@ -2523,3 +2523,99 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .select("path", "n")
     )
+
+
+@register(
+    "stream_stream_join_live",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           c.user_id AS user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us,
+           round(p.value, 6) AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
+    """,
+)
+def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL stream-stream inner join under the driver's value oracle:
+    clicks and purchases as two watermarked streams, joined on user
+    within a 30-minute event-time band — the Structured Streaming
+    feature where BOTH sides buffer state and the time-range
+    condition is what lets the engine evict it (an unbounded-band
+    stream join would hold each side forever). Both sides read the
+    SAME ts-range-ordered file set (pinned mtimes, the
+    stream_cep_bounded_live replay discipline), so their watermarks
+    advance in lockstep and ordered arrival makes eviction provably
+    lossless: a purchase always lands in a batch whose minimum ts is
+    above the watermark that could have evicted its matching click.
+    Every (click, purchase) pair must therefore equal the one-shot
+    batch join exactly — matched-state streaming correctness, not
+    just aggregation-state."""
+    import glob as _glob
+    import os
+    import tempfile
+    import time as _time
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_ssj_")
+    src = os.path.join(base, "src")
+    (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    t0 = _time.time()
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (t0 + i, t0 + i))
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+
+    def side(kind: str, id_alias: str, ts_alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .where(F.col("event_type") == kind)
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+                "user_id",
+                "value",
+            )
+        )
+
+    clicks = side("click", "click_id", "cts").drop("value")
+    purchases = side("purchase", "purchase_id", "pts").withColumnRenamed(
+        "user_id", "p_user_id"
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("gap_us"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    name = f"ssj_{tag}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -434,3 +434,39 @@ def test_segment_migration_marginals(spark):
     assert sum(r["n_customers"] for r in m if r["seg_after"] != "absent") == n_p2
     for r in m:
         assert not (r["seg_before"] == "absent" and r["seg_after"] == "absent")
+
+
+def test_stream_stream_join_matches_batch_join(spark):
+    """The watermarked stream-stream join's emitted pairs must equal
+    the one-shot batch join exactly — lossless state eviction under
+    ordered replay."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    live = {
+        (r["click_id"], r["purchase_id"], r["gap_us"])
+        for r in catalog.queries()["stream_stream_join_live"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    ev = read_testdata(spark, SF_SMOKE, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    batch = {
+        (r["click_id"], r["purchase_id"], r["pus"] - r["cus"])
+        for r in c.join(
+            p,
+            (F.col("cu") == F.col("pu"))
+            & (F.col("pus") >= F.col("cus"))
+            & (F.col("pus") <= F.col("cus") + 1_800_000_000),
+        ).collect()
+    }
+    assert live == batch and live
