@@ -58,6 +58,11 @@ SHOWCASE = [
     ("source_dpp_prune", "dynamicpruning expression injected into the fact scan's PartitionFilters from the dim-side filter"),
     ("cte_recursive_series", "recursive spine joins a PRE-AGGREGATED, scan-filtered fact — recursion output is the join input"),
     ("subquery_not_in_nulls", "NOT IN compiles to the null-aware anti join (LeftAnti, BuildRight, true); NOT EXISTS twin stays plain"),
+    ("knn_binary_quantized", "stage 1 ranks integer Hamming on two packed BIGINT lanes (codes-only state); float cosine rescore bounded at 20/query"),
+    ("emb_random_projection", "JL projection matrix lives IN the codegen'd expression (LCG signs) — zero exchange, no matrix broadcast"),
+    ("dedup_incremental_ingest", "one fingerprint pass feeds index and batch sides; only (id, digest) pairs shuffle — text never leaves the scan"),
+    ("events_attribution_linear", "touch counts from a µs RANGE frame on ONE user_id exchange — no purchase×click pair join materialized"),
+    ("graph_kcore", "per peel round: degree agg + two semi-joins on a monotonically shrinking persisted edge list"),
     ("doc_winnowing", "all HOFs in one map-only projection, zero exchanges; let-bound arrays evaluate once"),
     ("sample_weighted_reservoir", "weighted sample = TakeOrderedAndProject heap over hash-derived keys — one pass, no global sort, no rand()"),
     ("join_interval_overlap", "interval x interval as a hash equi-join on (user, bin) with residual overlap predicate — no BNLJ"),
