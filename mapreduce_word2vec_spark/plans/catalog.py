@@ -126,7 +126,8 @@ _PRIORITY = (
 # graph_kcore, dedup_incremental_ingest, events_attribution_linear,
 # merge_three_way, dedup_lsh_param_sweep, sql_scalar_udf,
 # sql_pipe_syntax, emb_random_projection, events_top_paths,
-# customer_segment_migration, stream_stream_join_live), then
+# customer_segment_migration, stream_stream_join_live,
+# doc_cross_split_perplexity), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

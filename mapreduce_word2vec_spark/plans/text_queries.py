@@ -3891,3 +3891,65 @@ def doc_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "phrase")
         .limit(_RAKE_TOPN)
     )
+
+
+@register(
+    "doc_cross_split_perplexity",
+    oracle=f"""
+    WITH b AS (SELECT doc_id, text, {_SAMPLE_BUCKET_SQL} AS bucket FROM documents),
+    toks AS (SELECT doc_id, bucket, {_SQL_TOKENS} AS ws FROM b),
+    words AS (SELECT doc_id, bucket, unnest(ws) AS word FROM toks),
+    cnt AS (SELECT word, count(*) AS c FROM words WHERE bucket < 80 GROUP BY word),
+    tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+    scored AS (
+      SELECT w.doc_id,
+             ln((coalesce(cnt.c, 0) + 1.0) / (tot.total + tot.vocab)) AS lp
+      FROM words w LEFT JOIN cnt USING (word) CROSS JOIN tot
+      WHERE w.bucket >= 80
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(-avg(lp), 6) AS nll
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_cross_split_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation — the loop every perplexity-based
+    quality filter must close before its threshold means anything:
+    an add-1 unigram LM is estimated on the TRAIN hash-split
+    (bucket < 80, the engine's split_train_val_test convention) and
+    scores only HELD-OUT documents (bucket ≥ 80), out-of-vocabulary
+    tokens falling to the smoothing floor 1/(N+V). In-corpus scoring
+    (doc_unigram_logprob) leaks: a doc always rates its own tokens
+    as seen; the cross-split form is what generalizes. One tokenize
+    pass feeds both sides; the train count table joins the held-out
+    stream unhinted (AQE broadcasts while the vocab fits) and the
+    (total, vocab) normalizer rides as a broadcast 1-row aggregate."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        _sample_bucket().alias("bucket"),
+        F.explode(tokens_expr("text")).alias("word"),
+    )
+    cnt = (
+        words.where(F.col("bucket") < 80)
+        .groupBy("word")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.agg(F.sum("c").alias("total"), F.count("*").alias("vocab"))
+    scored = (
+        words.where(F.col("bucket") >= 80)
+        .join(cnt, "word", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+                / (F.col("total") + F.col("vocab"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.round(-F.avg("lp"), 6).alias("nll"),
+    )

