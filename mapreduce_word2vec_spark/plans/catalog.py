@@ -127,7 +127,8 @@ _PRIORITY = (
 # merge_three_way, dedup_lsh_param_sweep, sql_scalar_udf,
 # sql_pipe_syntax, emb_random_projection, events_top_paths,
 # customer_segment_migration, stream_stream_join_live,
-# doc_cross_split_perplexity), then
+# doc_cross_split_perplexity, stream_dedup_watermark_live,
+# stream_late_drop_live), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

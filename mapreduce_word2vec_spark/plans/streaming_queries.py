@@ -2619,3 +2619,169 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_dedup_watermark_live",
+    oracle="""
+    SELECT event_id, event_type, round(value, 6) AS value
+    FROM events
+    """,
+)
+def stream_dedup_watermark_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming dedup under the driver's value oracle:
+    `dropDuplicatesWithinWatermark` over a replay where 10% of events
+    are RE-TRANSMITTED 60 s later (the at-least-once-delivery
+    scenario the operator exists for — bounded state, unlike plain
+    dropDuplicates whose key set grows forever). The duplicate copies
+    differ ONLY in ts, and ts is not projected, so whichever copy a
+    micro-batch happens to keep, the emitted row is byte-identical —
+    the output is deterministic even though intra-batch keep order is
+    not. Ordered ts-range replay (pinned mtimes) + a 10-minute
+    watermark ≫ the 60 s retransmission gap guarantee every
+    duplicate meets its original's still-live state: the sink must
+    equal the duplicate-free base table EXACTLY."""
+    import glob as _glob
+    import os
+    import tempfile
+    import time as _time
+
+    from mapreduce_word2vec_spark.streaming.windows import stream_dedup
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    dupes = ev.where(F.col("event_id") % 10 == 0).withColumn(
+        "ts", F.col("ts") + F.expr("INTERVAL 60 SECONDS")
+    )
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_sdw_")
+    src = os.path.join(base, "src")
+    (
+        ev.unionByName(dupes)
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(src)
+    )
+    t0 = _time.time()
+    for i, f in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    deduped = stream_dedup(stream, watermark="10 minutes").select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    name = f"sdw_{tag}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_late_drop_live",
+    oracle="""
+    WITH e AS (SELECT event_id, ts, event_id % 8 AS b FROM events),
+    bm AS (SELECT b, max(ts) AS mx FROM e GROUP BY b),
+    pm AS (
+      SELECT b, max(mx) OVER (ORDER BY b
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 2 PRECEDING) AS filter_max
+      FROM bm
+    ),
+    keep AS (
+      SELECT time_bucket(INTERVAL '5 minutes', e.ts) AS ws
+      FROM e JOIN pm USING (b)
+      WHERE pm.filter_max IS NULL
+         OR time_bucket(INTERVAL '5 minutes', e.ts) + INTERVAL '5 minutes'
+            > date_trunc('milliseconds', pm.filter_max) - INTERVAL '10 minutes'
+    )
+    SELECT CAST(ws AS TIMESTAMP) AS window_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM keep GROUP BY ws
+    """,
+)
+def stream_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The late-data DROP path under the full value oracle — the one
+    watermark behavior the ordered-replay live queries deliberately
+    avoid. Batch membership is made explicit (file k = event_id ≡ k
+    mod 8, single file per chunk, pinned mtimes, one file per
+    trigger), so each micro-batch mixes the whole time range and the
+    10-minute watermark — established by batch 0's maximum — drops
+    most old rows arriving in batches 2–7. The oracle re-derives
+    Spark's exact drop rule in SQL: the late filter in batch k uses
+    the prefix max event time through batch k−2 minus the delay
+    (ms-truncated, as Spark tracks event-time stats in ms) — the
+    watermark update propagates with a ONE-BATCH lag relative to the
+    progress-reported value, pinned empirically via the
+    numRowsDroppedByWatermark trace (batch 1 drops 0 rows even
+    though its reported watermark already covers the stream) — and a
+    row is dropped iff its window END ≤ that filter watermark.
+    Re-created-after-eviction windows cannot occur under this lag
+    (filter max through k−2 ≥ eviction max through j−1 for any
+    earlier batch j ≤ k−1, so a row passing the filter contradicts
+    its window's eviction). Update-mode sink;
+    the final per-window count is the max across its emitted updates
+    (counts are monotone). Hash-equality here pins the drop boundary,
+    the watermark update timing, and the ms truncation — not just
+    that "some rows were dropped"."""
+    import os
+    import tempfile
+    import time as _time
+
+    ev = read_testdata(spark, sf_dir, "events").select("event_id", "ts")
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_sld_")
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    t0 = _time.time()
+    for k in range(8):
+        chunk_dir = os.path.join(base, f"chunk{k}")
+        (
+            ev.where(F.col("event_id") % 8 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(chunk_dir)
+        )
+        part = next(
+            f for f in os.listdir(chunk_dir) if f.startswith("part-")
+        )
+        dst = os.path.join(src, f"batch-{k}.parquet")
+        os.replace(os.path.join(chunk_dir, part), dst)
+        os.utime(dst, (t0 + k, t0 + k))
+    agg = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    name = f"sld_{tag}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("window_start")
+        .agg(F.max("n").alias("n"))
+    )

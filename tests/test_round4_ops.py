@@ -492,3 +492,37 @@ def test_cross_split_perplexity_scores_only_heldout(spark):
     for r in out:
         assert r["doc_id"] in heldout
         assert r["nll"] > 0
+
+
+def test_stream_dedup_watermark_removes_retransmissions(spark):
+    """The watermarked streaming dedup must emit exactly the base
+    table (every injected 60 s retransmission dropped), and the
+    fixture must actually contain retransmissions."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    out = catalog.queries()["stream_dedup_watermark_live"](spark, SF_SMOKE)
+    base = read_testdata(spark, SF_SMOKE, "events")
+    n_dup = base.where(F.col("event_id") % 10 == 0).count()
+    assert n_dup > 0  # the replay really carried duplicates
+    assert out.count() == base.count()
+    assert out.select("event_id").distinct().count() == base.count()
+
+
+def test_stream_late_drop_actually_drops(spark):
+    """The time-shuffled replay must exercise the drop path: kept
+    rows are strictly fewer than input rows, batch 0's windows
+    survive in full, and total kept equals the query's emitted
+    counts."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    out = catalog.queries()["stream_late_drop_live"](spark, SF_SMOKE).collect()
+    kept = sum(r["n"] for r in out)
+    total = read_testdata(spark, SF_SMOKE, "events").count()
+    assert 0 < kept < total  # drops happened, but not everything
+    # batch 0 (event_id % 8 == 0) predates any watermark: all kept
+    b0 = read_testdata(spark, SF_SMOKE, "events").where(
+        F.col("event_id") % 8 == 0
+    ).count()
+    assert kept >= b0
