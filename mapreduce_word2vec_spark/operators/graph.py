@@ -205,6 +205,11 @@ def pagerank(
         .distinct()
     )
     deg = tracked_persist(sym.groupBy("s").agg(F.count("*").alias("deg")))
+    # Degree folded INTO the persisted edge list: every iteration joins
+    # the rank vector onto ONE table instead of re-joining sym⋈deg —
+    # 5 iterations save 5 joins; rank/deg division is unchanged, so
+    # the result stays bit-identical to the unrolled SQL oracle.
+    sym_deg = tracked_persist(sym.join(deg, "s"))
     n_nodes = deg.select(F.count("*").alias("n"))
     # rank vector init 1/N: the 1-row count rides along broadcast, the
     # node set is never collected.
@@ -215,8 +220,7 @@ def pagerank(
     prev_ckpt: DataFrame | None = None
     for i in range(iterations):
         contribs = (
-            sym.join(deg, "s")
-            .join(ranks, F.col("s") == F.col("node"))
+            sym_deg.join(ranks, F.col("s") == F.col("node"))
             .select(F.col("d").alias("node2"), (F.col("rank") / F.col("deg")).alias("c"))
         )
         ranks = (

@@ -6485,3 +6485,116 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_before", "seg_after")
         .agg(F.count("*").alias("n_customers"))
     )
+
+
+@register(
+    "udtf_polymorphic",
+    oracle="""
+    SELECT 'o_orderkey' AS col, CAST(min(o_orderkey) AS DOUBLE) AS min_val,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_val FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', round(CAST(min(o_totalprice) AS DOUBLE), 6),
+           round(CAST(max(o_totalprice) AS DOUBLE), 6) FROM orders
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze()` static method):
+    the output schema is computed at PLAN time from the arguments —
+    here a min/max profile whose row shape is fixed but whose
+    per-call behavior (which columns to profile) comes from a
+    constant argument the analyzer receives. This is the
+    table-function counterpart of schema-on-read: one registered
+    function serves any column list, vs the fixed-schema UDTF
+    (udtf_split_priority) whose returnType is frozen at decoration.
+    Terminal `terminate()` emits the fold — exercising the
+    eval/terminate accumulation contract — and the kernel is
+    SQL-reproducible so the whole crossing is hash-checked."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    class ProfileCols:
+        @staticmethod
+        def analyze(*args: AnalyzeArgument) -> AnalyzeResult:
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField("col", StringType()),
+                        StructField("min_val", DoubleType()),
+                        StructField("max_val", DoubleType()),
+                    ]
+                )
+            )
+
+        def __init__(self):
+            self.state: dict = {}
+
+        def eval(self, *vals):
+            names = ("o_orderkey", "o_custkey", "o_totalprice")
+            for name, v in zip(names, vals):
+                if v is None:
+                    continue
+                v = float(v)
+                lo, hi = self.state.get(name, (v, v))
+                self.state[name] = (min(lo, v), max(hi, v))
+
+        def terminate(self):
+            for name in ("o_orderkey", "o_custkey", "o_totalprice"):
+                lo, hi = self.state[name]
+                yield name, lo, hi
+
+    spark.udtf.register("profile_cols", udtf(ProfileCols))
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_poly_src")
+    out = spark.sql(
+        """
+        SELECT t.col, t.min_val, t.max_val
+        FROM orders_poly_src,
+             LATERAL profile_cols(o_orderkey, o_custkey, o_totalprice) t
+        """
+    )
+    # one terminate() per partition → per-partition partials; fold them
+    return out.groupBy("col").agg(
+        F.when(F.col("col") == "o_totalprice", F.round(F.min("min_val"), 6))
+        .otherwise(F.min("min_val"))
+        .alias("min_val"),
+        F.when(F.col("col") == "o_totalprice", F.round(F.max("max_val"), 6))
+        .otherwise(F.max("max_val"))
+        .alias("max_val"),
+    )
+
+
+@register(
+    "sql_session_variable",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 `DECLARE VARIABLE` /
+    `SET VAR`): typed, session-scoped state referenced directly in
+    queries — the SQL-native alternative to string-formatting
+    thresholds into query text (injection-safe, plan-cached by
+    value). Constant-folded at plan time, so the filter still pushes
+    to the scan; the oracle inlines the same constants."""
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_var_src")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE status_wanted STRING DEFAULT 'F'")
+    spark.sql("SET VAR price_floor = 150000.0")
+    spark.sql("SET VAR status_wanted = 'O'")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders_var_src
+        WHERE o_totalprice > price_floor AND o_orderstatus = status_wanted
+        GROUP BY o_orderpriority
+        """
+    )

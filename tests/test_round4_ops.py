@@ -526,3 +526,32 @@ def test_stream_late_drop_actually_drops(spark):
         F.col("event_id") % 8 == 0
     ).count()
     assert kept >= b0
+
+
+def test_polymorphic_udtf_schema_from_analyze(spark):
+    """The registered polymorphic UDTF must derive its schema at plan
+    time via analyze() (no returnType frozen at decoration), and its
+    folded profile must match direct aggregates."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    rows = {
+        r["col"]: (r["min_val"], r["max_val"])
+        for r in catalog.queries()["udtf_polymorphic"](spark, SF_SMOKE).collect()
+    }
+    o = read_testdata(spark, SF_SMOKE, "orders")
+    direct = o.agg(
+        F.min("o_orderkey").alias("a"), F.max("o_orderkey").alias("b")
+    ).head()
+    assert rows["o_orderkey"] == (float(direct["a"]), float(direct["b"]))
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def test_session_variable_filter_pushes_down(spark):
+    """Session-variable references must constant-fold at plan time so
+    the predicate still reaches the parquet scan."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    df = catalog.queries()["sql_session_variable"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(o_totalprice,150000.0)" in plan, plan
