@@ -128,7 +128,8 @@ _PRIORITY = (
 # sql_pipe_syntax, emb_random_projection, events_top_paths,
 # customer_segment_migration, stream_stream_join_live,
 # doc_cross_split_perplexity, stream_dedup_watermark_live,
-# stream_late_drop_live, udtf_polymorphic, sql_session_variable), then
+# stream_late_drop_live, udtf_polymorphic, sql_session_variable,
+# source_insert_overwrite_dynamic), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

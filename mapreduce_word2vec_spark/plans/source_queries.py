@@ -819,3 +819,59 @@ def source_parquet_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 6).alias("total_price"),
     )
+
+
+@register(
+    "source_insert_overwrite_dynamic",
+    oracle="""
+    WITH final AS (
+      SELECT lang, doc_id, n_chars FROM documents
+      WHERE lang NOT IN ('en', 'fr')
+      UNION ALL
+      SELECT lang, doc_id, n_chars FROM documents
+      WHERE lang IN ('en', 'fr') AND doc_id % 3 = 0
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM final GROUP BY lang
+    """,
+)
+def source_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition overwrite: a lang-partitioned table receives
+    an overwrite batch that touches only SOME partitions — with
+    `partitionOverwriteMode=dynamic` Spark replaces exactly the
+    partitions present in the batch (en, fr) and leaves the rest
+    (de, es, zh) intact — the daily-reprocess upsert of every
+    hive-layout lake. STATIC mode — the default — would silently
+    TRUNCATE the whole table first; the oracle encodes the dynamic
+    contract (all non-batch-lang rows survive in full), so running
+    this query under the wrong mode loses three partitions and
+    hash-mismatches. The batch langs are fixture-checked non-empty
+    AND a strict subset of the partition set, so the scenario is
+    genuinely exercised. The conf is set per-write via the DataFrameWriter
+    option, not session-wide, so concurrent writers keep their own
+    semantics."""
+    import os
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    path = _roundtrip_dir("dyn_overwrite_docs", sf_dir)
+    # generation 1: the full corpus, partitioned by lang
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    # generation 2: reprocess batch = doc_id % 3 == 0 rows only; its
+    # langs' partitions are replaced, other partitions must survive
+    batch = docs.where(
+        (F.col("doc_id") % 3 == 0) & F.col("lang").isin("en", "fr")
+    )
+    (
+        batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -555,3 +555,39 @@ def test_session_variable_filter_pushes_down(spark):
     df = catalog.queries()["sql_session_variable"](spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "GreaterThan(o_totalprice,150000.0)" in plan, plan
+
+
+def test_dynamic_overwrite_preserves_untouched_partitions(spark):
+    """The de/es/zh partitions must survive the en/fr overwrite batch
+    byte-for-count, and the en/fr partitions must shrink to the batch
+    — the observable difference between dynamic and static overwrite
+    (static loses three partitions entirely)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    out = {
+        r["lang"]: r["n_docs"]
+        for r in catalog.queries()["source_insert_overwrite_dynamic"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    batch = {
+        r["lang"]: r["n"]
+        for r in docs.where(
+            (F.col("doc_id") % 3 == 0) & F.col("lang").isin("en", "fr")
+        )
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert batch and set(batch) < set(full)  # genuinely partial
+    for lang, n in out.items():
+        if lang in ("en", "fr"):
+            assert n == batch[lang] < full[lang]
+        else:
+            assert n == full[lang]
