@@ -119,3 +119,102 @@ def test_cosine_fuzz_matches_numpy(spark):
         a, b = np.array(a), np.array(b)
         want = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert math.isclose(got[i], want, rel_tol=1e-12), (i, got[i], want)
+
+
+def test_binary_code_packing_fuzz_boundaries(spark):
+    """Sign-code packing vs numpy on adversarial floats: exact 0.0,
+    negative zero, denormals, ±large — `>= 0` must agree bit-for-bit
+    between the Catalyst fold and numpy (both treat -0.0 as >= 0)."""
+    import numpy as np
+
+    rng = random.Random(421)
+    specials = [0.0, -0.0, 5e-324, -5e-324, 1e308, -1e308]
+    vecs = []
+    for _ in range(200):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        for _ in range(rng.randint(0, 8)):
+            v[rng.randrange(64)] = rng.choice(specials)
+        vecs.append(v)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id int, embedding array<double>"
+    )
+    code = (
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, i) -> acc + "
+        "IF(CAST(embedding[{off} + i] AS DOUBLE) >= 0, "
+        "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    )
+    rows = df.selectExpr(
+        "vec_id", code.format(off=0) + " AS lo", code.format(off=32) + " AS hi"
+    ).collect()
+    for r in rows:
+        v = np.asarray(vecs[r["vec_id"]], dtype=np.float64)
+        lo = int(((v[:32] >= 0).astype(np.int64) << np.arange(32)).sum())
+        hi = int(((v[32:64] >= 0).astype(np.int64) << np.arange(32)).sum())
+        assert (r["lo"], r["hi"]) == (lo, hi), r["vec_id"]
+
+
+def _py_lpa(edges, iters):
+    nbrs: dict = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    label = {v: v for v in nbrs}
+    for _ in range(iters):
+        nxt = {}
+        for v in nbrs:
+            counts: dict = {}
+            for u in nbrs[v]:
+                counts[label[u]] = counts.get(label[u], 0) + 1
+            nxt[v] = min(counts, key=lambda c: (-counts[c], c))
+        label = nxt
+    return label
+
+
+def _py_kcore(edges, k, rounds):
+    cur = set()
+    for a, b in edges:
+        cur.add((a, b))
+        cur.add((b, a))
+    for _ in range(rounds):
+        deg: dict = {}
+        for s, _d in cur:
+            deg[s] = deg.get(s, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        cur = {(s, d) for s, d in cur if s in keep and d in keep}
+    out: dict = {}
+    for s, _d in cur:
+        out[s] = out.get(s, 0) + 1
+    return out
+
+
+def test_graph_recurrences_fuzz_match_python(spark):
+    """label_propagation and kcore on random graphs must equal a
+    direct Python implementation of the identical synchronous
+    recurrences — the oracle checks one fixture graph; this checks
+    the recurrence on arbitrary topology (isolated-ish nodes, dense
+    cliques, chains)."""
+    from mapreduce_word2vec_spark.operators.graph import kcore, label_propagation
+
+    rng = random.Random(77)
+    for trial in range(4):
+        n = rng.randint(6, 14)
+        edges = sorted(
+            {
+                (a, b)
+                for a in range(n)
+                for b in range(a + 1, n)
+                if rng.random() < 0.3
+            }
+        )
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+        got_lpa = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iterations=3).collect()
+        }
+        assert got_lpa == _py_lpa(edges, 3), (trial, edges)
+        got_core = {
+            r["node"]: r["degree"] for r in kcore(df, k=2, rounds=3).collect()
+        }
+        assert got_core == _py_kcore(edges, 2, 3), (trial, edges)
