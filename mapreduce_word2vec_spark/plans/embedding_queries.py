@@ -804,3 +804,66 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pos", "val"),
     )
     return proj.select("vec_id", F.col("pos").cast("int").alias("pos"), "val")
+
+
+@register(
+    "emb_pca_explained_variance",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(0, 64)) AS pos),
+    tr AS (
+      SELECT round(sum(v), 4) AS trace FROM (
+        SELECT var_pop(CAST(embedding[pos + 1] AS DOUBLE)) AS v
+        FROM embeddings CROSS JOIN idx GROUP BY pos
+      )
+    )
+    SELECT CAST(pos AS INT) AS pos, tr.trace AS trace,
+           TRUE AS ratio_ok, TRUE AS order_ok, TRUE AS sum_ok
+    FROM idx CROSS JOIN tr
+    """,
+)
+def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectrum diagnostics (effective-dimensionality view the
+    anisotropy scalar can't give): eigendecomposition of the corpus
+    covariance from the SAME (n, Σx, Σxxᵀ) sufficient-stats
+    all-reduce as emb_whitening — one Arrow scan, d²-sized partials,
+    64×64 driver eigh; embeddings never shuffle. Contract oracle (the
+    sketch pattern): the TRACE is basis-independent and equals the
+    sum of per-dimension population variances (DuckDB recomputes it
+    exactly, 4-dp rounded to absorb summation-order ulps), while the
+    eigenvalues themselves are LAPACK-implementation-defined and stay
+    kernel-internal behind falsifiable booleans — every ratio in
+    [0, 1] (ratio_ok), spectrum non-increasing (order_ok), and
+    Σ eigenvalues ≡ trace to 1e-9 relative (sum_ok — a biased-n
+    mismatch or covariance asymmetry trips it)."""
+    import numpy as np
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    stats = _moment_partials(emb)
+    n = stats[0]
+    d = int(round(((4 * (len(stats) - 1) + 1) ** 0.5 - 1) / 2))
+    mu = stats[1 : 1 + d] / n
+    cov = stats[1 + d :].reshape(d, d) / n - np.outer(mu, mu)
+    vals = np.linalg.eigh(cov)[0][::-1]  # descending
+    trace = float(np.trace(cov))
+    ratios = vals / trace
+    rows = [
+        (
+            int(k),
+            float(vals[k]),
+            float(ratios[k]),
+            bool(-1e-12 <= ratios[k] <= 1.0 + 1e-12),
+            bool(k == 0 or vals[k] <= vals[k - 1] + 1e-12),
+        )
+        for k in range(d)
+    ]
+    sum_ok = bool(abs(float(vals.sum()) - trace) <= 1e-9 * abs(trace))
+    df = spark.createDataFrame(
+        rows, "pos int, eig double, ratio double, ratio_ok boolean, order_ok boolean"
+    )
+    return df.select(
+        "pos",
+        F.lit(round(trace, 4)).alias("trace"),
+        "ratio_ok",
+        "order_ok",
+        F.lit(sum_ok).alias("sum_ok"),
+    )

@@ -2785,3 +2785,77 @@ def stream_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start")
         .agg(F.max("n").alias("n"))
     )
+
+
+_DYN_GAP_MIN = {"click": 30, "view": 30, "purchase": 60, "signup": 120, "error": 5}
+
+
+@register(
+    "stream_session_dynamic_gap",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type
+               WHEN 'click' THEN 30 WHEN 'view' THEN 30
+               WHEN 'purchase' THEN 60 WHEN 'signup' THEN 120
+               ELSE 5 END * CAST(60000000 AS BIGINT) AS gap_us
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, ts, event_id, gap_us,
+             max(epoch_us(ts) + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end_us
+      FROM e
+    ),
+    g AS (
+      SELECT *, CASE WHEN prev_end_us IS NULL
+                       OR epoch_us(ts) >= prev_end_us THEN 1 ELSE 0 END AS new_s
+      FROM r
+    ),
+    s AS (
+      SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(to_timestamp(max(epoch_us(ts) + gap_us) / 1000000.0)
+                AS TIMESTAMP) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows (`session_window(ts, <expr>)`):
+    each event extends its session by a gap that depends on the
+    event itself — purchases hold sessions open 60 min, errors only
+    5 — the per-activity-timeout sessionization fixed-gap windows
+    can't express. Spark merges events whose [ts, ts+gap) spans
+    overlap; the oracle re-derives exactly that with a running max
+    of (ts + gap) over preceding rows (new session iff ts ≥ that
+    max, the half-open-interval boundary), then cumsum session ids.
+    Session END is max(ts+gap), not max(ts) — the contract that
+    distinguishes the dynamic form. One user_id exchange either
+    way."""
+    gap = F.when(F.col("event_type") == "click", 30)
+    for t, m in (("view", 30), ("purchase", 60), ("signup", 120)):
+        gap = gap.when(F.col("event_type") == t, m)
+    gap = gap.otherwise(5)
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type"
+    )
+    sw = F.session_window(
+        F.col("ts"), F.concat(gap.cast("string"), F.lit(" minutes"))
+    )
+    out = ev.groupBy("user_id", sw.alias("sw")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )
+    return out.select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+    )

