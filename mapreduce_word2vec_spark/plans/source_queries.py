@@ -875,3 +875,57 @@ def source_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "source_file_metadata",
+    oracle="""
+    SELECT CAST(doc_id % 4 AS BIGINT) AS chunk,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `_metadata` hidden file-source column: per-input-file
+    lineage (file_path, size, modification time) surfaced as regular
+    columns — what incremental loaders and audit pipelines key on to
+    attribute rows to the physical file that carried them. Four files
+    with deterministic membership (doc_id ≡ k mod 4, one file each)
+    are read back and rows grouped by the chunk id parsed OUT OF
+    `_metadata.file_path`; the oracle groups by the same modulo
+    directly, so a wrong or missing file attribution (rows credited
+    to the wrong file) hash-mismatches. The column is populated at
+    scan time from the split, not stored — zero storage cost, and
+    selecting it does not widen the parquet read schema."""
+    import os
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    base = _roundtrip_dir("file_meta_docs", sf_dir)
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    for k in range(4):
+        chunk_dir = os.path.join(base, f"chunk{k}")
+        (
+            docs.where(F.col("doc_id") % 4 == k)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(chunk_dir)
+        )
+        part = next(f for f in os.listdir(chunk_dir) if f.startswith("part-"))
+        os.replace(
+            os.path.join(chunk_dir, part), os.path.join(src, f"chunk-{k}.parquet")
+        )
+    back = spark.read.parquet(src).select(
+        "doc_id",
+        "n_chars",
+        F.regexp_extract(F.col("_metadata.file_path"), r"chunk-(\d+)\.parquet", 1)
+        .cast("bigint")
+        .alias("chunk"),
+    )
+    return back.groupBy("chunk").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
