@@ -2859,3 +2859,70 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sw.end").alias("session_end"),
         "n_events",
     )
+
+
+_SLO_BUDGET = 0.25  # error budget: 25% of events may be errors (fixture-scaled)
+
+
+@register(
+    "events_error_budget_burn",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS w1,
+             CAST(time_bucket(INTERVAL '6 hours', ts) AS TIMESTAMP) AS w6,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ),
+    r1 AS (
+      SELECT w1, min(w6) AS w6, count(*) AS n1, sum(is_err) AS e1
+      FROM h GROUP BY w1
+    ),
+    r6 AS (SELECT w6, count(*) AS n6, sum(is_err) AS e6 FROM h GROUP BY w6)
+    SELECT r1.w1 AS window_start,
+           round(e1 * 1.0 / n1, 6) AS rate_1h,
+           round(e6 * 1.0 / n6, 6) AS rate_6h,
+           round(e1 / (n1 * {_SLO_BUDGET}), 6) AS burn_1h,
+           (e1 * 1.0 / n1 > 1.2 * {_SLO_BUDGET}
+            AND e6 * 1.0 / n6 > 1.1 * {_SLO_BUDGET}) AS page
+    FROM r1 JOIN r6 USING (w6)
+    """,
+)
+def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRE multi-window burn-rate alerting: per 1-hour window, the
+    error rate and its burn multiple against a fixed error budget,
+    paging only when BOTH the fast (1 h) and slow (6 h) windows burn
+    hot — the two-window AND that kills the single-window policy's
+    flappiness (a brief spike trips 1 h but not 6 h; a slow leak
+    trips 6 h but not 1 h). Every 1-hour window belongs to exactly
+    one aligned 6-hour window, so the slow rate joins back on the
+    bucket key — both aggregations fold map-side off ONE scan, the
+    join is between two window-cardinality tables, and the whole
+    alert evaluates without a second pass over events."""
+    ev = read_testdata(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("w1"),
+        F.timestamp_seconds(
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 21600).cast("bigint")
+            * 21600
+        ).alias("w6"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    r1 = ev.groupBy("w1").agg(
+        F.min("w6").alias("w6"),
+        F.count("*").alias("n1"),
+        F.sum("is_err").alias("e1"),
+    )
+    r6 = ev.groupBy("w6").agg(
+        F.count("*").alias("n6"), F.sum("is_err").alias("e6")
+    )
+    j = r1.join(r6, "w6")
+    b = F.lit(_SLO_BUDGET)
+    return j.select(
+        F.col("w1").alias("window_start"),
+        F.round(F.col("e1") / F.col("n1"), 6).alias("rate_1h"),
+        F.round(F.col("e6") / F.col("n6"), 6).alias("rate_6h"),
+        F.round(F.col("e1") / (F.col("n1") * b), 6).alias("burn_1h"),
+        (
+            (F.col("e1") / F.col("n1") > 1.2 * b)
+            & (F.col("e6") / F.col("n6") > 1.1 * b)
+        ).alias("page"),
+    )

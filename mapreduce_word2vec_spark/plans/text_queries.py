@@ -3953,3 +3953,127 @@ def doc_cross_split_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_tokens"),
         F.round(-F.avg("lp"), 6).alias("nll"),
     )
+
+
+def _dsir_apply_sql() -> str:
+    from mapreduce_word2vec_spark.plans.catalog import _REGISTRY
+
+    weights = _REGISTRY["select_dsir_weights"].oracle
+    return f"""
+    WITH scored AS ({weights}),
+    ranked AS (
+      SELECT s.doc_id, d.source, s.n_tokens,
+             row_number() OVER (ORDER BY round(s.dsir_score, 6) DESC,
+                                         s.doc_id) AS rk,
+             count(*) OVER () AS n_total
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) FILTER (WHERE rk * 4 <= n_total) AS BIGINT) AS n_selected,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) FILTER (WHERE rk * 4 <= n_total) AS BIGINT) AS selected_tokens
+    FROM ranked GROUP BY source
+    """
+
+
+@register("sample_dsir_apply", oracle=_dsir_apply_sql())
+def sample_dsir_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR applied at a fixed budget: rank every document by its
+    importance weight (deterministic (rounded-score, doc_id) total
+    order) and keep the top quarter, reporting the per-source
+    composition shift of the SELECTED set — the audit that shows the
+    resampling actually moved the mixture toward the target sources.
+    Composes the registered select_dsir_weights query AND its oracle
+    verbatim (the knn_ivf_recall pattern), so selection can never
+    drift from the weights it applies. The rank window is global but
+    over per-DOC score rows (not tokens); at 100 TB the same cut is
+    a quantile threshold from approx_percentile broadcast back — the
+    customer_rfm_segments documented path."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.plans.catalog import _REGISTRY
+
+    scored = _REGISTRY["select_dsir_weights"].fn(spark, sf_dir)
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.orderBy(F.desc(F.round("dsir_score", 6)), "doc_id")
+    ranked = (
+        scored.join(docs, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_total", F.count("*").over(Window.partitionBy()))
+    )
+    sel = F.col("rk") * 4 <= F.col("n_total")
+    return ranked.groupBy("source").agg(
+        F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(sel, F.col("n_tokens"))).cast("bigint").alias("selected_tokens"),
+    )
+
+
+@register(
+    "doc_ngram_coverage_curve",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(ws) - 1),
+                    i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS g
+      FROM toks
+    ),
+    cnt AS (SELECT g, count(*) AS c FROM grams GROUP BY g),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rk FROM cnt
+    ),
+    tot AS (SELECT sum(c) AS total, count(*) AS n_types FROM cnt)
+    SELECT k,
+           CAST(least(k, tot.n_types) AS BIGINT) AS n_types_used,
+           CAST((SELECT coalesce(sum(c), 0) FROM ranked WHERE rk <= k) AS BIGINT)
+             AS covered,
+           CAST(tot.total AS BIGINT) AS total_occurrences,
+           round((SELECT coalesce(sum(c), 0) FROM ranked WHERE rk <= k)
+                 * 1.0 / tot.total, 6) AS coverage
+    FROM (SELECT unnest([100, 1000, 5000]) AS k) CROSS JOIN tot
+    """,
+)
+def doc_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative coverage curve: the fraction of all trigram
+    OCCURRENCES covered by the top-k trigram TYPES, at k ∈ {100, 1k,
+    5k} — the measurement behind vocabulary truncation, cache sizing,
+    and template-detection (natural text needs many types for high
+    coverage; boilerplate saturates early). Complements the Zipf
+    slope (a fit) with the actual curve. One shingle pass + one
+    count; the rank window orders the TYPE table, never occurrences,
+    and the three curve points read one cumulative-sum table."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.text import ngrams_expr, tokens_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(ngrams_expr(tokens_expr("text"), 3)).alias("g")
+    )
+    cnt = grams.groupBy("g").agg(F.count("*").alias("c"))
+    ranked = cnt.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), "g"))
+    )
+    tot = cnt.agg(
+        F.sum("c").alias("total"), F.count("*").alias("n_types")
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(F.lit(100), F.lit(1000), F.lit(5000))).alias("k")
+    )
+    cum = (
+        ks.join(ranked, F.col("rk") <= F.col("k"), "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("covered"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("k").cast("int").alias("k"),
+            F.least(F.col("k").cast("bigint"), F.col("n_types")).alias(
+                "n_types_used"
+            ),
+            "covered",
+            F.col("total").cast("bigint").alias("total_occurrences"),
+            F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
+        )
+    )

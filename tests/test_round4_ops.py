@@ -641,3 +641,55 @@ def test_pca_contract_holds_and_is_falsifiable(spark):
     # longer sums to the original trace
     bad = cov + np.diag(np.ones(d) * 0.1)
     assert abs(np.linalg.eigvalsh(bad).sum() - np.trace(cov)) > 1.0
+
+
+def test_dsir_apply_shifts_mixture_toward_target(spark):
+    """The selected quarter must over-represent the DSIR target
+    sources relative to the full corpus (the point of importance
+    resampling), and selection totals must equal ⌊n/4⌋-ish under the
+    rank rule."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.text_queries import _DSIR_TARGET
+
+    rows = catalog.queries()["sample_dsir_apply"](spark, SF_SMOKE).collect()
+    n_sel = sum(r["n_selected"] for r in rows)
+    n_all = sum(r["n_docs"] for r in rows)
+    assert n_sel == n_all // 4
+    tgt_sel = sum(r["n_selected"] for r in rows if r["source"] in _DSIR_TARGET)
+    tgt_all = sum(r["n_docs"] for r in rows if r["source"] in _DSIR_TARGET)
+    assert tgt_sel / n_sel > tgt_all / n_all  # mixture moved to target
+
+
+def test_coverage_curve_monotone(spark):
+    """Coverage must be non-decreasing in k, bounded by 1, and the
+    covered counts must not exceed total occurrences."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = sorted(
+        catalog.queries()["doc_ngram_coverage_curve"](spark, SF_SMOKE).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [100, 1000, 5000]
+    prev = 0.0
+    for r in rows:
+        assert prev <= r["coverage"] <= 1.0
+        assert r["covered"] <= r["total_occurrences"]
+        prev = r["coverage"]
+
+
+def test_burn_rate_two_window_and(spark):
+    """page ⇒ both windows above their thresholds; single-window
+    breaches alone must NOT page (the anti-flappiness contract)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.streaming_queries import _SLO_BUDGET
+
+    rows = catalog.queries()["events_error_budget_burn"](spark, SF_SMOKE).collect()
+    assert rows
+    saw_fast_only = False
+    for r in rows:
+        fast = r["rate_1h"] > 1.2 * _SLO_BUDGET
+        slow = r["rate_6h"] > 1.1 * _SLO_BUDGET
+        assert r["page"] == (fast and slow)
+        if fast and not slow:
+            saw_fast_only = True
+    assert saw_fast_only  # the AND actually suppresses something
