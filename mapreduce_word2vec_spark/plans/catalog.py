@@ -131,7 +131,8 @@ _PRIORITY = (
 # stream_late_drop_live, udtf_polymorphic, sql_session_variable,
 # source_insert_overwrite_dynamic, stream_session_dynamic_gap,
 # emb_pca_explained_variance, source_file_metadata, sample_dsir_apply,
-# doc_ngram_coverage_curve, events_error_budget_burn), then
+# doc_ngram_coverage_curve, events_error_budget_burn,
+# stream_observe_metrics_live), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

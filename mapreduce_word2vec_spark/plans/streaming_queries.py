@@ -2926,3 +2926,75 @@ def events_error_budget_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("e6") / F.col("n6") > 1.1 * b)
         ).alias("page"),
     )
+
+
+@register(
+    "stream_observe_metrics_live",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 6) AS sum_value,
+           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_errors
+    FROM events
+    """,
+)
+def stream_observe_metrics_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING observability: `df.observe` on a readStream pipeline
+    — per-micro-batch data-quality counters reported through
+    StreamingQueryProgress.observedMetrics while the batch's real
+    work (here a passthrough to a memory sink) proceeds, the
+    zero-extra-scan monitoring hook a 100 TB ingest job hangs its
+    alerting on. Each batch contributes one metrics row; count/sum
+    accumulators are exactly mergeable, so the FOLD of the per-batch
+    observations must equal the one-shot batch aggregation — which is
+    what the oracle computes. Exercises the streaming observe path
+    end-to-end (listener-visible metrics, not the batch Observation
+    object, which streaming queries don't support)."""
+    import os
+    import tempfile
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "ts", "event_type", "value"
+    )
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = tempfile.mkdtemp(prefix="mw2v_som_")
+    src = os.path.join(base, "src")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .observe(
+            "ingest_metrics",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("value").alias("sum_value"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                "n_errors"
+            ),
+        )
+    )
+    name = f"som_{tag}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = [
+        p["observedMetrics"]["ingest_metrics"]
+        for p in q.recentProgress
+        if "ingest_metrics" in (p.get("observedMetrics") or {})
+    ]
+    folded = [
+        (
+            int(sum(r["n_rows"] for r in rows)),
+            float(sum(r["sum_value"] for r in rows)),
+            int(sum(r["n_errors"] for r in rows)),
+        )
+    ]
+    return spark.createDataFrame(
+        folded, "n_rows bigint, sum_value double, n_errors bigint"
+    ).select("n_rows", F.round("sum_value", 6).alias("sum_value"), "n_errors")

