@@ -1713,3 +1713,157 @@ def dedup_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_true") > 0, F.round(F.col("n_hits") / F.col("n_true"), 6)
         ).alias("recall_"),
     )
+
+
+# --- edit-distance verification --------------------------------------------
+# The verifier production near-dup pipelines run AFTER banding: exact
+# Levenshtein on the candidate pairs the cheap blocking stage emits.
+# Blocking here is (lang, 64-char length bucket) — deterministic and
+# SQL-expressible so the oracle reproduces the exact candidate set; in
+# the full pipeline the candidates would come from dedup_minhash_lsh.
+# Cost is bounded twice: pairs only within a block, and the DP only on
+# the first 160 chars per side (O(160²), whole-stage-codegen'd JVM
+# levenshtein — no Python). The 160-char heads are the ONLY text that
+# shuffles; at 100 TB that is ~1/300 of the corpus bytes.
+
+_EDIT_HEAD = 160
+
+
+@register(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
+             substr(text, 1, {_EDIT_HEAD}) AS head
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist,
+             greatest(length(a.head), length(b.head)) AS m
+      FROM c a JOIN c b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, dist, round(1.0 - dist / m, 6) AS sim
+    FROM pairs
+    WHERE 1.0 - dist / m >= 0.5
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs verified by exact Levenshtein distance on
+    160-char heads, candidates blocked by (lang, 64-char length
+    bucket); keeps pairs with normalized similarity ≥ 0.5."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        "lang",
+        F.floor(F.col("n_chars") / 64).cast("bigint").alias("bucket"),
+        F.substring("text", 1, _EDIT_HEAD).alias("head"),
+    )
+    a = c.select(
+        F.col("doc_id").alias("id_a"), "lang", "bucket", F.col("head").alias("head_a")
+    )
+    b = c.select(
+        F.col("doc_id").alias("id_b"), "lang", "bucket", F.col("head").alias("head_b")
+    )
+    dist = F.levenshtein("head_a", "head_b").cast("bigint")
+    m = F.greatest(F.length("head_a"), F.length("head_b"))
+    sim = F.lit(1.0) - F.col("dist") / F.col("m")
+    return (
+        a.join(b, ["lang", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dist.alias("dist"), m.alias("m"))
+        .where(sim >= 0.5)
+        .select("id_a", "id_b", "dist", F.round(sim, 6).alias("sim"))
+    )
+
+
+# --- Adamic-Adar link prediction -------------------------------------------
+# Same co-purchase-window graph as graph_link_prediction, but the
+# common-neighbor count is replaced by the Adamic-Adar weight
+# Σ_z 1/ln(deg(z)) — rare shared neighbors count more than hubs. The
+# per-term double 1/ln(deg) is rounded to 12 places and accumulated as
+# DECIMAL(28,12), so the sum is exact and summation-order-proof (the
+# events_time_weighted_avg pattern); only the final display value
+# drops back to a rounded double. Any common neighbor has degree ≥ 2
+# by construction (it is adjacent to both endpoints), so ln(deg) > 0.
+
+
+@register(
+    "graph_adamic_adar",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY u),
+    wedges AS (
+      SELECT l.v AS id_a, r.v AS id_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             sum(CAST(round(1.0 / ln(d.deg), 12) AS DECIMAL(28,12))) AS aa
+      FROM adj l
+      JOIN adj r ON l.u = r.u AND l.v < r.v
+      JOIN deg d ON d.u = l.u
+      GROUP BY 1, 2
+    )
+    SELECT w.id_a, w.id_b, w.n_common,
+           round(CAST(w.aa AS DOUBLE), 6) AS adamic_adar
+    FROM wedges w ANTI JOIN edges e
+      ON w.id_a = e.id_a AND w.id_b = e.id_b
+    """,
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase-window user
+    graph: non-adjacent pairs scored by Σ 1/ln(deg) over common
+    neighbors, decimal-exact accumulation."""
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    ev = read_testdata(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+    )
+    a = p.select(F.col("user_id").alias("id_a"), "b")
+    bb = p.select(F.col("user_id").alias("id_b"), "b")
+    edges = tracked_persist(
+        a.join(bb, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    adj = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("deg"))
+    l = adj.select("u", F.col("v").alias("id_a"))
+    r = adj.select("u", F.col("v").alias("id_b"))
+    term = F.round(F.lit(1.0) / F.log("deg"), 12).cast("decimal(28,12)")
+    wedges = (
+        l.join(r, "u")
+        .where(F.col("id_a") < F.col("id_b"))
+        .join(deg, "u")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_common"),
+            F.sum(term).alias("aa"),
+        )
+    )
+    return wedges.join(edges, ["id_a", "id_b"], "left_anti").select(
+        "id_a",
+        "id_b",
+        "n_common",
+        F.round(F.col("aa").cast("double"), 6).alias("adamic_adar"),
+    )

@@ -4077,3 +4077,116 @@ def doc_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("covered") / F.col("total"), 6).alias("coverage"),
         )
     )
+
+
+# --- readability scoring ----------------------------------------------------
+# Flesch reading-ease / Flesch-Kincaid grade with the standard
+# deterministic proxies: words = maximal [a-z]+ runs, syllables =
+# maximal vowel-group [aeiouy]+ runs, sentences = 1 + terminal
+# punctuation runs (the synthetic corpus has no [.!?], so every doc is
+# one "sentence" — the formula surface is what's under test, and both
+# engines see identical counts). Pure per-row regexp counting: zero
+# exchanges, codegen'd, trivially scale-safe.
+
+
+@register(
+    "doc_readability",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS syllables,
+             CAST(1 + len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS sentences
+      FROM documents
+    )
+    SELECT doc_id, words, syllables, sentences,
+           round(206.835 - 1.015 * (words / sentences)
+                         - 84.6 * (syllables / words), 4) AS fre,
+           round(0.39 * (words / sentences)
+                 + 11.8 * (syllables / words) - 15.59, 4) AS fk_grade
+    FROM c
+    WHERE words > 0
+    """,
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade from vowel-group
+    syllable counts — row-local regexp counting, no shuffle."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    c = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit("[a-z]+")).cast("bigint").alias("words"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+"))
+        .cast("bigint")
+        .alias("syllables"),
+        (F.lit(1) + F.regexp_count("text", F.lit("[.!?]+")))
+        .cast("bigint")
+        .alias("sentences"),
+    ).where(F.col("words") > 0)
+    wps = F.col("words") / F.col("sentences")
+    spw = F.col("syllables") / F.col("words")
+    return c.select(
+        "doc_id",
+        "words",
+        "syllables",
+        "sentences",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "fre"
+        ),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    )
+
+
+# --- blocklist-word filtering ----------------------------------------------
+# The LDNOOBW-style token-blocklist filter every crawl pipeline runs:
+# fraction of tokens on a (tiny, broadcast-in-the-plan) blocklist,
+# flag above a threshold. The list is a literal IN-set, so the filter
+# is a row-local codegen'd predicate — no join, no shuffle; at 100 TB
+# this is a pure map over the scan, and the flag composes into
+# doc_filter_ensemble-style votes.
+
+_BADWORDS = ("slow", "broken", "junk", "spam")
+_BADWORD_FRAC = 0.05
+
+
+@register(
+    "doc_badwords_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(ws,
+                 w -> w IN ({", ".join(f"'{w}'" for w in _BADWORDS)}))) AS BIGINT)
+               AS n_bad
+      FROM t WHERE len(ws) > 0
+    )
+    SELECT doc_id, n_tokens, n_bad,
+           round(n_bad / n_tokens, 6) AS bad_frac,
+           n_bad / n_tokens > {_BADWORD_FRAC} AS flagged
+    FROM c
+    """,
+)
+def doc_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-blocklist screening: per-doc blocklisted-token fraction
+    and an over-threshold flag — row-local, no exchange."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    ws = tokens_expr("text")
+    c = docs.select(
+        "doc_id",
+        F.size(ws).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(ws, lambda w: w.isin(*_BADWORDS)))
+        .cast("bigint")
+        .alias("n_bad"),
+    ).where(F.col("n_tokens") > 0)
+    frac = F.col("n_bad") / F.col("n_tokens")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        "n_bad",
+        F.round(frac, 6).alias("bad_frac"),
+        (frac > _BADWORD_FRAC).alias("flagged"),
+    )

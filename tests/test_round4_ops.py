@@ -709,3 +709,139 @@ def test_stream_observe_reports_per_batch(spark):
         row["n_errors"]
         == ev.where(F.col("event_type") == "error").count()
     )
+
+
+def test_edit_distance_matches_python_bruteforce(spark):
+    """The blocked Levenshtein pairs must agree with a driver-side
+    brute force (python DP) over the same blocking on the smoke
+    corpus — distance values included, not just the pair set."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.dedup_queries import _EDIT_HEAD
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = read_testdata(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    ).collect()
+    blocks: dict[tuple, list] = {}
+    for r in rows:
+        blocks.setdefault((r["lang"], r["n_chars"] // 64), []).append(
+            (r["doc_id"], r["text"][:_EDIT_HEAD])
+        )
+    want = {}
+    for members in blocks.values():
+        members.sort()
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                (ida, ta), (idb, tb) = members[i], members[j]
+                d = lev(ta, tb)
+                m = max(len(ta), len(tb))
+                if 1.0 - d / m >= 0.5:
+                    want[(ida, idb)] = d
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in catalog.queries()["dedup_edit_distance"](spark, SF_SMOKE).collect()
+    }
+    assert got == want and want  # non-vacuous: smoke corpus has near-dups
+
+
+def test_adamic_adar_matches_python_recompute(spark):
+    """AA scores recomputed in pure python from the collected edge set
+    must match the distributed decimal-exact aggregation (sf0.01 —
+    the smoke graph has no open wedges)."""
+    import math
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+
+    out = catalog.queries()["graph_adamic_adar"](spark, "/root/testdata/sf0.01")
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["adamic_adar"])
+        for r in out.collect()
+    }
+    assert got
+    link = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in catalog.queries()["graph_link_prediction"](
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    # same non-adjacent pair set and same common-neighbor counts
+    assert {k: v[0] for k, v in got.items()} == link
+    # recompute the weights from the events-derived adjacency
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+    from pyspark.sql import functions as F
+
+    p = (
+        read_testdata(spark, "/root/testdata/sf0.01", "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+        .collect()
+    )
+    byb = defaultdict(set)
+    for r in p:
+        byb[r["b"]].add(r["user_id"])
+    edges = set()
+    for us in byb.values():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                edges.add((us[i], us[j]))
+    nbrs = defaultdict(set)
+    for a, b in edges:
+        nbrs[a].add(b)
+        nbrs[b].add(a)
+    for (a, b), (_, aa) in got.items():
+        common = nbrs[a] & nbrs[b]
+        want = sum(round(1.0 / math.log(len(nbrs[z])), 12) for z in common)
+        assert abs(round(want, 6) - aa) < 1e-9, (a, b)
+
+
+def test_readability_formula_recompute(spark):
+    """fre / fk_grade recomputed with python's re must match the
+    query's codegen'd regexp_count path on every smoke doc."""
+    import re
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in read_testdata(spark, SF_SMOKE, "documents").collect()
+    }
+    out = catalog.queries()["doc_readability"](spark, SF_SMOKE).collect()
+    assert len(out) == len(texts)
+    for r in out[:50]:
+        t = texts[r["doc_id"]]
+        words = len(re.findall(r"[a-z]+", t.lower()))
+        syl = len(re.findall(r"[aeiouy]+", t.lower()))
+        sent = 1 + len(re.findall(r"[.!?]+", t))
+        assert (r["words"], r["syllables"], r["sentences"]) == (words, syl, sent)
+        assert abs(r["fre"] - round(206.835 - 1.015 * (words / sent) - 84.6 * (syl / words), 4)) < 1e-9
+        assert abs(r["fk_grade"] - round(0.39 * (words / sent) + 11.8 * (syl / words) - 15.59, 4)) < 1e-9
+
+
+def test_badwords_flag_consistent_and_nonvacuous(spark):
+    """flagged must equal (n_bad/n_tokens > threshold) row-by-row, and
+    the smoke corpus must actually contain blocklisted tokens (the
+    list includes 'slow', a corpus word) so the flag is exercised."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.text_queries import _BADWORD_FRAC
+
+    rows = catalog.queries()["doc_badwords_filter"](spark, SF_SMOKE).collect()
+    assert sum(r["n_bad"] for r in rows) > 0
+    assert any(r["flagged"] for r in rows)
+    assert any(not r["flagged"] for r in rows)
+    for r in rows:
+        assert r["flagged"] == (r["n_bad"] / r["n_tokens"] > _BADWORD_FRAC)
