@@ -133,7 +133,8 @@ _PRIORITY = (
 # emb_pca_explained_variance, source_file_metadata, sample_dsir_apply,
 # doc_ngram_coverage_curve, events_error_budget_burn,
 # stream_observe_metrics_live, dedup_edit_distance, graph_adamic_adar,
-# doc_readability, doc_badwords_filter), then
+# doc_readability, doc_badwords_filter, source_parquet_rowgroup_stats,
+# select_curriculum_order), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

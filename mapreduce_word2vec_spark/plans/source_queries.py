@@ -929,3 +929,70 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_rows"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# --- parquet row-group footer stats ----------------------------------------
+# Row-group min/max statistics are what makes predicate pushdown skip
+# I/O: a scan prunes a row group when the footer's [min, max] for a
+# filtered column excludes the predicate. This query verifies the
+# PHYSICAL footer agrees with the LOGICAL content: documents are
+# rewritten doc_id-sorted with a fixed 128-row row-group size (pyarrow
+# writer — Spark's writer sizes groups by bytes, not rows, so
+# boundaries wouldn't be deterministic), the footer is read back
+# metadata-only (no data pages touched), and the oracle recomputes
+# each group's count/min/max from the table with a row_number bucket.
+# A stats bug (wrong min/max → wrong pruning → silently dropped rows
+# at scan time) hash-mismatches here. Footer decode is driver-side by
+# design: it is O(row groups), the same work every planner does.
+
+_ROW_GROUP_SIZE = 128
+
+
+@register(
+    "source_parquet_rowgroup_stats",
+    oracle=f"""
+    WITH r AS (
+      SELECT doc_id, n_chars,
+             CAST(floor((row_number() OVER (ORDER BY doc_id) - 1)
+                        / {_ROW_GROUP_SIZE}) AS BIGINT) AS rg_id
+      FROM documents
+    )
+    SELECT rg_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM r GROUP BY rg_id
+    """,
+)
+def source_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footer row-group statistics of a doc_id-sorted rewrite
+    (128-row groups) surfaced as rows; the oracle recomputes the same
+    stats from the logical table, so footer/content divergence fails."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = _roundtrip_dir("rowgroup_docs", sf_dir)
+    os.makedirs(base, exist_ok=True)
+    out = os.path.join(base, "sorted.parquet")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("doc_id", "ascending")]))
+    pq.write_table(tbl, out, row_group_size=_ROW_GROUP_SIZE)
+    meta = pq.ParquetFile(out).metadata
+    names = {meta.schema.column(i).name: i for i in range(meta.num_columns)}
+    rows = []
+    for g in range(meta.num_row_groups):
+        rg = meta.row_group(g)
+        sid = rg.column(names["doc_id"]).statistics
+        sch = rg.column(names["n_chars"]).statistics
+        rows.append(
+            (g, rg.num_rows, sid.min, sid.max, int(sch.min), int(sch.max))
+        )
+    return spark.createDataFrame(
+        rows,
+        "rg_id bigint, n_rows bigint, min_doc_id bigint, max_doc_id bigint,"
+        " min_chars bigint, max_chars bigint",
+    )

@@ -4190,3 +4190,55 @@ def doc_badwords_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(frac, 6).alias("bad_frac"),
         (frac > _BADWORD_FRAC).alias("flagged"),
     )
+
+
+# --- curriculum ordering ----------------------------------------------------
+# Length-curriculum scheduling (sequence-length warmup): equal-size
+# stages from shortest to longest document, with a DETERMINISTIC
+# pseudo-random order inside each stage (md5 of doc_id) so every
+# epoch's read order is reproducible. NTILE here is a global-order
+# window — fine for the stage assignment because it runs over (doc_id,
+# n_chars) pairs only, never text; the 100 TB path swaps it for
+# repartitionByRange boundaries + per-partition offsets (the
+# layout_epoch_shuffle pattern) with identical stage semantics.
+
+
+@register(
+    "select_curriculum_order",
+    oracle="""
+    WITH r AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             ntile(4) OVER (ORDER BY n_chars, doc_id) AS stage,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id, n_chars, CAST(stage AS BIGINT) AS stage,
+           CAST(row_number() OVER (PARTITION BY stage ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM r
+    """,
+)
+def select_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-stage length curriculum: NTILE stages over (n_chars,
+    doc_id), deterministic md5 shuffle order within each stage."""
+    from pyspark.sql import Window
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    r = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.ntile(4)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("stage"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    return r.select(
+        "doc_id",
+        "n_chars",
+        "stage",
+        F.row_number()
+        .over(Window.partitionBy("stage").orderBy("h", "doc_id"))
+        .cast("bigint")
+        .alias("pos"),
+    )

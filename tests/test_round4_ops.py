@@ -845,3 +845,57 @@ def test_badwords_flag_consistent_and_nonvacuous(spark):
     assert any(not r["flagged"] for r in rows)
     for r in rows:
         assert r["flagged"] == (r["n_bad"] / r["n_tokens"] > _BADWORD_FRAC)
+
+
+def test_rowgroup_stats_are_disjoint_ordered_ranges(spark):
+    """Footer row groups of the sorted rewrite must be ceil(n/128)
+    disjoint, consecutive doc_id ranges covering every row — a
+    shuffled write or footer misread breaks one of these."""
+    import math
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.source_queries import _ROW_GROUP_SIZE
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    n = read_testdata(spark, SF_SMOKE, "documents").count()
+    rows = sorted(
+        catalog.queries()["source_parquet_rowgroup_stats"](
+            spark, SF_SMOKE
+        ).collect(),
+        key=lambda r: r["rg_id"],
+    )
+    assert len(rows) == math.ceil(n / _ROW_GROUP_SIZE)
+    assert sum(r["n_rows"] for r in rows) == n
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["max_doc_id"] < cur["min_doc_id"]
+    for r in rows:
+        assert r["min_doc_id"] <= r["max_doc_id"]
+        assert r["min_chars"] <= r["max_chars"]
+
+
+def test_curriculum_stages_balanced_and_length_monotone(spark):
+    """Stage sizes differ by at most one, stages are non-decreasing in
+    n_chars across boundaries, and pos is a 1..size permutation within
+    each stage."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = catalog.queries()["select_curriculum_order"](spark, SF_SMOKE).collect()
+    by_stage = defaultdict(list)
+    for r in rows:
+        by_stage[r["stage"]].append(r)
+    sizes = [len(by_stage[s]) for s in sorted(by_stage)]
+    assert sorted(by_stage) == [1, 2, 3, 4]
+    assert max(sizes) - min(sizes) <= 1
+    for s in sorted(by_stage)[:-1]:
+        assert max(r["n_chars"] for r in by_stage[s]) <= min(
+            r["n_chars"] for r in by_stage[s + 1]
+        )
+    for s, members in by_stage.items():
+        assert sorted(r["pos"] for r in members) == list(
+            range(1, len(members) + 1)
+        )
+        # deterministic shuffle: intra-stage order is NOT doc_id order
+        ordered = [r["doc_id"] for r in sorted(members, key=lambda r: r["pos"])]
+        assert ordered != sorted(ordered)
