@@ -6598,3 +6598,68 @@ def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         """
     )
+
+
+# --- as-of join with staleness tolerance -----------------------------------
+# merge_asof's `tolerance` parameter: a backward as-of match only
+# counts if the matched right row is within the lookback horizon
+# (here 30 minutes); staler matches become NULLs, the left row
+# survives. Same union-then-window single-exchange shape as join_asof
+# (operators/asof.py) — the tolerance is a post-window predicate on
+# the carried match time, so it adds zero exchanges. DuckDB has no
+# ASOF tolerance either: the oracle NULLs the payload of an
+# unconstrained ASOF join past the horizon, which is exactly the
+# operator's contract.
+
+_ASOF_TOL_S = 1800
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH clicks AS (SELECT event_id, ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts,
+                          event_id AS purchase_event_id,
+                          value AS purchase_value
+                   FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT c.user_id, c.ts, c.event_id, c.value,
+                  p.purchase_event_id, p.purchase_value, p.ts AS pts
+           FROM clicks c ASOF LEFT JOIN purch p
+             ON c.user_id = p.user_id AND c.ts >= p.ts
+         )
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN pts >= ts - INTERVAL '{_ASOF_TOL_S} seconds'
+                THEN purchase_event_id END AS purchase_event_id,
+           CASE WHEN pts >= ts - INTERVAL '{_ASOF_TOL_S} seconds'
+                THEN purchase_value END AS purchase_value,
+           CASE WHEN pts >= ts - INTERVAL '{_ASOF_TOL_S} seconds'
+                THEN pts END AS ts_right
+    FROM j
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a 30-minute staleness tolerance:
+    matches older than the horizon are NULLed, left rows survive."""
+    from mapreduce_word2vec_spark.operators.asof import asof_join
+
+    ev = rt(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+        tolerance_seconds=_ASOF_TOL_S,
+    )

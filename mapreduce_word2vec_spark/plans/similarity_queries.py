@@ -1464,3 +1464,149 @@ def knn_binary_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cos"),
         )
     )
+
+
+# --- nprobe/recall operating curve -----------------------------------------
+# The tuning curve every IVF deployment reads before picking nprobe:
+# recall@5 against exact brute force as the probe count doubles
+# (1, 2, 4, 8 of the 10 lists). One candidate generation serves all
+# sweep points — centroid ranks are computed once and each nprobe
+# keeps ranks <= nprobe — so the corpus is scanned once per sweep
+# point ONLY in the scoring join, and candidates stay bucketed by
+# inverted list exactly as in knn_ivf_probe. Counts are integers and
+# the cosine is the same sequential fold both engines run, so the
+# whole curve is hash-exact. Companion to dedup_lsh_param_sweep (the
+# dedup-side operating curve).
+
+_NPROBES = (1, 2, 4, 8)
+
+
+@register(
+    "knn_nprobe_sweep",
+    oracle=f"""
+    WITH {_SQL_CENTROID},
+    q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    qc AS (
+      SELECT query_id, qe, label AS probe_label,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_sum(list_transform(range(1, len(qe) + 1),
+                                 i -> CAST(qe[i] AS DOUBLE) * ce[i]))
+                        / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                           * sqrt(list_sum(list_transform(ce, x -> x * x)))) DESC,
+                        label
+             ) AS rn
+      FROM q CROSS JOIN cent
+    ),
+    probes AS (SELECT unnest([{", ".join(map(str, _NPROBES))}]) AS nprobe),
+    cand AS (
+      SELECT p.nprobe, qc.query_id, qc.qe, qc.probe_label
+      FROM qc JOIN probes p ON qc.rn <= p.nprobe
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS ce2, label FROM embeddings),
+    s AS (
+      SELECT nprobe, query_id, neighbor_id,
+             list_sum(list_transform(range(1, len(qe) + 1),
+                      i -> CAST(qe[i] AS DOUBLE) * CAST(ce2[i] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(ce2, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+      FROM cand JOIN c ON cand.probe_label = c.label
+      WHERE cand.query_id <> c.neighbor_id
+    ),
+    r AS (
+      SELECT nprobe, query_id, neighbor_id,
+             row_number() OVER (PARTITION BY nprobe, query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM s
+    ),
+    t AS (SELECT nprobe, query_id, neighbor_id FROM r WHERE rn <= 5),
+    exact AS ({_BF_SQL})
+    SELECT t.nprobe,
+           CAST(count(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+           CAST(count(e.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(e.neighbor_id)
+                 / (5.0 * count(DISTINCT t.query_id)), 6) AS mean_recall_at_5
+    FROM t LEFT JOIN exact e
+      ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    GROUP BY t.nprobe
+    """,
+)
+def knn_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 vs nprobe for the IVF index (1/2/4/8 probed lists),
+    graded against exact brute-force top-5."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select(
+            F.col("label").alias("probe_label"),
+            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm_expr("embedding").alias("qn"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cent_cos"), "probe_label")
+    ranked = tracked_persist(
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cent_cos", dot_expr("qe", "ce") / (F.col("qn") * norm_expr("ce")))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .select("query_id", "qe", "qn", "probe_label", "rn")
+    )
+    cand = None
+    for np_ in _NPROBES:
+        c_np = ranked.where(F.col("rn") <= np_).select(
+            F.lit(np_).alias("nprobe"), "query_id", "qe", "qn", "probe_label"
+        )
+        cand = c_np if cand is None else cand.unionByName(c_np)
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce2"),
+        norm_expr("embedding").alias("cn"),
+        F.col("label").alias("probe_label"),
+    )
+    scored = (
+        corpus.join(F.broadcast(cand), "probe_label")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "nprobe",
+            "query_id",
+            "neighbor_id",
+            (dot_expr("qe", "ce2") / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    top5 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    exact = knn_bruteforce_q(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        top5.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+            F.count("hit").cast("bigint").alias("n_hits"),
+            F.round(
+                F.count("hit") / (F.lit(5.0) * F.countDistinct("query_id")), 6
+            ).alias("mean_recall_at_5"),
+        )
+    )

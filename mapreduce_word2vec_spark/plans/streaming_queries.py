@@ -2998,3 +2998,85 @@ def stream_observe_metrics_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         folded, "n_rows bigint, sum_value double, n_errors bigint"
     ).select("n_rows", F.round("sum_value", 6).alias("sum_value"), "n_errors")
+
+
+# --- position-based (U-shaped) attribution ---------------------------------
+# Completes the attribution family (last-touch, linear, position-
+# based): first and last click in the 24-hour lookback get 40% of the
+# purchase value each, the middle clicks split the remaining 20%.
+# Degenerate cases use the standard convention: a single touch takes
+# 100%, two touches split 50/50. Like events_attribution_linear, the
+# credit schedule is a pure CASE over the touch COUNT from one
+# event-time RANGE frame — no purchase×click pair join, one user_id
+# exchange, engine-exact because the frame boundary semantics match.
+
+
+@register(
+    "events_attribution_position",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT *,
+             sum(is_click) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW
+             ) AS n_touches
+      FROM ev
+    )
+    SELECT event_id AS purchase_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CASE WHEN n_touches = 1 THEN round(value, 6)
+                WHEN n_touches = 2 THEN round(value * 0.5, 6)
+                WHEN n_touches >= 3 THEN round(value * 0.4, 6) END AS credit_first,
+           CASE WHEN n_touches = 1 THEN round(value, 6)
+                WHEN n_touches = 2 THEN round(value * 0.5, 6)
+                WHEN n_touches >= 3 THEN round(value * 0.4, 6) END AS credit_last,
+           CASE WHEN n_touches >= 3
+                THEN round(value * 0.2 / (n_touches - 2), 6) END AS credit_mid_each
+    FROM w WHERE is_click = 0
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped attribution: 40/20/40 credit schedule over the 24-hour
+    click lookback, touch count from one RANGE frame."""
+    from pyspark.sql import Window
+
+    ev = (
+        read_testdata(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.unix_micros("ts").alias("us"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-86_400_000_000, Window.currentRow)
+    )
+    n = F.col("n_touches")
+    end_credit = (
+        F.when(n == 1, F.round(F.col("value"), 6))
+        .when(n == 2, F.round(F.col("value") * 0.5, 6))
+        .when(n >= 3, F.round(F.col("value") * 0.4, 6))
+    )
+    return (
+        ev.withColumn("n_touches", F.sum("is_click").over(w))
+        .where(F.col("is_click") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            n.cast("bigint").alias("n_touches"),
+            end_credit.alias("credit_first"),
+            end_credit.alias("credit_last"),
+            F.when(
+                n >= 3, F.round(F.col("value") * 0.2 / (n - 2), 6)
+            ).alias("credit_mid_each"),
+        )
+    )

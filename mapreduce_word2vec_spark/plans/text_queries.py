@@ -4242,3 +4242,70 @@ def select_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pos"),
     )
+
+
+# --- Horvitz-Thompson estimation from the hash sample ----------------------
+# What the 10% sample is FOR: estimating population totals without the
+# full scan. Every document's inclusion probability under the hash
+# sample is p = 0.1, so the Horvitz-Thompson estimator of a total is
+# the sampled sum weighted 1/p — unbiased by construction. The query
+# returns, per language, the exact total (the expensive full-scan
+# truth), the HT estimate from the sample, and the relative error —
+# i.e. the acceptance report for replacing a 100 TB scan with a 10 TB
+# one. Integer sums on both branches, so the estimate (sum × 10) and
+# the error ratio are engine-exact.
+
+
+@register(
+    "sample_horvitz_thompson",
+    oracle=f"""
+    WITH pop AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(n_chars) AS BIGINT) AS exact_total
+      FROM documents GROUP BY lang
+    ),
+    samp AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sample_total
+      FROM documents
+      WHERE {_SAMPLE_BUCKET_SQL} < 10
+      GROUP BY lang
+    )
+    SELECT p.lang, p.n_pop, coalesce(s.n_sampled, 0) AS n_sampled,
+           p.exact_total,
+           coalesce(s.sample_total, 0) * 10.0 AS est_total,
+           round(abs(coalesce(s.sample_total, 0) * 10.0 - p.exact_total)
+                 / p.exact_total, 6) AS rel_error
+    FROM pop p LEFT JOIN samp s ON p.lang = s.lang
+    """,
+)
+def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Horvitz-Thompson totals from the deterministic
+    10% hash sample, with exact totals and relative error."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    pop = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum("n_chars").cast("bigint").alias("exact_total"),
+    )
+    samp = (
+        docs.where(_sample_bucket() < 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_sampled"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sample_total"),
+        )
+    )
+    j = pop.join(samp, "lang", "left")
+    est = F.coalesce(F.col("sample_total"), F.lit(0)) * F.lit(10.0)
+    return j.select(
+        "lang",
+        "n_pop",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        "exact_total",
+        est.alias("est_total"),
+        F.round(F.abs(est - F.col("exact_total")) / F.col("exact_total"), 6).alias(
+            "rel_error"
+        ),
+    )

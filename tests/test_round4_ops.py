@@ -899,3 +899,123 @@ def test_curriculum_stages_balanced_and_length_monotone(spark):
         # deterministic shuffle: intra-stage order is NOT doc_id order
         ordered = [r["doc_id"] for r in sorted(members, key=lambda r: r["pos"])]
         assert ordered != sorted(ordered)
+
+
+def test_asof_tolerance_nulls_stale_matches_only(spark):
+    """Same row set as join_asof; every surviving match is within the
+    horizon; at least one match join_asof found must be NULLed (the
+    tolerance does something)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.relational import _ASOF_TOL_S
+
+    base = {
+        r["event_id"]: r
+        for r in catalog.queries()["join_asof"](spark, SF_SMOKE).collect()
+    }
+    tol = {
+        r["event_id"]: r
+        for r in catalog.queries()["join_asof_tolerance"](spark, SF_SMOKE).collect()
+    }
+    assert set(base) == set(tol)
+    dropped = 0
+    for eid, r in tol.items():
+        b = base[eid]
+        if r["ts_right"] is not None:
+            gap = (r["ts"] - r["ts_right"]).total_seconds()
+            assert 0 <= gap <= _ASOF_TOL_S
+            assert b["ts_right"] == r["ts_right"]
+        elif b["ts_right"] is not None:
+            assert (b["ts"] - b["ts_right"]).total_seconds() > _ASOF_TOL_S
+            dropped += 1
+    assert dropped > 0
+
+
+def test_nprobe_sweep_recall_monotone(spark):
+    """Recall@5 must be non-decreasing in nprobe and the curve must
+    actually rise somewhere on the smoke corpus (sf0.01 — smoke's
+    embedding table equals it; a flat curve would mean the sweep
+    isn't varying the probe set)."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = sorted(
+        catalog.queries()["knn_nprobe_sweep"](spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 4, 8]
+    assert all(r["n_queries"] == 10 for r in rows)
+    recalls = [r["mean_recall_at_5"] for r in rows]
+    assert all(a <= b for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] > recalls[0]
+    for r in rows:
+        assert abs(r["mean_recall_at_5"] - round(r["n_hits"] / (5.0 * 10), 6)) < 1e-9
+
+
+def test_position_attribution_conserves_value(spark):
+    """first + last + (n-2)·mid must reconstruct the purchase value
+    (within rounding), with touch counts matching a python recount of
+    the 24-hour lookback."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.01"  # smoke has no >=3-touch purchase
+    ev = (
+        read_testdata(spark, sf, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("user_id", "event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    values = {r["event_id"]: r["value"] for r in ev if r["event_type"] == "purchase"}
+    by_user = defaultdict(list)
+    for r in ev:
+        by_user[r["user_id"]].append(r)
+    want_touches = {}
+    for rows_u in by_user.values():
+        for r in rows_u:
+            if r["event_type"] != "purchase":
+                continue
+            want_touches[r["event_id"]] = sum(
+                1
+                for o in rows_u
+                if o["event_type"] == "click"
+                and 0 <= (r["ts"] - o["ts"]).total_seconds() <= 86400
+            )
+    rows = catalog.queries()["events_attribution_position"](spark, sf).collect()
+    assert {r["purchase_id"] for r in rows} == set(want_touches)
+    saw_multi = False
+    for r in rows:
+        assert r["n_touches"] == want_touches[r["purchase_id"]]
+        n, v = r["n_touches"], values[r["purchase_id"]]
+        if n == 0:
+            assert r["credit_first"] is None and r["credit_mid_each"] is None
+        elif n == 1:
+            assert abs(r["credit_first"] - v) < 1e-6 and r["credit_mid_each"] is None
+        elif n == 2:
+            assert abs(r["credit_first"] + r["credit_last"] - v) < 1e-5
+        else:
+            saw_multi = True
+            total = r["credit_first"] + r["credit_last"] + (n - 2) * r["credit_mid_each"]
+            assert abs(total - v) < 1e-4 * max(1.0, n)
+    assert saw_multi
+
+
+def test_horvitz_thompson_consistent_with_hash_sample(spark):
+    """HT estimates must be exactly 10× the hash-sample sums, the
+    sampled doc counts must tie out with sample_hash_mod, and the
+    estimator must be within 100% relative error on every language
+    (sanity that 10% of a 100-doc stratum estimates it at all)."""
+    from collections import Counter
+
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = catalog.queries()["sample_horvitz_thompson"](spark, SF_SMOKE).collect()
+    sample_langs = Counter(
+        r["lang"] for r in catalog.queries()["sample_hash_mod"](spark, SF_SMOKE).collect()
+    )
+    assert sum(r["n_sampled"] for r in rows) == sum(sample_langs.values()) > 0
+    for r in rows:
+        assert r["n_sampled"] == sample_langs.get(r["lang"], 0)
+        assert r["n_sampled"] <= r["n_pop"]
+        assert r["est_total"] == float(10 * round(r["est_total"] / 10))
+        assert 0.0 <= r["rel_error"] < 1.0
