@@ -235,3 +235,45 @@ def pagerank(
                 release_checkpoint(prev_ckpt)
             prev_ckpt = ranks
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    seed_col: str = "node",
+    max_hops: int = 4,
+) -> DataFrame:
+    """(node, hops): minimal undirected hop distance from the seed
+    set, bounded at ``max_hops`` (frontier BFS — one join+anti-join
+    per level, O(diameter) rounds like connected_components).
+
+    Isolated seeds are included at hops 0. The distance bound is the
+    scale contract: each level touches only the NEW frontier (visited
+    nodes drop out via the anti-join on the accumulated distance
+    table), so total work is O(edges within the ball), not O(V·E)."""
+    sym = tracked_persist(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .distinct()
+    )
+    dist = tracked_persist(
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("hops", F.lit(0).cast("bigint"))
+    )
+    frontier = dist.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = tracked_persist(
+            frontier.join(sym, frontier.node == sym.s)
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("bigint"))
+        )
+        if nxt.limit(1).count() == 0:
+            break
+        dist = tracked_persist(dist.unionByName(nxt))
+        frontier = nxt.select("node")
+    return dist

@@ -1867,3 +1867,59 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         F.round(F.col("aa").cast("double"), 6).alias("adamic_adar"),
     )
+
+
+# --- contamination blast radius (bounded BFS) ------------------------------
+# When a benchmark document is found in the corpus, its near-verbatim
+# copies are contaminated too — and THEIR near-dups transitively. The
+# blast radius is a bounded BFS over the near-dup graph from the
+# known-bad seed set: hops = how many dedup-edges separate a document
+# from a seed (0 = the seed itself). Bounded at 4 hops — beyond that,
+# Jaccard-0.6 chains have drifted far from the original. Seeds here
+# are the deterministic doc_id % 50 = 0 set (stand-in for a benchmark
+# membership list); the oracle replays the BFS as a depth-bounded
+# recursive CTE over the same Jaccard edges.
+
+
+@register(
+    "graph_bfs_contamination",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
+                                               w -> regexp_matches(w, '^[a-z]+$')) AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    ),
+    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    bfs(node, hops) AS (
+      SELECT doc_id AS node, 0 AS hops FROM documents WHERE doc_id % 50 = 0
+      UNION ALL
+      SELECT e.d, b.hops + 1 FROM bfs b JOIN sym e ON b.node = e.s
+      WHERE b.hops < 4
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM bfs GROUP BY node
+    """,
+)
+def graph_bfs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-BFS contamination radius: minimal hop distance (≤ 4)
+    from the doc_id % 50 = 0 seed set through Jaccard ≥ 0.6 near-dup
+    edges."""
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.operators.graph import bfs_hops
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    seeds = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("node")
+    )
+    return bfs_hops(pairs, seeds, max_hops=4)

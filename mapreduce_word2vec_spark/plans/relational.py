@@ -6663,3 +6663,126 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["purchase_event_id", "purchase_value"],
         tolerance_seconds=_ASOF_TOL_S,
     )
+
+
+# --- multinomial Naive Bayes (ML-in-SQL) -----------------------------------
+# Completes the ML-in-SQL family (logreg GD, linreg, t-test) with the
+# classic generative text classifier: multinomial NB over A2-A4
+# tokens, labels = the lang column, add-1 smoothing. Train and score
+# are ONE declarative plan — token counts per (lang, word), totals,
+# priors, then per-doc log-posterior sums and an argmax window. Float
+# discipline: every ln() is rounded to 12 places and accumulated as
+# DECIMAL (term count x decimal loglik), so scores — and therefore the
+# argmax — are summation-order-proof and engine-exact. Scale shape:
+# the model table is (vocab x langs) rows — compact, broadcastable;
+# the corpus contributes only (doc, word, tf) triples, one exchange
+# for training counts and one for scoring sums; text never shuffles.
+
+
+@register(
+    "ml_naive_bayes_lang",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(list_filter(regexp_split_to_array(lower(text), '\W+'),
+                                w -> regexp_matches(w, '^[a-z]+$'))) AS w
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    cl AS (SELECT lang, w, count(*) AS cnt FROM toks GROUP BY 1, 2),
+    tot AS (SELECT lang, count(*) AS tot FROM toks GROUP BY 1),
+    vocab AS (SELECT DISTINCT w FROM toks),
+    vsize AS (SELECT count(*) AS v FROM vocab),
+    langs AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+    nd AS (SELECT count(*) AS n FROM documents),
+    ll AS (
+      SELECT l.lang, vb.w,
+             CAST(round(ln((coalesce(c.cnt, 0) + 1.0) / (t.tot + s.v)), 12)
+                  AS DECIMAL(28,12)) AS ll
+      FROM langs l
+      CROSS JOIN vocab vb
+      CROSS JOIN vsize s
+      JOIN tot t ON t.lang = l.lang
+      LEFT JOIN cl c ON c.lang = l.lang AND c.w = vb.w
+    ),
+    prior AS (
+      SELECT l.lang,
+             CAST(round(ln(l.n_l * 1.0 / nd.n), 12) AS DECIMAL(28,12)) AS lp
+      FROM langs l CROSS JOIN nd
+    ),
+    score AS (
+      SELECT tf.doc_id, ll.lang, p.lp + sum(tf.tf * ll.ll) AS sc
+      FROM tf
+      JOIN ll ON tf.w = ll.w
+      JOIN prior p ON p.lang = ll.lang
+      GROUP BY tf.doc_id, ll.lang, p.lp
+    ),
+    r AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY doc_id ORDER BY sc DESC, lang) AS rn
+      FROM score
+    )
+    SELECT d.doc_id, d.lang, r.lang AS pred_lang, d.lang = r.lang AS correct
+    FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1
+    """,
+)
+def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes lang classifier trained and scored in
+    one plan: add-1 smoothed per-(lang, word) log-likelihoods,
+    decimal-exact log-posterior sums, argmax prediction per doc."""
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+
+    docs = rt(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens_expr("text")).alias("w")
+    )
+    tf = toks.groupBy("doc_id", "w").agg(F.count("*").cast("bigint").alias("tf"))
+    cl = toks.groupBy("lang", "w").agg(F.count("*").alias("cnt"))
+    tot = toks.groupBy("lang").agg(F.count("*").alias("tot"))
+    vocab = toks.select("w").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    langs = docs.groupBy("lang").agg(F.count("*").alias("n_l"))
+    nd = docs.agg(F.count("*").alias("n"))
+    ll = (
+        langs.crossJoin(vocab)
+        .join(tot, "lang")
+        .crossJoin(F.broadcast(vsize))
+        .join(cl, ["lang", "w"], "left")
+        .select(
+            "lang",
+            "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(1.0))
+                    / (F.col("tot") + F.col("v"))
+                ),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("ll"),
+        )
+    )
+    prior = langs.crossJoin(F.broadcast(nd)).select(
+        "lang",
+        F.round(F.log(F.col("n_l") * F.lit(1.0) / F.col("n")), 12)
+        .cast("decimal(28,12)")
+        .alias("lp"),
+    )
+    score = (
+        tf.join(F.broadcast(ll), "w")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "lang", "lp")
+        .agg((F.col("lp") + F.sum(F.col("tf") * F.col("ll"))).alias("sc"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("sc"), F.asc("lang"))
+    pred = (
+        score.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return docs.select("doc_id", "lang").join(pred, "doc_id").select(
+        "doc_id",
+        "lang",
+        "pred_lang",
+        (F.col("lang") == F.col("pred_lang")).alias("correct"),
+    )

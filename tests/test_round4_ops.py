@@ -1019,3 +1019,97 @@ def test_horvitz_thompson_consistent_with_hash_sample(spark):
         assert r["n_sampled"] <= r["n_pop"]
         assert r["est_total"] == float(10 * round(r["est_total"] / 10))
         assert 0.0 <= r["rel_error"] < 1.0
+
+
+def test_bfs_contamination_matches_python_bfs(spark):
+    """Hop distances must equal a driver-side BFS over the same
+    Jaccard edge set, including isolated seeds at hop 0 and the 4-hop
+    bound."""
+    from collections import defaultdict, deque
+
+    from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.6).collect()
+    adj = defaultdict(set)
+    for r in edges:
+        adj[r["id_a"]].add(r["id_b"])
+        adj[r["id_b"]].add(r["id_a"])
+    seeds = [r["doc_id"] for r in docs.select("doc_id").collect() if r["doc_id"] % 50 == 0]
+    want = {s: 0 for s in seeds}
+    dq = deque(seeds)
+    while dq:
+        u = dq.popleft()
+        if want[u] >= 4:
+            continue
+        for v in adj[u]:
+            if v not in want:
+                want[v] = want[u] + 1
+                dq.append(v)
+    got = {
+        r["node"]: r["hops"]
+        for r in catalog.queries()["graph_bfs_contamination"](spark, SF_SMOKE).collect()
+    }
+    assert got == want
+    assert any(h > 0 for h in want.values())  # non-vacuous: radius reaches out
+
+
+def test_naive_bayes_matches_python_and_beats_baseline(spark):
+    """Predictions must equal a python NB recompute (same rounding
+    discipline) and accuracy must beat the majority-class baseline —
+    the classifier actually uses the token evidence."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    rows = read_testdata(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", "text"
+    ).collect()
+    tok = re.compile(r"[a-z]+$")
+    doc_tokens = {
+        r["doc_id"]: [
+            w for w in re.split(r"\W+", r["text"].lower()) if tok.match(w)
+        ]
+        for r in rows
+    }
+    lang_of = {r["doc_id"]: r["lang"] for r in rows}
+    cl = defaultdict(Counter)
+    tot = Counter()
+    for did, ws in doc_tokens.items():
+        cl[lang_of[did]].update(ws)
+        tot[lang_of[did]] += len(ws)
+    vocab = set().union(*doc_tokens.values())
+    v = len(vocab)
+    n_docs = len(rows)
+    n_l = Counter(lang_of.values())
+    prior = {la: round(math.log(n_l[la] / n_docs), 12) for la in n_l}
+    ll = {
+        (la, w): round(math.log((cl[la][w] + 1.0) / (tot[la] + v)), 12)
+        for la in n_l
+        for w in vocab
+    }
+    want = {}
+    for did, ws in doc_tokens.items():
+        tf = Counter(ws)
+        best = min(
+            (
+                (-(prior[la] + sum(c * ll[(la, w)] for w, c in tf.items())), la)
+                for la in n_l
+            ),
+        )
+        want[did] = best[1]
+    got = {
+        r["doc_id"]: (r["pred_lang"], r["correct"])
+        for r in catalog.queries()["ml_naive_bayes_lang"](spark, SF_SMOKE).collect()
+    }
+    assert {d: p for d, (p, _) in got.items()} == want
+    acc = sum(1 for d, (p, c) in got.items() if c) / len(got)
+    majority = max(n_l.values()) / n_docs
+    assert acc > majority
+    for d, (p, c) in got.items():
+        assert c == (p == lang_of[d])
