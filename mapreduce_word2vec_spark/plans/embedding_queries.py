@@ -867,3 +867,110 @@ def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "order_ok",
         F.lit(sum_ok).alias("sum_ok"),
     )
+
+
+# --- clustering purity evaluation ------------------------------------------
+# The eval that tells you whether the IVF coarse quantizer's clusters
+# mean anything: assign every vector to its nearest seed centroid
+# (the emb_kmeans_iter assignment, same sequential-fold distance) and
+# score each cluster by label purity — majority-label fraction, with
+# the deterministic (count DESC, label ASC) arbitration both engines
+# share. Scale shape mirrors kmeans: centroids broadcast, one
+# (cluster, label) count exchange; vectors never shuffle.
+
+
+@register(
+    "emb_cluster_purity",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    seeds AS (
+      SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+      FROM embeddings CROSS JOIN idx
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label AS cid, list(mv ORDER BY i) AS ce FROM seeds GROUP BY label),
+    assign AS (
+      SELECT vec_id, label, cid,
+             row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_sum(list_transform(range(1, len(embedding) + 1),
+                 i -> (CAST(embedding[i] AS DOUBLE) - ce[i])
+                      * (CAST(embedding[i] AS DOUBLE) - ce[i]))) ASC, cid
+             ) AS rn
+      FROM embeddings CROSS JOIN cent
+    ),
+    cl AS (
+      SELECT cid AS cluster_id, label, CAST(count(*) AS BIGINT) AS n
+      FROM assign WHERE rn = 1 GROUP BY cid, label
+    ),
+    top AS (
+      SELECT cluster_id, label AS majority_label, n AS n_majority,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n DESC, label) AS rk
+      FROM cl
+    ),
+    size_ AS (
+      SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_members FROM cl
+      GROUP BY cluster_id
+    )
+    SELECT s.cluster_id, s.n_members, t.majority_label, t.n_majority,
+           round(t.n_majority / s.n_members, 6) AS purity
+    FROM size_ s JOIN top t ON s.cluster_id = t.cluster_id AND t.rk = 1
+    """,
+)
+def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity per kmeans-assigned cluster: majority label,
+    member counts, and the majority fraction."""
+    from pyspark.sql import Window
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    cent = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select(
+            F.col("label").alias("cid"),
+            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("ce"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.asc("sqd"), F.asc("cid"))
+    cl = (
+        emb.crossJoin(F.broadcast(cent))
+        .withColumn("sqd", sqd)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .groupBy(F.col("cid").alias("cluster_id"), "label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    w_top = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        cl.withColumn("rk", F.row_number().over(w_top))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    size_ = cl.groupBy("cluster_id").agg(F.sum("n").cast("bigint").alias("n_members"))
+    return size_.join(top, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "majority_label",
+        "n_majority",
+        F.round(F.col("n_majority") / F.col("n_members"), 6).alias("purity"),
+    )

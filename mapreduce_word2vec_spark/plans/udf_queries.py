@@ -316,3 +316,36 @@ def udf_iterator_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.round(F.sum("adj"), 6).alias("adj_revenue"))
     )
+
+
+# --- grouped-agg pandas UDF as a WINDOW function ---------------------------
+# The fourth way a vectorized UDAF crosses into SQL: OVER an unbounded
+# partition window (supported for pandas grouped-agg UDFs since Spark
+# 2.4). Every row carries its segment's UDF aggregate without a
+# join-back — one exchange on the partition key, the Arrow batch per
+# window partition. The kernel reuses _weighted_avg, so the groupBy
+# twin (udf_grouped_agg) and the window form cannot drift.
+
+
+@register(
+    "udf_window_grouped_agg",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(c_acctbal - sum(c_acctbal * 1.0) OVER (PARTITION BY c_mktsegment)
+                 / sum(1.0) OVER (PARTITION BY c_mktsegment), 6) AS bal_vs_seg_avg
+    FROM customer
+    """,
+)
+def udf_window_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas grouped-agg UDF evaluated OVER a window: each customer's
+    balance relative to its segment's (UDF-computed) mean."""
+    from pyspark.sql import Window
+
+    cust = read_testdata(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment")
+    seg_avg = _weighted_avg(F.col("c_acctbal"), F.lit(1.0)).over(w)
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") - seg_avg, 6).alias("bal_vs_seg_avg"),
+    )

@@ -1113,3 +1113,60 @@ def test_naive_bayes_matches_python_and_beats_baseline(spark):
     assert acc > majority
     for d, (p, c) in got.items():
         assert c == (p == lang_of[d])
+
+
+def test_window_grouped_agg_udf_matches_builtin_window(spark):
+    """The pandas-UDF window aggregate must equal the builtin avg
+    window to 1e-6 on every row, and the plan must contain a pandas
+    window exec (the UDF actually ran as a window function)."""
+    from pyspark.sql import Window
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    df = catalog.queries()["udf_window_grouped_agg"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Spark 4 names the vectorized window exec ArrowWindowPython
+    # (WindowInPandas in 3.x) — accept either
+    assert "ArrowWindowPython" in plan or "WindowInPandas" in plan, plan
+    got = {r["c_custkey"]: r["bal_vs_seg_avg"] for r in df.collect()}
+    w = Window.partitionBy("c_mktsegment")
+    want = {
+        r["c_custkey"]: r["v"]
+        for r in read_testdata(spark, SF_SMOKE, "customer")
+        .select(
+            "c_custkey",
+            F.round(F.col("c_acctbal") - F.avg("c_acctbal").over(w), 6).alias("v"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) <= 1e-6
+
+
+def test_cluster_purity_counts_tie_out(spark):
+    """Purity rows must cover every vector exactly once, majority
+    counts must not exceed member counts, and the purity ratio must
+    reconstruct from the integer counts."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    rows = catalog.queries()["emb_cluster_purity"](spark, SF_SMOKE).collect()
+    n = read_testdata(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r["n_members"] for r in rows) == n
+    for r in rows:
+        assert 0 < r["n_majority"] <= r["n_members"]
+        assert abs(r["purity"] - round(r["n_majority"] / r["n_members"], 6)) < 1e-9
+    # clusters must carry MORE label signal than the no-clustering
+    # baseline (global majority-label fraction ~ 1/10 here)
+    from collections import Counter
+
+    labels = Counter(
+        r["label"]
+        for r in read_testdata(spark, SF_SMOKE, "embeddings")
+        .select("label")
+        .collect()
+    )
+    baseline = max(labels.values()) / n
+    assert sum(r["n_majority"] for r in rows) / n > baseline
