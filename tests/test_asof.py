@@ -109,3 +109,83 @@ def test_multi_key_and_plan_shape(spark):
     # introduce a join (no BroadcastHashJoin/SortMergeJoin in the plan).
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_fuzz_against_pandas_merge_asof(spark):
+    """Randomized parity vs pandas.merge_asof — the definitional
+    reference for as-of semantics — across both directions and
+    with/without tolerance, on frames with no-match keys, equal
+    timestamps, and sub-second gaps. Right (key, time) pairs are
+    unique per the operator's contract."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(1234)
+    for trial in range(8):
+        n_keys = rng.randint(1, 4)
+        left_rows = []
+        right_rows = []
+        seen_right = set()
+        for i in range(rng.randint(5, 40)):
+            k = rng.randint(1, n_keys)
+            t = dt.datetime(2024, 1, 1) + dt.timedelta(
+                seconds=rng.randint(0, 3600), milliseconds=rng.choice([0, 250, 500])
+            )
+            left_rows.append((k, t, i))
+        for i in range(rng.randint(0, 30)):
+            k = rng.randint(1, n_keys + 1)  # may include keys left lacks
+            t = dt.datetime(2024, 1, 1) + dt.timedelta(
+                seconds=rng.randint(0, 3600), milliseconds=rng.choice([0, 250, 500])
+            )
+            if (k, t) in seen_right:
+                continue
+            seen_right.add((k, t))
+            right_rows.append((k, t, float(i)))
+        if not right_rows:
+            right_rows = [(1, dt.datetime(2024, 1, 1), 0.0)]
+        left = spark.createDataFrame(left_rows, "k int, t timestamp, lid int")
+        right = spark.createDataFrame(right_rows, "k int, t timestamp, price double")
+        for direction in ("backward", "forward"):
+            for tol in (None, 600.0):
+                got = {
+                    r["lid"]: (r["price"], r["t_right"])
+                    for r in asof_join(
+                        left,
+                        right,
+                        on="k",
+                        left_time="t",
+                        right_time="t",
+                        right_cols=["price"],
+                        direction=direction,
+                        tolerance_seconds=tol,
+                    ).collect()
+                }
+                lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values(
+                    "t", kind="stable"
+                )
+                rpdf = pd.DataFrame(
+                    right_rows, columns=["k", "t", "price"]
+                ).sort_values("t", kind="stable")
+                want_pdf = pd.merge_asof(
+                    lpdf,
+                    rpdf.rename(columns={"t": "t_right"}),
+                    left_on="t",
+                    right_on="t_right",
+                    by="k",
+                    direction=direction,
+                    tolerance=(
+                        pd.Timedelta(seconds=tol) if tol is not None else None
+                    ),
+                )
+                assert len(got) == len(left_rows), (trial, direction, tol)
+                for _, row in want_pdf.iterrows():
+                    g_price, g_t = got[row["lid"]]
+                    if pd.isna(row["price"]):
+                        assert g_price is None and g_t is None, (
+                            trial, direction, tol, row["lid"], g_price, g_t,
+                        )
+                    else:
+                        assert g_price == row["price"] and g_t == row[
+                            "t_right"
+                        ].to_pydatetime(), (trial, direction, tol, row["lid"])
