@@ -6786,3 +6786,78 @@ def ml_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pred_lang",
         (F.col("lang") == F.col("pred_lang")).alias("correct"),
     )
+
+
+# --- UDTF with a TABLE argument (PARTITION BY / ORDER BY) ------------------
+# The remaining Python-UDTF calling convention: a TABLE(...) argument
+# with PARTITION BY + ORDER BY, where the planner instantiates one
+# UDTF per partition and feeds it rows in the declared order — the
+# SQL-standard polymorphic-table-function shape (and how PTFs like
+# sessionize/match_recognize are packaged). The kernel records the
+# first/last row it SEES per partition, so the oracle (min_by/max_by
+# over a zero-padded composite order key) verifies the engine
+# actually delivered partition-complete, correctly-ordered input —
+# not just that the rows arrived. Scale: one exchange on the
+# partition key, in-partition sort, O(1) UDTF state per partition.
+
+
+@register(
+    "udtf_table_argument",
+    oracle="""
+    WITH k AS (
+      SELECT o_orderstatus, o_orderkey,
+             CAST(o_orderdate AS VARCHAR) || '|'
+               || lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS okey
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min_by(o_orderkey, okey) AS BIGINT) AS first_key,
+           CAST(max_by(o_orderkey, okey) AS BIGINT) AS last_key
+    FROM k GROUP BY o_orderstatus
+    """,
+)
+def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF consuming TABLE(orders) PARTITION BY o_orderstatus
+    ORDER BY (o_orderdate, o_orderkey): per-partition row count plus
+    the first/last order key in delivery order."""
+    from pyspark.sql.functions import udtf
+
+    class StatusProfile:
+        def __init__(self):
+            self.status = None
+            self.n = 0
+            self.first = None
+            self.last = None
+
+        def eval(self, row):
+            self.n += 1
+            if self.first is None:
+                self.first = row["o_orderkey"]
+                self.status = row["o_orderstatus"]
+            self.last = row["o_orderkey"]
+
+        def terminate(self):
+            if self.n:
+                yield self.status, self.n, self.first, self.last
+
+    spark.udtf.register(
+        "status_profile",
+        udtf(
+            StatusProfile,
+            returnType=(
+                "o_orderstatus string, n_orders bigint,"
+                " first_key bigint, last_key bigint"
+            ),
+        ),
+    )
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_tblarg_src")
+    return spark.sql(
+        """
+        SELECT * FROM status_profile(
+          TABLE(orders_tblarg_src)
+          PARTITION BY o_orderstatus
+          ORDER BY (o_orderdate, o_orderkey)
+        )
+        """
+    )

@@ -4309,3 +4309,96 @@ def sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error"
         ),
     )
+
+
+# --- content-defined chunking ----------------------------------------------
+# The chunking dedup STORAGE uses (LBFS/rsync/restic lineage): a
+# boundary falls wherever the rolling hash of the last 8 characters
+# hits 0 mod 64, so an insertion early in a document only re-chunks
+# the window it touched — fixed-size chunking (doc_chunking) would
+# shift every later boundary and defeat chunk-level dedup. Entirely
+# row-local nested HOFs (per-position 8-char fold, the shared
+# 31/1e9+7 polynomial), zero exchanges; the oracle replays the same
+# folds with DuckDB list functions, so boundaries are engine-exact.
+
+_CDC_W = 8
+_CDC_DIV = 64
+
+
+@register(
+    "doc_cdc_chunking",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n_chars,
+             list_transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_chars,
+             list_filter(range({_CDC_W}, n_chars + 1),
+               i -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT), codes[i - {_CDC_W - 1}:i]),
+                      (a, x) -> (a * 31 + x) % 1000000007
+                    ) % {_CDC_DIV} = 0) AS cuts
+      FROM c WHERE n_chars >= {_CDC_W}
+    ),
+    d AS (
+      SELECT doc_id, n_chars,
+             list_sort(list_distinct(list_prepend(0, list_append(cuts, n_chars)))) AS bounds
+      FROM b
+    ),
+    e AS (
+      SELECT doc_id, n_chars,
+             list_transform(range(2, len(bounds) + 1),
+                            j -> bounds[j] - bounds[j - 1]) AS lens
+      FROM d
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(lens) AS BIGINT) AS n_chunks,
+           round(n_chars * 1.0 / len(lens), 6) AS avg_chunk_len,
+           CAST(list_max(lens) AS BIGINT) AS max_chunk_len
+    FROM e
+    """,
+)
+def doc_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunk boundaries (rolling 8-char hash = 0 mod
+    64): per-doc chunk count, mean and max chunk length."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    codes = F.transform(
+        F.split("text", ""), lambda ch: F.ascii(ch).cast("bigint")
+    )
+    c = docs.select(
+        "doc_id", F.length("text").alias("n_chars"), codes.alias("codes")
+    ).where(F.col("n_chars") >= _CDC_W)
+    roll = lambda i: F.aggregate(  # noqa: E731 — 8-char window fold at i
+        F.slice("codes", i - F.lit(_CDC_W - 1), _CDC_W),
+        F.lit(0).cast("bigint"),
+        lambda a, x: (a * 31 + x) % 1000000007,
+    )
+    cuts = F.filter(
+        F.sequence(F.lit(_CDC_W), F.col("n_chars")),
+        lambda i: roll(i) % _CDC_DIV == 0,
+    )
+    d = c.select(
+        "doc_id",
+        "n_chars",
+        F.array_sort(
+            F.array_distinct(
+                F.concat(F.array(F.lit(0)), cuts, F.array(F.col("n_chars")))
+            )
+        ).alias("bounds"),
+    )
+    lens = F.transform(
+        F.sequence(F.lit(2), F.size("bounds")),
+        lambda j: F.element_at("bounds", j) - F.element_at("bounds", j - 1),
+    )
+    e = d.select("doc_id", "n_chars", lens.alias("lens"))
+    return e.select(
+        F.col("doc_id"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size("lens").cast("bigint").alias("n_chunks"),
+        F.round(F.col("n_chars") * F.lit(1.0) / F.size("lens"), 6).alias(
+            "avg_chunk_len"
+        ),
+        F.array_max("lens").cast("bigint").alias("max_chunk_len"),
+    )

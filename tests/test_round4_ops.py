@@ -1170,3 +1170,83 @@ def test_cluster_purity_counts_tie_out(spark):
     )
     baseline = max(labels.values()) / n
     assert sum(r["n_majority"] for r in rows) / n > baseline
+
+
+def test_udtf_table_argument_sees_ordered_partitions(spark):
+    """The UDTF's first/last keys must equal the (o_orderdate,
+    o_orderkey)-ordered first/last per status, and counts must cover
+    every order — i.e. the TABLE argument delivered complete
+    partitions in the declared order."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    orders = read_testdata(spark, SF_SMOKE, "orders").select(
+        "o_orderstatus", "o_orderdate", "o_orderkey"
+    ).collect()
+    by_status = defaultdict(list)
+    for r in orders:
+        by_status[r["o_orderstatus"]].append((r["o_orderdate"], r["o_orderkey"]))
+    got = {
+        r["o_orderstatus"]: (r["n_orders"], r["first_key"], r["last_key"])
+        for r in catalog.queries()["udtf_table_argument"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(by_status)
+    for st, rows in by_status.items():
+        rows.sort()
+        assert got[st] == (len(rows), rows[0][1], rows[-1][1])
+
+
+def _py_cdc_bounds(text: str, w: int, div: int) -> list[int]:
+    codes = [ord(c) for c in text]
+    cuts = []
+    for i in range(w, len(codes) + 1):
+        h = 0
+        for x in codes[i - w : i]:
+            h = (h * 31 + x) % 1000000007
+        if h % div == 0:
+            cuts.append(i)
+    bounds = sorted(set([0] + cuts + [len(codes)]))
+    return bounds
+
+
+def test_cdc_chunking_matches_python_recompute(spark):
+    """Chunk stats must equal a python replay of the rolling-hash
+    boundary rule on every smoke doc."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.text_queries import _CDC_DIV, _CDC_W
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in read_testdata(spark, SF_SMOKE, "documents").collect()
+    }
+    rows = catalog.queries()["doc_cdc_chunking"](spark, SF_SMOKE).collect()
+    assert rows
+    saw_multi = False
+    for r in rows:
+        b = _py_cdc_bounds(texts[r["doc_id"]], _CDC_W, _CDC_DIV)
+        lens = [b[j] - b[j - 1] for j in range(1, len(b))]
+        assert r["n_chunks"] == len(lens)
+        assert r["max_chunk_len"] == max(lens)
+        assert abs(r["avg_chunk_len"] - round(r["n_chars"] / len(lens), 6)) < 1e-9
+        saw_multi = saw_multi or len(lens) > 1
+    assert saw_multi
+
+
+def test_cdc_chunking_boundaries_are_edit_local(spark):
+    """The property fixed-size chunking lacks: editing a prefix must
+    leave all boundaries beyond the edit's hash window unchanged
+    (shifted by the insertion length), so chunk-level dedup still
+    matches the untouched tail."""
+    from mapreduce_word2vec_spark.plans.text_queries import _CDC_DIV, _CDC_W
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = base[:10] + "XYZ" + base[10:]
+    b0 = _py_cdc_bounds(base, _CDC_W, _CDC_DIV)
+    b1 = _py_cdc_bounds(edited, _CDC_W, _CDC_DIV)
+    horizon = 10 + 3 + _CDC_W
+    tail0 = [x for x in b0 if x > horizon]
+    tail1 = [x - 3 for x in b1 if x > horizon]
+    assert tail0 == tail1 and tail0  # tail boundaries survive the edit
