@@ -436,3 +436,36 @@ def ngram_containment_pairs(
         F.col("shared").cast("bigint").alias("shared"),
         containment.alias("containment"),
     ).where(containment >= threshold)
+
+
+def minhash_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct banded-LSH candidate (id_a, id_b) pairs — the blocking
+    stage downstream verifiers (edit distance, exact Jaccard,
+    embedding cosine) consume. Same banding as
+    :func:`minhash_lsh_pairs` but ids only: the shuffle carries
+    (band, key, doc_id) triples, never signatures or text, and the
+    pair count is bounded by bucket sizes (high-entropy 4-hash keys),
+    not by corpus length quantiles."""
+    sigs = minhash_signatures(df, id_col=id_col, text_col=text_col)
+    rows_per_band = len(MINHASH_COEFFS) // MINHASH_BANDS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.slice("sig", i * rows_per_band + 1, rows_per_band).alias(
+                            "key"
+                        ),
+                    )
+                    for i in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    return _bucket_pairs(bands, [])

@@ -1717,14 +1717,16 @@ def dedup_lsh_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- edit-distance verification --------------------------------------------
 # The verifier production near-dup pipelines run AFTER banding: exact
-# Levenshtein on the candidate pairs the cheap blocking stage emits.
-# Blocking here is (lang, 64-char length bucket) — deterministic and
-# SQL-expressible so the oracle reproduces the exact candidate set; in
-# the full pipeline the candidates would come from dedup_minhash_lsh.
-# Cost is bounded twice: pairs only within a block, and the DP only on
-# the first 160 chars per side (O(160²), whole-stage-codegen'd JVM
-# levenshtein — no Python). The 160-char heads are the ONLY text that
-# shuffles; at 100 TB that is ~1/300 of the corpus bytes.
+# Levenshtein on the candidate pairs the MinHash banding stage emits
+# (the same banding dedup_minhash_lsh is graded on — blocking by
+# coarse length buckets was measured 80 s at sf0.1 because length
+# quantiles make O(n²) buckets; band buckets are high-entropy and
+# stay small by design, 1.4 s same corpus). Cost is bounded twice:
+# pairs only within a band bucket, and the DP only on the first 160
+# chars per side (O(160²), whole-stage-codegen'd JVM levenshtein —
+# no Python). The 160-char heads are the ONLY text that moves past
+# the scan, joined to the id-pair table; at 100 TB that is ~1/300 of
+# corpus bytes over a candidate set ~linear in the dup count.
 
 _EDIT_HEAD = 160
 
@@ -1732,47 +1734,48 @@ _EDIT_HEAD = 160
 @register(
     "dedup_edit_distance",
     oracle=f"""
-    WITH c AS (
-      SELECT doc_id, lang,
-             CAST(floor(n_chars / 64) AS BIGINT) AS bucket,
-             substr(text, 1, {_EDIT_HEAD}) AS head
-      FROM documents
+    WITH {{_sig}},
+    bands AS (
+      SELECT doc_id, band,
+             sig[band * {_ROWS_PER_BAND} + 1 : band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}] AS key
+      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
     ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+      WHERE a.doc_id < b.doc_id
+    ),
+    h AS (SELECT doc_id, substr(text, 1, {_EDIT_HEAD}) AS head FROM documents),
     pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             CAST(levenshtein(a.head, b.head) AS BIGINT) AS dist,
-             greatest(length(a.head), length(b.head)) AS m
-      FROM c a JOIN c b
-        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      SELECT id_a, id_b,
+             CAST(levenshtein(ha.head, hb.head) AS BIGINT) AS dist,
+             greatest(length(ha.head), length(hb.head)) AS m
+      FROM cand
+      JOIN h ha ON cand.id_a = ha.doc_id
+      JOIN h hb ON cand.id_b = hb.doc_id
     )
     SELECT id_a, id_b, dist, round(1.0 - dist / m, 6) AS sim
     FROM pairs
     WHERE 1.0 - dist / m >= 0.5
-    """,
+    """.replace("{_sig}", _minhash_sig_sql()),
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs verified by exact Levenshtein distance on
-    160-char heads, candidates blocked by (lang, 64-char length
-    bucket); keeps pairs with normalized similarity ≥ 0.5."""
+    160-char heads over MinHash-band candidates; keeps pairs with
+    normalized similarity ≥ 0.5."""
+    from mapreduce_word2vec_spark.operators.dedup import minhash_candidates
+
     docs = read_testdata(spark, sf_dir, "documents")
-    c = docs.select(
-        "doc_id",
-        "lang",
-        F.floor(F.col("n_chars") / 64).cast("bigint").alias("bucket"),
-        F.substring("text", 1, _EDIT_HEAD).alias("head"),
-    )
-    a = c.select(
-        F.col("doc_id").alias("id_a"), "lang", "bucket", F.col("head").alias("head_a")
-    )
-    b = c.select(
-        F.col("doc_id").alias("id_b"), "lang", "bucket", F.col("head").alias("head_b")
-    )
+    cand = minhash_candidates(docs)
+    h = docs.select("doc_id", F.substring("text", 1, _EDIT_HEAD).alias("head"))
+    ha = h.select(F.col("doc_id").alias("id_a"), F.col("head").alias("head_a"))
+    hb = h.select(F.col("doc_id").alias("id_b"), F.col("head").alias("head_b"))
     dist = F.levenshtein("head_a", "head_b").cast("bigint")
     m = F.greatest(F.length("head_a"), F.length("head_b"))
     sim = F.lit(1.0) - F.col("dist") / F.col("m")
     return (
-        a.join(b, ["lang", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
         .select("id_a", "id_b", dist.alias("dist"), m.alias("m"))
         .where(sim >= 0.5)
         .select("id_a", "id_b", "dist", F.round(sim, 6).alias("sim"))

@@ -712,9 +712,16 @@ def test_stream_observe_reports_per_batch(spark):
 
 
 def test_edit_distance_matches_python_bruteforce(spark):
-    """The blocked Levenshtein pairs must agree with a driver-side
-    brute force (python DP) over the same blocking on the smoke
-    corpus — distance values included, not just the pair set."""
+    """The banded Levenshtein pairs must agree with a fully
+    independent python pipeline — tokenize, shingle, minhash, band,
+    pair, DP — on the smoke corpus, distance values included."""
+    import re
+
+    from mapreduce_word2vec_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_COEFFS,
+        MINHASH_P,
+    )
     from mapreduce_word2vec_spark.plans import catalog
     from mapreduce_word2vec_spark.plans.dedup_queries import _EDIT_HEAD
     from mapreduce_word2vec_spark.sources.readers import read_testdata
@@ -730,22 +737,40 @@ def test_edit_distance_matches_python_bruteforce(spark):
             prev = cur
         return prev[-1]
 
+    def strhash(x: str) -> int:
+        h = 0
+        for c in x:
+            h = (h * 31 + ord(c)) % 1000000007
+        return h
+
     rows = read_testdata(spark, SF_SMOKE, "documents").select(
-        "doc_id", "lang", "n_chars", "text"
+        "doc_id", "text"
     ).collect()
-    blocks: dict[tuple, list] = {}
+    word = re.compile(r"^[a-z]+$", re.ASCII)
+    r_per_b = len(MINHASH_COEFFS) // MINHASH_BANDS
+    buckets: dict = {}
+    heads = {}
     for r in rows:
-        blocks.setdefault((r["lang"], r["n_chars"] // 64), []).append(
-            (r["doc_id"], r["text"][:_EDIT_HEAD])
-        )
+        heads[r["doc_id"]] = r["text"][:_EDIT_HEAD]
+        ws = [w for w in re.split(r"\W+", r["text"].lower(), flags=re.ASCII) if word.match(w)]
+        shingles = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if not shingles:
+            continue
+        hs = [strhash(s) for s in shingles]
+        sig = [min((a * h + b) % MINHASH_P for h in hs) for a, b in MINHASH_COEFFS]
+        for bidx in range(MINHASH_BANDS):
+            key = (bidx, tuple(sig[bidx * r_per_b : (bidx + 1) * r_per_b]))
+            buckets.setdefault(key, []).append(r["doc_id"])
     want = {}
-    for members in blocks.values():
-        members.sort()
+    for members in buckets.values():
+        members = sorted(set(members))
         for i in range(len(members)):
             for j in range(i + 1, len(members)):
-                (ida, ta), (idb, tb) = members[i], members[j]
-                d = lev(ta, tb)
-                m = max(len(ta), len(tb))
+                ida, idb = members[i], members[j]
+                if (ida, idb) in want:
+                    continue
+                d = lev(heads[ida], heads[idb])
+                m = max(len(heads[ida]), len(heads[idb]))
                 if 1.0 - d / m >= 0.5:
                     want[(ida, idb)] = d
     got = {
