@@ -1926,3 +1926,127 @@ def graph_bfs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node")
     )
     return bfs_hops(pairs, seeds, max_hops=4)
+
+
+# --- the blocking stage as a first-class output ----------------------------
+# The candidate PAIR SET itself, before any verifier: what you hand to
+# the edit-distance / embedding-cosine / exact-Jaccard verifiers, and
+# the quantity whose size you monitor to catch banding regressions
+# (a degenerate band key shows up as a candidate explosion long
+# before a verifier melts down). Shuffle carries (band, key, id)
+# triples only.
+
+
+@register(
+    "dedup_minhash_candidates",
+    oracle=f"""
+    WITH {{_sig}},
+    bands AS (
+      SELECT doc_id, band,
+             sig[band * {_ROWS_PER_BAND} + 1 : band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}] AS key
+      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+    WHERE a.doc_id < b.doc_id
+    """.replace("{_sig}", _minhash_sig_sql()),
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH candidate pairs (ids only) — the shared blocking
+    stage downstream verifiers consume."""
+    from mapreduce_word2vec_spark.operators.dedup import minhash_candidates
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return minhash_candidates(docs)
+
+
+# --- deterministic random-walk positive pairs ------------------------------
+# DeepWalk/node2vec training data without RNG state: the walk's
+# "random" choice at (node, step) is the neighbor minimizing
+# md5(node || step || neighbor) — deterministic, reproducible across
+# engines and retries (the property production walk generators get
+# from seeded per-edge hashing), and oracle-able via min_by on the
+# same key. Two steps from every node of the co-purchase graph emit
+# (start, visited, step) skip-gram-style positive pairs. Scale shape:
+# each step is ONE join adjacency-on-frontier + min_by aggregation —
+# O(walk_length) rounds like pagerank, no per-walk state.
+
+
+@register(
+    "graph_walk_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    s1 AS (
+      SELECT u AS start, min_by(v, md5(CAST(u AS VARCHAR) || ':1:' || CAST(v AS VARCHAR))) AS n1
+      FROM adj GROUP BY u
+    ),
+    s2 AS (
+      SELECT s1.start, s1.n1,
+             min_by(a.v, md5(CAST(s1.n1 AS VARCHAR) || ':2:' || CAST(a.v AS VARCHAR))) AS n2
+      FROM s1 JOIN adj a ON a.u = s1.n1
+      GROUP BY s1.start, s1.n1
+    )
+    SELECT start, CAST(1 AS INT) AS step, n1 AS visited FROM s2
+    UNION ALL
+    SELECT start, CAST(2 AS INT) AS step, n2 AS visited FROM s2
+    """,
+)
+def graph_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step deterministic random walks over the co-purchase graph:
+    (start, step, visited) positive pairs, next hop = min-md5
+    neighbor."""
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    ev = read_testdata(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+    )
+    a = p.select(F.col("user_id").alias("id_a"), "b")
+    bb = p.select(F.col("user_id").alias("id_b"), "b")
+    edges = (
+        a.join(bb, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    adj = tracked_persist(
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+            edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+        )
+    )
+    def hop(node_col: str, step: int) -> F.Column:
+        return F.md5(
+            F.concat(
+                F.col(node_col).cast("string"),
+                F.lit(f":{step}:"),
+                F.col("v").cast("string"),
+            )
+        )
+
+    s1 = adj.groupBy(F.col("u").alias("start")).agg(
+        F.min_by("v", hop("u", 1)).alias("n1")
+    )
+    s2 = (
+        s1.join(adj, s1.n1 == adj.u)
+        .groupBy("start", "n1")
+        .agg(F.min_by("v", hop("n1", 2)).alias("n2"))
+    )
+    out1 = s2.select("start", F.lit(1).alias("step"), F.col("n1").alias("visited"))
+    out2 = s2.select("start", F.lit(2).alias("step"), F.col("n2").alias("visited"))
+    return out1.unionByName(out2)

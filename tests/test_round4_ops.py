@@ -1275,3 +1275,73 @@ def test_cdc_chunking_boundaries_are_edit_local(spark):
     tail0 = [x for x in b0 if x > horizon]
     tail1 = [x - 3 for x in b1 if x > horizon]
     assert tail0 == tail1 and tail0  # tail boundaries survive the edit
+
+
+def test_walk_pairs_match_python_walk(spark):
+    """The two-step walks must equal a python replay of the min-md5
+    next-hop rule over the collected adjacency."""
+    import hashlib
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+    from pyspark.sql import functions as SF
+
+    sf = "/root/testdata/sf0.01"  # smoke graph has few edges
+    p = (
+        read_testdata(spark, sf, "events")
+        .where(SF.col("event_type") == "purchase")
+        .select("user_id", SF.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+        .collect()
+    )
+    byb = defaultdict(set)
+    for r in p:
+        byb[r["b"]].add(r["user_id"])
+    nbrs = defaultdict(set)
+    for us in byb.values():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                nbrs[us[i]].add(us[j])
+                nbrs[us[j]].add(us[i])
+
+    def pick(u: int, step: int) -> int:
+        return min(
+            nbrs[u], key=lambda v: hashlib.md5(f"{u}:{step}:{v}".encode()).hexdigest()
+        )
+
+    want = set()
+    for u in nbrs:
+        n1 = pick(u, 1)
+        want.add((u, 1, n1))
+        want.add((u, 2, pick(n1, 2)))
+    got = {
+        (r["start"], r["step"], r["visited"])
+        for r in catalog.queries()["graph_walk_pairs"](spark, sf).collect()
+    }
+    assert got == want and want
+
+
+def test_minhash_candidates_superset_of_verified_outputs(spark):
+    """The registered candidate stage must contain every pair the
+    downstream verifiers emit (LSH-estimated and edit-distance) —
+    they consume exactly this blocking."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in catalog.queries()["dedup_minhash_candidates"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert cand
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in catalog.queries()["dedup_minhash_lsh"](spark, SF_SMOKE).collect()
+    }
+    edit = {
+        (r["id_a"], r["id_b"])
+        for r in catalog.queries()["dedup_edit_distance"](spark, SF_SMOKE).collect()
+    }
+    assert lsh <= cand and edit <= cand
