@@ -6861,3 +6861,95 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+# --- SQL scripting (BEGIN/DECLARE/WHILE) -----------------------------------
+# Spark 4's SQL-scripting surface: procedural control flow around
+# declarative statements. The script runs an exponential search — the
+# canonical "loop until a data-dependent predicate flips" job that
+# pure SQL can't express without materializing every iteration —
+# doubling a revenue threshold until < 1% of orders exceed it. Each
+# iteration is one full declarative COUNT (scans stay distributed,
+# whole-stage-codegen'd); the script only carries two scalars between
+# iterations, which is exactly the driver-side-state contract
+# ml_logreg_gd pins for iterative algorithms. The oracle evaluates
+# all 31 candidate thresholds in one grouped pass and picks the first
+# passing one — same fixed point, no loop.
+
+
+@register(
+    "sql_scripting_loop",
+    oracle="""
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM orders),
+    ks AS (SELECT unnest(range(0, 31)) AS k),
+    cnt AS (
+      SELECT k, 100.0 * power(2, k) AS t,
+             CAST(count(CASE WHEN o_totalprice > 100.0 * power(2, k) THEN 1 END)
+                  AS BIGINT) AS n_above
+      FROM ks CROSS JOIN orders GROUP BY k
+    ),
+    hit AS (
+      SELECT c.k, c.t, c.n_above, tot.n_total
+      FROM cnt c CROSS JOIN tot
+      WHERE c.n_above * 100 < tot.n_total
+    )
+    SELECT t AS threshold, n_above, n_total FROM hit ORDER BY k LIMIT 1
+    """,
+)
+def sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-scripting WHILE loop: exponential search for the smallest
+    100·2^k revenue threshold that fewer than 1% of orders exceed."""
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_script_src")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE t DOUBLE DEFAULT 100.0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE total BIGINT DEFAULT 0;
+          SET total = (SELECT count(*) FROM orders_script_src);
+          SET n = (SELECT count(*) FROM orders_script_src WHERE o_totalprice > t);
+          WHILE n * 100 >= total DO
+            SET t = t * 2;
+            SET n = (SELECT count(*) FROM orders_script_src WHERE o_totalprice > t);
+          END WHILE;
+          SELECT CAST(t AS DOUBLE) AS threshold,
+                 CAST(n AS BIGINT) AS n_above,
+                 CAST(total AS BIGINT) AS n_total;
+        END
+        """
+    )
+
+
+# --- EXECUTE IMMEDIATE -----------------------------------------------------
+# Dynamic SQL with bound parameters — the surface metadata-driven
+# pipelines use to run generated statements (per-tenant filters,
+# config-driven dimensions) without string-splicing values. The
+# statement text arrives via a session variable, the parameter binds
+# via USING, so the plan cache can reuse the compiled query across
+# bindings and injection is structurally impossible.
+
+
+@register(
+    "sql_execute_immediate",
+    oracle="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 6) AS revenue
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE with a USING bind: per-priority rollup of
+    'F'-status orders from a dynamically supplied statement."""
+    rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_execimm_src")
+    spark.sql("DECLARE OR REPLACE VARIABLE stmt_execimm STRING")
+    spark.sql(
+        """SET VAR stmt_execimm =
+           'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o_totalprice), 6) AS revenue
+            FROM orders_execimm_src WHERE o_orderstatus = ?
+            GROUP BY o_orderpriority'
+        """
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE status_execimm STRING DEFAULT 'F'")
+    return spark.sql("EXECUTE IMMEDIATE stmt_execimm USING status_execimm")

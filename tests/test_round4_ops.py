@@ -1345,3 +1345,51 @@ def test_minhash_candidates_superset_of_verified_outputs(spark):
         for r in catalog.queries()["dedup_edit_distance"](spark, SF_SMOKE).collect()
     }
     assert lsh <= cand and edit <= cand
+
+
+def test_scripting_loop_finds_true_fixed_point(spark):
+    """The scripted threshold must be the SMALLEST 100·2^k with under
+    1% of orders above it — one k lower must fail the predicate
+    (python recompute over collected prices)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    prices = [
+        r["o_totalprice"]
+        for r in read_testdata(spark, SF_SMOKE, "orders").collect()
+    ]
+    row = catalog.queries()["sql_scripting_loop"](spark, SF_SMOKE).head()
+    t, n_above, n_total = row["threshold"], row["n_above"], row["n_total"]
+    assert n_total == len(prices)
+    assert n_above == sum(1 for p in prices if p > t)
+    assert n_above * 100 < n_total
+    if t > 100.0:  # the previous iteration must have failed
+        prev = t / 2
+        assert sum(1 for p in prices if p > prev) * 100 >= n_total
+
+
+def test_execute_immediate_binding_actually_filters(spark):
+    """Rebinding the USING variable must change the result set —
+    the parameter is live, not baked into the statement text."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    out_f = catalog.queries()["sql_execute_immediate"](spark, SF_SMOKE)
+    total_f = sum(r["n_orders"] for r in out_f.collect())
+    want_f = (
+        read_testdata(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert total_f == want_f
+    spark.sql("SET VAR status_execimm = 'O'")
+    total_o = sum(
+        r["n_orders"]
+        for r in spark.sql("EXECUTE IMMEDIATE stmt_execimm USING status_execimm").collect()
+    )
+    want_o = (
+        read_testdata(spark, SF_SMOKE, "orders")
+        .where(F.col("o_orderstatus") == "O")
+        .count()
+    )
+    assert total_o == want_o and total_o != total_f
