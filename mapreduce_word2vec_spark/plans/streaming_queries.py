@@ -3080,3 +3080,86 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("credit_mid_each"),
         )
     )
+
+
+# --- difference-in-differences estimate ------------------------------------
+# The experimentation-analytics companion to events_ab_ttest: a 2×2
+# DiD design over purchase values — treatment arm = even user_id
+# (stand-in for an assignment table), cutover = Jan 16 — reporting
+# the four cell means and the DiD effect estimate
+# (post_t − pre_t) − (post_c − pre_c). Float discipline: cell sums
+# accumulate as DECIMAL(18,6) of the 6-dp-rounded values
+# (order-proof); the means and the estimate drop to doubles only at
+# the end, via the same exact-sum/count division on both engines.
+# One narrow scan, one 4-row aggregation — nothing else moves.
+
+
+@register(
+    "events_did_estimate",
+    oracle="""
+    WITH cells AS (
+      SELECT (user_id % 2 = 0) AS treated,
+             (ts >= TIMESTAMP '2024-01-16 00:00:00') AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(round(value, 6) AS DECIMAL(18,6))) AS s
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT treated, post, n, round(CAST(s AS DOUBLE) / n, 6) AS mean_value
+      FROM cells
+    ),
+    w AS (
+      SELECT
+        max(CASE WHEN treated AND post THEN mean_value END) AS t_post,
+        max(CASE WHEN treated AND NOT post THEN mean_value END) AS t_pre,
+        max(CASE WHEN NOT treated AND post THEN mean_value END) AS c_post,
+        max(CASE WHEN NOT treated AND NOT post THEN mean_value END) AS c_pre
+      FROM m
+    )
+    SELECT m.treated, m.post, m.n, m.mean_value,
+           round((w.t_post - w.t_pre) - (w.c_post - w.c_pre), 6) AS did_estimate
+    FROM m CROSS JOIN w
+    """,
+)
+def events_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 difference-in-differences over purchase values: cell
+    means (treated × post) plus the DiD effect estimate on every
+    row."""
+    ev = read_testdata(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    cells = ev.groupBy(
+        (F.col("user_id") % 2 == 0).alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp")).alias(
+            "post"
+        ),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round("value", 6).cast("decimal(18,6)")).alias("s"),
+    )
+    m = cells.select(
+        "treated",
+        "post",
+        "n",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("mean_value"),
+    )
+    pick = lambda t, p: F.max(  # noqa: E731 — 2×2 cell extractor
+        F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_value"))
+    )
+    w = m.agg(
+        pick(True, True).alias("t_post"),
+        pick(True, False).alias("t_pre"),
+        pick(False, True).alias("c_post"),
+        pick(False, False).alias("c_pre"),
+    )
+    return m.crossJoin(F.broadcast(w)).select(
+        "treated",
+        "post",
+        "n",
+        "mean_value",
+        F.round(
+            (F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )

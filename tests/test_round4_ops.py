@@ -1393,3 +1393,40 @@ def test_execute_immediate_binding_actually_filters(spark):
         .count()
     )
     assert total_o == want_o and total_o != total_f
+
+
+def test_did_estimate_reconstructs_from_cells(spark):
+    """The DiD estimate must equal (t_post−t_pre)−(c_post−c_pre)
+    recomputed from the four reported cell means, all four cells must
+    be present, and cell means must match a python recompute."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    import datetime as dt
+
+    rows = catalog.queries()["events_did_estimate"](spark, SF_SMOKE).collect()
+    cells = {(r["treated"], r["post"]): r for r in rows}
+    assert set(cells) == {(True, True), (True, False), (False, True), (False, False)}
+    did = rows[0]["did_estimate"]
+    m = {k: v["mean_value"] for k, v in cells.items()}
+    want = round(
+        (m[(True, True)] - m[(True, False)])
+        - (m[(False, True)] - m[(False, False)]),
+        6,
+    )
+    assert abs(did - want) < 1e-9
+    cut = dt.datetime(2024, 1, 16)
+    acc = defaultdict(lambda: [0, 0.0])
+    for r in (
+        read_testdata(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "purchase")
+        .collect()
+    ):
+        k = (r["user_id"] % 2 == 0, r["ts"] >= cut)
+        acc[k][0] += 1
+        acc[k][1] += round(r["value"], 6)
+    for k, (n, s) in acc.items():
+        assert cells[k]["n"] == n
+        assert abs(cells[k]["mean_value"] - round(s / n, 6)) < 1e-6
