@@ -67,6 +67,11 @@ SHOWCASE = [
     ("sample_weighted_reservoir", "weighted sample = TakeOrderedAndProject heap over hash-derived keys — one pass, no global sort, no rand()"),
     ("join_interval_overlap", "interval x interval as a hash equi-join on (user, bin) with residual overlap predicate — no BNLJ"),
     ("agg_bitmap_distinct", "exact distinct via bit_or lane partials — shuffle bounded by domain/64, not distinct pairs"),
+    ("dedup_edit_distance", "Levenshtein verifier over banded LSH candidates — codegen'd DP on 160-char heads; candidate pairs, never all-pairs"),
+    ("ml_naive_bayes_lang", "NB model table (vocab x langs) broadcast for scoring; corpus contributes (doc, word, tf) triples — text never shuffles"),
+    ("graph_bfs_contamination", "bounded BFS: per-level frontier join + anti-join against accumulated distances over a persisted edge list"),
+    ("knn_nprobe_sweep", "centroid ranks persisted ONCE; every sweep point is a rn<=nprobe filter plus one bucketed scoring join"),
+    ("udf_window_grouped_agg", "vectorized UDAF as a window function: ArrowWindowPython riding ONE partition-key exchange, no join-back"),
 ]
 
 
