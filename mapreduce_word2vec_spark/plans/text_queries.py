@@ -4402,3 +4402,63 @@ def doc_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.array_max("lens").cast("bigint").alias("max_chunk_len"),
     )
+
+
+# --- BPE fertility contract (oracle-backed companion) ----------------------
+# The fertility HISTOGRAM's bucket keys are merge-table-dependent
+# (rows-only), but its marginals and invariants are not: total word
+# types and occurrences are corpus facts DuckDB reproduces, and a
+# correct encoder can never emit fewer than 1 subword, more subwords
+# than characters, or lose/duplicate probability mass across buckets.
+# This companion folds the histogram into those engine-checkable
+# facts + falsifiable booleans, giving the tokenizer family its first
+# full-value driver check without degrading the histogram query.
+
+
+@register(
+    "tokenizer_bpe_contract",
+    oracle=f"""
+    WITH w AS (
+      SELECT word, count(*) AS freq FROM (
+        SELECT unnest({_SQL_TOKENS}) AS word FROM documents
+      ) GROUP BY word
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences,
+           TRUE AS fertility_min_ok,
+           TRUE AS fertility_bounded_ok
+    FROM w
+    """,
+)
+def tokenizer_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-conservation + bounds contract over the learned BPE's
+    fertility histogram: type/occurrence totals must equal the corpus
+    vocabulary's, every word must encode to between 1 and len(word)
+    subwords."""
+    from mapreduce_word2vec_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe_merges,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(tokens_expr("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    rules = train_bpe_merges(wf, n_merges=_BPE_MERGES)
+    enc = wf.select(
+        "word",
+        "freq",
+        F.size(
+            F.element_at(encode_with_merges(F.array(F.col("word")), rules), 1)
+        ).alias("n_subwords"),
+    )
+    return enc.agg(
+        F.count("*").cast("bigint").alias("n_types"),
+        F.sum("freq").cast("bigint").alias("n_occurrences"),
+        F.min(F.col("n_subwords") >= 1).alias("fertility_min_ok"),
+        F.min(F.col("n_subwords") <= F.length("word")).alias(
+            "fertility_bounded_ok"
+        ),
+    )

@@ -1430,3 +1430,22 @@ def test_did_estimate_reconstructs_from_cells(spark):
     for k, (n, s) in acc.items():
         assert cells[k]["n"] == n
         assert abs(cells[k]["mean_value"] - round(s / n, 6)) < 1e-6
+
+
+def test_bpe_contract_booleans_are_falsifiable(spark):
+    """The contract's booleans must actually trip on a broken
+    encoding: zero subwords flips fertility_min_ok, more subwords
+    than characters flips fertility_bounded_ok."""
+    from mapreduce_word2vec_spark.plans import catalog
+
+    row = catalog.queries()["tokenizer_bpe_contract"](spark, SF_SMOKE).head()
+    assert row["fertility_min_ok"] and row["fertility_bounded_ok"]
+    assert row["n_types"] > 0 and row["n_occurrences"] >= row["n_types"]
+    bad = spark.createDataFrame(
+        [("ab", 0), ("cd", 5)], "word string, n_subwords int"
+    )
+    checked = bad.agg(
+        F.min(F.col("n_subwords") >= 1).alias("min_ok"),
+        F.min(F.col("n_subwords") <= F.length("word")).alias("bound_ok"),
+    ).head()
+    assert not checked["min_ok"] and not checked["bound_ok"]
