@@ -139,7 +139,8 @@ _PRIORITY = (
 # graph_bfs_contamination, ml_naive_bayes_lang, udf_window_grouped_agg,
 # emb_cluster_purity, udtf_table_argument, doc_cdc_chunking,
 # dedup_minhash_candidates, graph_walk_pairs, sql_scripting_loop,
-# sql_execute_immediate, events_did_estimate, tokenizer_bpe_contract), then
+# sql_execute_immediate, events_did_estimate, tokenizer_bpe_contract,
+# events_interval_coalesce), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

@@ -3163,3 +3163,79 @@ def events_did_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_estimate"),
     )
+
+
+# --- interval coalescing (episode merge) -----------------------------------
+# The interval-union operator incident timelines need: every error
+# event opens a 5-minute impact window; overlapping or touching
+# windows per user merge into one EPISODE. Classic cumulative-max
+# gaps-and-islands — an island starts where the event's start exceeds
+# the running max end of everything earlier — so the whole merge is
+# TWO window functions on ONE user_id exchange, never an
+# interval-by-interval self-join (which is quadratic per user at
+# incident-storm density). µs integer arithmetic end to end; both
+# engines see identical island ids.
+
+
+@register(
+    "events_interval_coalesce",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events WHERE event_type = 'error'
+    ),
+    m AS (
+      SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT user_id, s, e,
+             sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e) AS episode
+      FROM m
+    )
+    SELECT user_id, CAST(episode AS BIGINT) AS episode,
+           CAST(min(s) AS BIGINT) AS start_us,
+           CAST(max(e) AS BIGINT) AS end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(e) - min(s) AS BIGINT) AS duration_us
+    FROM isl GROUP BY user_id, episode
+    """,
+)
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged error-impact episodes per user: 5-minute windows around
+    error events coalesced by cumulative-max islands."""
+    from pyspark.sql import Window
+
+    iv = (
+        read_testdata(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+        )
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = iv.withColumn("prev_max_e", prev_max)
+    isl = m.withColumn(
+        "episode",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+                1,
+            ).otherwise(0)
+        ).over(w_ord),
+    )
+    return isl.groupBy("user_id", F.col("episode").cast("bigint").alias("episode")).agg(
+        F.min("s").cast("bigint").alias("start_us"),
+        F.max("e").cast("bigint").alias("end_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+        (F.max("e") - F.min("s")).cast("bigint").alias("duration_us"),
+    )

@@ -1449,3 +1449,41 @@ def test_bpe_contract_booleans_are_falsifiable(spark):
         F.min(F.col("n_subwords") <= F.length("word")).alias("bound_ok"),
     ).head()
     assert not checked["min_ok"] and not checked["bound_ok"]
+
+
+def test_interval_coalesce_matches_python_merge(spark):
+    """Episodes must equal a python sweep-line merge of the 5-minute
+    windows, and multi-event episodes must exist (the merge is
+    non-vacuous)."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.01"
+    ivs = defaultdict(list)
+    for r in (
+        read_testdata(spark, sf, "events")
+        .where(F.col("event_type") == "error")
+        .select("user_id", F.unix_micros("ts").alias("s"))
+        .collect()
+    ):
+        ivs[r["user_id"]].append((r["s"], r["s"] + 300_000_000))
+    want = set()
+    for uid, xs in ivs.items():
+        xs.sort()
+        cur_s, cur_e, n = xs[0][0], xs[0][1], 1
+        for s, e in xs[1:]:
+            if s > cur_e:
+                want.add((uid, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+            else:
+                cur_e = max(cur_e, e)
+                n += 1
+        want.add((uid, cur_s, cur_e, n))
+    got = {
+        (r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+        for r in catalog.queries()["events_interval_coalesce"](spark, sf).collect()
+    }
+    assert got == want
+    assert any(n > 1 for (_, _, _, n) in want)  # merging actually happened
