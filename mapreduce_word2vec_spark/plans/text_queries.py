@@ -4462,3 +4462,51 @@ def tokenizer_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility_bounded_ok"
         ),
     )
+
+
+# --- group-aware (leakage-safe) splitting ----------------------------------
+# split_train_val_test hashes the DOCUMENT id, which lets two
+# near-identical documents from one crawl source straddle train/test
+# — the leakage dedup_split_leakage exists to detect. The group-aware
+# split (sklearn GroupShuffleSplit semantics) hashes the SOURCE via
+# the shared cross-engine polynomial (functions.text.string_hash_expr
+# — Spark's murmur3 hash() and DuckDB's hash() do NOT agree), then
+# the same overflow-safe multiplicative bucket, so a group is
+# atomically train, val, or test and cross-split near-dup pairs from
+# one source are structurally impossible. Still zero shuffle — the
+# split is a row-local projection.
+
+
+@register(
+    "split_group_aware",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, source,
+             (((list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(split(source, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % {_SAMPLE_HASH_M})
+                * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} >> 16) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def split_group_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-atomic 80/10/10 split keyed on source: every document of
+    a source lands in the same split."""
+    from mapreduce_word2vec_spark.functions.text import string_hash_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    h = string_hash_expr(F.col("source"))
+    b = (h % _SAMPLE_HASH_M) * _SAMPLE_HASH_A % _SAMPLE_HASH_M
+    bucket = F.shiftright(b, 16) % 100
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

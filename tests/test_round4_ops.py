@@ -1487,3 +1487,29 @@ def test_interval_coalesce_matches_python_merge(spark):
     }
     assert got == want
     assert any(n > 1 for (_, _, _, n) in want)  # merging actually happened
+
+
+def test_group_split_is_atomic_per_source(spark):
+    """Every source must map to exactly ONE split (the leakage
+    guarantee), all three splits must be populated across sources,
+    and — unlike the per-doc split — no source may straddle."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = catalog.queries()["split_group_aware"](spark, SF_SMOKE).collect()
+    per_source = defaultdict(set)
+    for r in rows:
+        per_source[r["source"]].add(r["split"])
+    assert all(len(v) == 1 for v in per_source.values())
+    # with ~20 source groups a 10% band can legitimately be empty —
+    # require the split to be non-degenerate, not fully populated
+    assert len({next(iter(v)) for v in per_source.values()}) >= 2
+    # contrast: the per-document split DOES straddle sources (that is
+    # the leakage this operator exists to prevent)
+    doc_split = catalog.queries()["split_train_val_test"](spark, SF_SMOKE).collect()
+    src_of = {r["doc_id"]: r["source"] for r in rows}
+    straddle = defaultdict(set)
+    for r in doc_split:
+        straddle[src_of[r["doc_id"]]].add(r["split"])
+    assert any(len(v) > 1 for v in straddle.values())
