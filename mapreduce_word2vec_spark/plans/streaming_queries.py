@@ -3239,3 +3239,50 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         (F.max("e") - F.min("s")).cast("bigint").alias("duration_us"),
     )
+
+
+# --- sample-ratio-mismatch guardrail ---------------------------------------
+# The first check any experiment readout runs: does the realized arm
+# split match the designed 50/50 within chi-square tolerance? A
+# mismatch (SRM) means assignment or logging is broken and every
+# downstream estimate (events_ab_ttest, events_did_estimate) is
+# invalid. One-degree-of-freedom chi² = (n_t − n_c)²/(n_t + n_c) for
+# an even design — integer-exact numerator/denominator, one count
+# aggregation, flag at the 0.05 critical value 3.841.
+
+
+@register(
+    "events_ab_srm_check",
+    oracle="""
+    WITH arms AS (
+      SELECT CAST(count(CASE WHEN user_id % 2 = 0 THEN 1 END) AS BIGINT) AS n_t,
+             CAST(count(CASE WHEN user_id % 2 <> 0 THEN 1 END) AS BIGINT) AS n_c
+      FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT n_t, n_c,
+           round((n_t - n_c) * (n_t - n_c) * 1.0 / (n_t + n_c), 6) AS chi2,
+           (n_t - n_c) * (n_t - n_c) * 1.0 / (n_t + n_c) > 3.841 AS srm_detected
+    FROM arms
+    """,
+)
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail: chi² of the realized arm
+    split against the even design, flagged at the 5% critical
+    value."""
+    users = read_testdata(spark, sf_dir, "events").select("user_id").distinct()
+    arms = users.agg(
+        F.count(F.when(F.col("user_id") % 2 == 0, 1)).cast("bigint").alias("n_t"),
+        F.count(F.when(F.col("user_id") % 2 != 0, 1)).cast("bigint").alias("n_c"),
+    )
+    chi2 = (
+        (F.col("n_t") - F.col("n_c"))
+        * (F.col("n_t") - F.col("n_c"))
+        * F.lit(1.0)
+        / (F.col("n_t") + F.col("n_c"))
+    )
+    return arms.select(
+        "n_t",
+        "n_c",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )

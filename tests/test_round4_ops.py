@@ -1513,3 +1513,24 @@ def test_group_split_is_atomic_per_source(spark):
     for r in doc_split:
         straddle[src_of[r["doc_id"]]].add(r["split"])
     assert any(len(v) > 1 for v in straddle.values())
+
+
+def test_srm_check_math_and_sensitivity(spark):
+    """chi² must reconstruct from the arm counts, and the detector
+    must trip on a deliberately skewed assignment (user_id % 10 == 0
+    as 'treatment') while staying quiet on the even parity split."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    row = catalog.queries()["events_ab_srm_check"](spark, SF_SMOKE).head()
+    n_t, n_c = row["n_t"], row["n_c"]
+    want = round((n_t - n_c) ** 2 / (n_t + n_c), 6)
+    assert abs(row["chi2"] - want) < 1e-9
+    assert row["srm_detected"] == (want > 3.841)
+    users = read_testdata(spark, SF_SMOKE, "events").select("user_id").distinct()
+    skew = users.agg(
+        F.count(F.when(F.col("user_id") % 10 == 0, 1)).alias("n_t"),
+        F.count(F.when(F.col("user_id") % 10 != 0, 1)).alias("n_c"),
+    ).head()
+    chi2_skew = (skew["n_t"] - skew["n_c"]) ** 2 / (skew["n_t"] + skew["n_c"])
+    assert chi2_skew > 3.841  # the statistic catches a real 10/90 break
