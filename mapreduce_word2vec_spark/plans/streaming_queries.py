@@ -3286,3 +3286,73 @@ def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+# --- checkpoint recovery (exactly-once restart) ----------------------------
+# The restart contract everything in production streaming rests on: a
+# query stopped and RESTARTED from its checkpoint must process each
+# input file exactly once. Run 1 streams half the corpus
+# (availableNow) and appends per-batch per-user count increments via
+# foreachBatch; more files land; run 2 starts a NEW query on the SAME
+# checkpoint. If offset recovery works, the summed increments equal
+# the batch count over ALL events; if the restart re-read run-1 files
+# (or skipped the new ones), the totals are wrong and the value
+# oracle catches it. Fresh mkdtemp per invocation keeps the query
+# idempotent across gate/pytest runs.
+
+
+@register(
+    "stream_checkpoint_recovery",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two availableNow runs over one checkpoint: per-user totals from
+    appended per-batch increments must equal the batch ground truth —
+    exactly-once across a restart."""
+    import os
+    import tempfile
+
+    ev = read_testdata(spark, sf_dir, "events").select("event_id", "user_id")
+    base = tempfile.mkdtemp(prefix="mw2v_ckptrec_")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    ev.where(F.col("event_id") % 2 == 0).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    def run_once() -> None:
+        def sink(bdf, _bid) -> None:
+            (
+                bdf.groupBy("user_id")
+                .agg(F.count("*").cast("bigint").alias("inc"))
+                .write.mode("append")
+                .parquet(out)
+            )
+
+        q = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    # new files arrive while the query is DOWN; the restart must pick
+    # up exactly these and none of the already-committed ones
+    ev.where(F.col("event_id") % 2 == 1).repartition(4).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    return (
+        spark.read.parquet(out)
+        .groupBy("user_id")
+        .agg(F.sum("inc").cast("bigint").alias("n_events"))
+    )

@@ -1534,3 +1534,22 @@ def test_srm_check_math_and_sensitivity(spark):
     ).head()
     chi2_skew = (skew["n_t"] - skew["n_c"]) ** 2 / (skew["n_t"] + skew["n_c"])
     assert chi2_skew > 3.841  # the statistic catches a real 10/90 break
+
+
+def test_checkpoint_recovery_is_exactly_once(spark):
+    """Run 2 must process ONLY the files added while the query was
+    down: the per-batch increments from the two runs partition the
+    corpus (no double counting, no gaps), and each run contributed."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    out = catalog.queries()["stream_checkpoint_recovery"](spark, SF_SMOKE)
+    got = {r["user_id"]: r["n_events"] for r in out.collect()}
+    want = {
+        r["user_id"]: r["n"]
+        for r in read_testdata(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want
