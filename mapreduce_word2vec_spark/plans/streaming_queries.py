@@ -3356,3 +3356,72 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("inc").cast("bigint").alias("n_events"))
     )
+
+
+# --- weekly cohort retention matrix ----------------------------------------
+# The classic growth triangle: users grouped by first-seen week,
+# each cohort's active share tracked per week offset. Two exchanges
+# total — one user_id window for the first-seen week (riding the
+# same shuffle as the activity distinct), one (cohort, offset)
+# count — and the matrix is (weeks × weeks) rows regardless of user
+# count. Week ids are integer floor(epoch_µs / week) on BOTH sides —
+# one shared epoch origin, sidestepping the cross-engine
+# time_bucket-origin trap pinned in SCALE.md.
+
+
+@register(
+    "events_cohort_retention_matrix",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT) AS wk
+      FROM events
+    ),
+    firstw AS (
+      SELECT user_id, min(wk) OVER (PARTITION BY user_id) AS cohort_wk, wk
+      FROM act
+    ),
+    m AS (
+      SELECT cohort_wk, CAST(wk - cohort_wk AS BIGINT) AS week_offset,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM firstw GROUP BY cohort_wk, wk
+    ),
+    size_ AS (
+      SELECT cohort_wk, n_active AS cohort_size FROM m WHERE week_offset = 0
+    )
+    SELECT m.cohort_wk, m.week_offset, m.n_active, s.cohort_size,
+           round(m.n_active * 1.0 / s.cohort_size, 6) AS retention
+    FROM m JOIN size_ s ON m.cohort_wk = s.cohort_wk
+    """,
+)
+def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort (first-seen week) × week-offset retention triangle with
+    cohort sizes and retained share."""
+    from pyspark.sql import Window
+
+    act = (
+        read_testdata(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("ts") / 604_800_000_000).cast("bigint").alias("wk"),
+        )
+        .distinct()
+    )
+    firstw = act.withColumn(
+        "cohort_wk", F.min("wk").over(Window.partitionBy("user_id"))
+    )
+    m = firstw.groupBy(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).cast("bigint").alias("week_offset")
+    ).agg(F.count("*").cast("bigint").alias("n_active"))
+    size_ = m.where(F.col("week_offset") == 0).select(
+        "cohort_wk", F.col("n_active").alias("cohort_size")
+    )
+    return m.join(size_, "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.round(F.col("n_active") * F.lit(1.0) / F.col("cohort_size"), 6).alias(
+            "retention"
+        ),
+    )

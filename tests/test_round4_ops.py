@@ -1553,3 +1553,33 @@ def test_checkpoint_recovery_is_exactly_once(spark):
         .collect()
     }
     assert got == want
+
+
+def test_cohort_matrix_retention_well_formed(spark):
+    """Offset-0 retention must be exactly 1, retention must never
+    exceed 1, and each cohort's active counts must tie out with a
+    python recompute of first-seen weeks."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    rows = catalog.queries()["events_cohort_retention_matrix"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["retention"] <= 1.0
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0 and r["n_active"] == r["cohort_size"]
+    acts = defaultdict(set)
+    for e in read_testdata(spark, SF_SMOKE, "events").select("user_id", "ts").collect():
+        wk = int(e["ts"].timestamp() * 1_000_000) // 604_800_000_000
+        acts[e["user_id"]].add(wk)
+    want = defaultdict(int)
+    for uid, wks in acts.items():
+        c = min(wks)
+        for w in wks:
+            want[(c, w - c)] += 1
+    got = {(r["cohort_wk"], r["week_offset"]): r["n_active"] for r in rows}
+    assert got == dict(want)
