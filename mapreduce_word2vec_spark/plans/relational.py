@@ -6953,3 +6953,72 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     spark.sql("DECLARE OR REPLACE VARIABLE status_execimm STRING DEFAULT 'F'")
     return spark.sql("EXECUTE IMMEDIATE stmt_execimm USING status_execimm")
+
+
+# --- OTIF fulfillment KPI --------------------------------------------------
+# The supply-chain readout (on-time-in-full): an order counts as
+# on-time when its LAST lineitem ships within 30 days of order date,
+# in-full when nothing came back ('R'). One orders⋈lineitem join on
+# the order key, per-order flags folded in the SAME aggregation that
+# computes the cycle time (max ship date − order date), then a
+# priority-level rollup with an exact interpolated median over
+# integer day counts — exact in both engines, no float sums anywhere.
+
+
+@register(
+    "orders_otif_fulfillment",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(datediff('day', o.o_orderdate, max(l.l_shipdate)) AS BIGINT)
+               AS cycle_days,
+             max(l.l_shipdate) <= o.o_orderdate + INTERVAL 30 DAY AS on_time,
+             count(CASE WHEN l.l_returnflag = 'R' THEN 1 END) = 0 AS in_full
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(CASE WHEN on_time AND in_full THEN 1 END) AS BIGINT)
+             AS n_otif,
+           round(count(CASE WHEN on_time AND in_full THEN 1 END) * 1.0
+                 / count(*), 6) AS otif_rate,
+           round(quantile_cont(cycle_days, 0.5), 6) AS median_cycle_days
+    FROM per_order GROUP BY o_orderpriority
+    """,
+)
+def orders_otif_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-time-in-full rate and median order-to-ship cycle days per
+    order priority."""
+    o = rt(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = rt(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    per_order = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.max("l_shipdate").alias("last_ship"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+        )
+        .select(
+            "o_orderpriority",
+            F.datediff("last_ship", "o_orderdate").cast("bigint").alias("cycle_days"),
+            (
+                (F.col("last_ship") <= F.date_add("o_orderdate", 30))
+                & (F.col("n_returned") == 0)
+            ).alias("otif"),
+        )
+    )
+    return per_order.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.count(F.when(F.col("otif"), 1)).cast("bigint").alias("n_otif"),
+        F.round(
+            F.count(F.when(F.col("otif"), 1)) * F.lit(1.0) / F.count("*"), 6
+        ).alias("otif_rate"),
+        F.round(F.percentile("cycle_days", F.lit(0.5)), 6).alias(
+            "median_cycle_days"
+        ),
+    )

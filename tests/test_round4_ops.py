@@ -1583,3 +1583,42 @@ def test_cohort_matrix_retention_well_formed(spark):
             want[(c, w - c)] += 1
     got = {(r["cohort_wk"], r["week_offset"]): r["n_active"] for r in rows}
     assert got == dict(want)
+
+
+def test_otif_flags_match_python_recompute(spark):
+    """OTIF counts and median cycle days must match a per-order python
+    recompute, and both OTIF and non-OTIF orders must exist."""
+    import datetime as dt
+    import statistics
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    orders = {
+        r["o_orderkey"]: (r["o_orderpriority"], r["o_orderdate"])
+        for r in read_testdata(spark, SF_SMOKE, "orders").collect()
+    }
+    per_order = defaultdict(lambda: [None, False])  # last_ship, returned
+    for r in read_testdata(spark, SF_SMOKE, "lineitem").collect():
+        st = per_order[r["l_orderkey"]]
+        if st[0] is None or r["l_shipdate"] > st[0]:
+            st[0] = r["l_shipdate"]
+        st[1] = st[1] or r["l_returnflag"] == "R"
+    agg = defaultdict(lambda: [0, 0, []])
+    for ok, (last_ship, returned) in per_order.items():
+        prio, odate = orders[ok]
+        a = agg[prio]
+        a[0] += 1
+        if last_ship <= odate + dt.timedelta(days=30) and not returned:
+            a[1] += 1
+        a[2].append((last_ship - odate).days)
+    rows = catalog.queries()["orders_otif_fulfillment"](spark, SF_SMOKE).collect()
+    assert {r["o_orderpriority"] for r in rows} == set(agg)
+    for r in rows:
+        n, n_otif, cycles = agg[r["o_orderpriority"]]
+        assert (r["n_orders"], r["n_otif"]) == (n, n_otif)
+        assert abs(r["median_cycle_days"] - round(statistics.median(cycles), 6)) < 1e-9
+    total = sum(a[0] for a in agg.values())
+    hits = sum(a[1] for a in agg.values())
+    assert 0 < hits < total
