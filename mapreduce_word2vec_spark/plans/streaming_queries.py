@@ -3425,3 +3425,76 @@ def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFram
             "retention"
         ),
     )
+
+
+# --- peak concurrency (sweep line) -----------------------------------------
+# How many error-impact windows were open AT ONCE at the worst
+# moment: the +1/−1 sweep — every interval contributes a start and an
+# end delta, the running sum over the time-ordered deltas is the live
+# concurrency, its max is the peak. Tie discipline is pinned: at an
+# equal timestamp starts (+1) sort before ends (−1), i.e. touching
+# intervals DO overlap, and both engines order by the same
+# (t, delta DESC) keys. One global-window running sum over 2·n delta
+# rows — at scale, partition the sweep by a coarse time range first
+# (deltas are closed under concatenation) exactly like
+# select_token_budget's two-pass cumsum.
+
+
+@register(
+    "events_peak_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events WHERE event_type = 'error'
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS delta FROM iv
+      UNION ALL
+      SELECT e AS t, -1 AS delta FROM iv
+    ),
+    run AS (
+      SELECT t, delta,
+             sum(delta) OVER (ORDER BY t, delta DESC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS live
+      FROM deltas
+    )
+    SELECT CAST(max(live) AS BIGINT) AS peak,
+           CAST(min(CASE WHEN live = (SELECT max(live) FROM run) THEN t END)
+                AS BIGINT) AS at_us,
+           CAST((SELECT count(*) FROM iv) AS BIGINT) AS n_intervals
+    FROM run
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum number of simultaneously open 5-minute error windows,
+    the first microsecond it was reached, and the interval count."""
+    from pyspark.sql import Window
+
+    iv = (
+        read_testdata(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .select(
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+        )
+    )
+    deltas = iv.select(F.col("s").alias("t"), F.lit(1).alias("delta")).unionByName(
+        iv.select(F.col("e").alias("t"), F.lit(-1).alias("delta"))
+    )
+    w = (
+        Window.orderBy(F.col("t"), F.col("delta").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = deltas.withColumn("live", F.sum("delta").over(w))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    flagged = run.withColumn("gmax", F.max("live").over(w_all))
+    return flagged.agg(
+        F.max("live").cast("bigint").alias("peak"),
+        F.min(F.when(F.col("live") == F.col("gmax"), F.col("t")))
+        .cast("bigint")
+        .alias("at_us"),
+        (F.count("*") / 2).cast("bigint").alias("n_intervals"),
+    )

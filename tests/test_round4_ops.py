@@ -1622,3 +1622,34 @@ def test_otif_flags_match_python_recompute(spark):
     total = sum(a[0] for a in agg.values())
     hits = sum(a[1] for a in agg.values())
     assert 0 < hits < total
+
+
+def test_peak_concurrency_matches_python_sweep(spark):
+    """Peak, its first attainment time, and the interval count must
+    match a python sweep over the same windows — including the
+    starts-before-ends tie rule (touching intervals overlap)."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    sf = "/root/testdata/sf0.01"
+    ivs = [
+        (int(r["ts"].timestamp() * 1_000_000),)
+        for r in read_testdata(spark, sf, "events")
+        .where(F.col("event_type") == "error")
+        .select("ts")
+        .collect()
+    ]
+    deltas = []
+    for (s,) in ivs:
+        deltas.append((s, 1))
+        deltas.append((s + 300_000_000, -1))
+    deltas.sort(key=lambda x: (x[0], -x[1]))
+    live = peak = 0
+    at = None
+    for t, d in deltas:
+        live += d
+        if live > peak:
+            peak, at = live, t
+    row = catalog.queries()["events_peak_concurrency"](spark, sf).head()
+    assert (row["peak"], row["at_us"], row["n_intervals"]) == (peak, at, len(ivs))
+    assert peak > 1  # overlap actually occurs at sf0.01
