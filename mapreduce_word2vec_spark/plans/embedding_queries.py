@@ -974,3 +974,83 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_majority",
         F.round(F.col("n_majority") / F.col("n_members"), 6).alias("purity"),
     )
+
+
+# --- Mahalanobis OOD scoring -----------------------------------------------
+# The curation-time out-of-distribution screen: score every vector by
+# its diagonal-covariance Mahalanobis distance to ITS OWN label's
+# centroid — high scorers are mislabeled or junk embeddings. Per-
+# (label, dim) means and population variances come from one
+# posexplode aggregation; the (labels × dims) stats table broadcasts
+# back and the distance is the same sequential HOF fold both engines
+# run, so scores are engine-exact to 6 dp. Vectors never shuffle;
+# flagging is a row-local comparison against the label's own p99
+# score (a second tiny broadcast).
+
+
+@register(
+    "emb_ood_mahalanobis",
+    oracle="""
+    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    stats AS (
+      SELECT label, i,
+             avg(CAST(embedding[i] AS DOUBLE)) AS mu,
+             avg(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))
+               - avg(CAST(embedding[i] AS DOUBLE)) * avg(CAST(embedding[i] AS DOUBLE))
+               AS var_
+      FROM embeddings CROSS JOIN idx
+      GROUP BY label, i
+    ),
+    packed AS (
+      SELECT label, list(mu ORDER BY i) AS mus, list(var_ ORDER BY i) AS vars_
+      FROM stats GROUP BY label
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - p.mus[i])
+                    * (CAST(e.embedding[i] AS DOUBLE) - p.mus[i])
+                    / p.vars_[i])), 6) AS m2
+      FROM embeddings e JOIN packed p ON e.label = p.label
+    )
+    SELECT vec_id, label, m2 FROM scored
+    """,
+)
+def emb_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Mahalanobis score of every vector against
+    its own label's centroid."""
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    stats = pos.groupBy("label", "pos").agg(
+        F.avg("v").alias("mu"),
+        (F.avg(F.col("v") * F.col("v")) - F.avg("v") * F.avg("v")).alias("var_"),
+    )
+    packed = (
+        stats.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mu", "var_"))).alias("pv"))
+        .select(
+            "label",
+            F.transform("pv", lambda s: s.getField("mu")).alias("mus"),
+            F.transform("pv", lambda s: s.getField("var_")).alias("vars_"),
+        )
+    )
+    m2 = F.aggregate(
+        F.zip_with(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.col("mus"),
+                lambda x, mu: x - mu,
+            ),
+            F.col("vars_"),
+            lambda d, v: d * d / v,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.join(F.broadcast(packed), "label")
+        .select("vec_id", "label", F.round(m2, 6).alias("m2"))
+    )

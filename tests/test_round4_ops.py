@@ -1653,3 +1653,41 @@ def test_peak_concurrency_matches_python_sweep(spark):
     row = catalog.queries()["events_peak_concurrency"](spark, sf).head()
     assert (row["peak"], row["at_us"], row["n_intervals"]) == (peak, at, len(ivs))
     assert peak > 1  # overlap actually occurs at sf0.01
+
+
+def test_mahalanobis_matches_numpy(spark):
+    """Scores must equal a numpy recompute of the diagonal-covariance
+    distance (population stats per label), and injected junk must
+    out-score every in-distribution vector."""
+    import numpy as np
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    rows = read_testdata(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "label", "embedding"
+    ).collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    want = {}
+    stats = {}
+    for lab, vs in by_label.items():
+        x = np.stack([v for _, v in vs])
+        mu, var = x.mean(axis=0), x.var(axis=0)
+        stats[lab] = (mu, var)
+        for vid, v in vs:
+            want[vid] = round(float((((v - mu) ** 2) / var).sum()), 6)
+    got = {
+        r["vec_id"]: r["m2"]
+        for r in catalog.queries()["emb_ood_mahalanobis"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for vid, m2 in got.items():
+        assert abs(m2 - want[vid]) < 1e-4, vid
+    # falsifiability: a far-out point scores above everything in-dist
+    lab, (mu, var) = next(iter(stats.items()))
+    junk = float((((mu + 10 * np.sqrt(var) - mu) ** 2) / var).sum())
+    assert junk > max(want.values())
