@@ -3498,3 +3498,67 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("at_us"),
         (F.count("*") / 2).cast("bigint").alias("n_intervals"),
     )
+
+
+# --- p-chart control limits (SPC) ------------------------------------------
+# Shewhart attribute control chart over the daily error RATE: center
+# line = pooled error fraction, limits = p̄ ± 3·√(p̄(1−p̄)/n_day)
+# (per-day n, so limits breathe with volume — the property that
+# distinguishes a p-chart from a fixed threshold). Everything derives
+# from integer day counts; the only floats are one division and one
+# sqrt per day, computed identically on both engines. Two
+# aggregations total, second over ~30 day rows.
+
+
+@register(
+    "events_error_pchart",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1
+    ),
+    pooled AS (
+      SELECT sum(x) * 1.0 / sum(n) AS pbar FROM d
+    )
+    SELECT d.day, d.n, d.x,
+           round(d.x * 1.0 / d.n, 6) AS p_hat,
+           round(p.pbar, 6) AS center,
+           round(p.pbar + 3 * sqrt(p.pbar * (1 - p.pbar) / d.n), 6) AS ucl,
+           round(greatest(p.pbar - 3 * sqrt(p.pbar * (1 - p.pbar) / d.n), 0.0), 6)
+             AS lcl,
+           d.x * 1.0 / d.n > p.pbar + 3 * sqrt(p.pbar * (1 - p.pbar) / d.n)
+             OR d.x * 1.0 / d.n
+                < greatest(p.pbar - 3 * sqrt(p.pbar * (1 - p.pbar) / d.n), 0.0)
+             AS out_of_control
+    FROM d CROSS JOIN pooled p
+    """,
+)
+def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error-rate p-chart: per-day rate, pooled center line,
+    volume-adjusted 3-sigma limits, out-of-control flag."""
+    ev = read_testdata(spark, sf_dir, "events")
+    d = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("bigint")
+        .alias("x"),
+    )
+    pooled = d.agg((F.sum("x") * F.lit(1.0) / F.sum("n")).alias("pbar"))
+    j = d.crossJoin(F.broadcast(pooled))
+    sigma = F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / F.col("n"))
+    ucl = F.col("pbar") + 3 * sigma
+    lcl = F.greatest(F.col("pbar") - 3 * sigma, F.lit(0.0))
+    p_hat = F.col("x") * F.lit(1.0) / F.col("n")
+    return j.select(
+        "day",
+        "n",
+        "x",
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round(F.col("pbar"), 6).alias("center"),
+        F.round(ucl, 6).alias("ucl"),
+        F.round(lcl, 6).alias("lcl"),
+        ((p_hat > ucl) | (p_hat < lcl)).alias("out_of_control"),
+    )

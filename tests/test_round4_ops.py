@@ -1691,3 +1691,26 @@ def test_mahalanobis_matches_numpy(spark):
     lab, (mu, var) = next(iter(stats.items()))
     junk = float((((mu + 10 * np.sqrt(var) - mu) ** 2) / var).sum())
     assert junk > max(want.values())
+
+
+def test_pchart_limits_breathe_with_volume(spark):
+    """Limits must reconstruct from the pooled rate and per-day n —
+    wider on low-volume days (the p-chart property) — and the flag
+    must equal the limit comparison row-by-row."""
+    import math
+
+    from mapreduce_word2vec_spark.plans import catalog
+
+    rows = catalog.queries()["events_error_pchart"](spark, SF_SMOKE).collect()
+    assert len(rows) == 30
+    pbar = sum(r["x"] for r in rows) / sum(r["n"] for r in rows)
+    for r in rows:
+        sig = math.sqrt(pbar * (1 - pbar) / r["n"])
+        assert abs(r["ucl"] - round(pbar + 3 * sig, 6)) < 1e-9
+        assert abs(r["lcl"] - round(max(pbar - 3 * sig, 0.0), 6)) < 1e-9
+        assert r["out_of_control"] == (
+            r["x"] / r["n"] > pbar + 3 * sig or r["x"] / r["n"] < max(pbar - 3 * sig, 0.0)
+        )
+    lo = min(rows, key=lambda r: r["n"])
+    hi = max(rows, key=lambda r: r["n"])
+    assert (lo["ucl"] - lo["lcl"]) > (hi["ucl"] - hi["lcl"])  # volume breathing
