@@ -7022,3 +7022,87 @@ def orders_otif_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_cycle_days"
         ),
     )
+
+
+# --- chi-square independence test ------------------------------------------
+# Cross-COLUMN association profiling (table_stats_profile is
+# per-column): Pearson chi² between p_brand and p_type with Cramér's
+# V effect size. The contingency table must include zero-observed
+# cells (their expected counts still contribute), so the cell grid is
+# the row-total × col-total cross join with observed counts
+# LEFT-joined in — 150 cells here, r×c always, never data-sized.
+# Per-cell terms are rounded to 12 places and accumulated as DECIMAL
+# (the summation-order-proof discipline), so chi² — and the flag —
+# are engine-exact. Marginals and cells derive from ONE groupBy of
+# the fact table.
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS o
+      FROM part GROUP BY 1, 2
+    ),
+    rt_ AS (SELECT p_brand, CAST(sum(o) AS BIGINT) AS rt FROM obs GROUP BY 1),
+    ct_ AS (SELECT p_type, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY 1),
+    n_ AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT coalesce(ob.o, 0) AS o, r.rt * c.ct * 1.0 / n_.n AS e
+      FROM rt_ r CROSS JOIN ct_ c CROSS JOIN n_
+      LEFT JOIN obs ob ON ob.p_brand = r.p_brand AND ob.p_type = c.p_type
+    ),
+    agg_ AS (
+      SELECT CAST(sum(CAST(round((o - e) * (o - e) / e, 12)
+                           AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+      FROM cells
+    ),
+    dims AS (
+      SELECT (SELECT count(*) FROM rt_) AS r,
+             (SELECT count(*) FROM ct_) AS c,
+             (SELECT n FROM n_) AS n
+    )
+    SELECT round(a.chi2, 6) AS chi2,
+           CAST((d.r - 1) * (d.c - 1) AS BIGINT) AS dof,
+           d.n AS n,
+           round(sqrt(a.chi2 / (d.n * least(d.r - 1, d.c - 1))), 6) AS cramers_v
+    FROM agg_ a CROSS JOIN dims d
+    """,
+)
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi² independence test of p_brand × p_type with
+    Cramér's V, zero-observed cells included."""
+    part = rt(spark, sf_dir, "part")
+    obs = part.groupBy("p_brand", "p_type").agg(
+        F.count("*").cast("bigint").alias("o")
+    )
+    rt_ = obs.groupBy("p_brand").agg(F.sum("o").cast("bigint").alias("rtot"))
+    ct_ = obs.groupBy("p_type").agg(F.sum("o").cast("bigint").alias("ctot"))
+    n_ = obs.agg(F.sum("o").cast("bigint").alias("n"))
+    cells = (
+        rt_.crossJoin(ct_)
+        .crossJoin(F.broadcast(n_))
+        .join(obs, ["p_brand", "p_type"], "left")
+        .select(
+            F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+            (F.col("rtot") * F.col("ctot") * F.lit(1.0) / F.col("n")).alias("e"),
+        )
+    )
+    term = F.round((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"), 12)
+    agg_ = cells.agg(
+        F.sum(term.cast("decimal(28,12)")).cast("double").alias("chi2")
+    )
+    dims = (
+        rt_.agg(F.count("*").alias("r"))
+        .crossJoin(ct_.agg(F.count("*").alias("c")))
+        .crossJoin(n_)
+    )
+    return agg_.crossJoin(F.broadcast(dims)).select(
+        F.round("chi2", 6).alias("chi2"),
+        ((F.col("r") - 1) * (F.col("c") - 1)).cast("bigint").alias("dof"),
+        "n",
+        F.round(
+            F.sqrt(F.col("chi2") / (F.col("n") * F.least(F.col("r") - 1, F.col("c") - 1))),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -1714,3 +1714,33 @@ def test_pchart_limits_breathe_with_volume(spark):
     lo = min(rows, key=lambda r: r["n"])
     hi = max(rows, key=lambda r: r["n"])
     assert (lo["ucl"] - lo["lcl"]) > (hi["ucl"] - hi["lcl"])  # volume breathing
+
+
+def test_chi2_independence_matches_python(spark):
+    """chi², dof, and Cramér's V must match a python contingency
+    recompute including zero-observed cells."""
+    import math
+    from collections import Counter
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    rows = read_testdata(spark, SF_SMOKE, "part").select("p_brand", "p_type").collect()
+    obs = Counter((r["p_brand"], r["p_type"]) for r in rows)
+    brands = sorted({b for b, _ in obs})
+    types = sorted({t for _, t in obs})
+    n = len(rows)
+    rt = Counter(b for b, _ in obs.elements())
+    ct = Counter(t for _, t in obs.elements())
+    chi2 = 0.0
+    for b in brands:
+        for t in types:
+            e = rt[b] * ct[t] / n
+            chi2 += round((obs.get((b, t), 0) - e) ** 2 / e, 12)
+    got = catalog.queries()["stats_chi2_independence"](spark, SF_SMOKE).head()
+    assert got["n"] == n
+    assert got["dof"] == (len(brands) - 1) * (len(types) - 1)
+    assert abs(got["chi2"] - round(chi2, 6)) < 1e-6
+    v = math.sqrt(chi2 / (n * min(len(brands) - 1, len(types) - 1)))
+    assert abs(got["cramers_v"] - round(v, 6)) < 1e-6
+    assert 0.0 <= got["cramers_v"] <= 1.0
