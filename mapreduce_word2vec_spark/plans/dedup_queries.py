@@ -2050,3 +2050,76 @@ def graph_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out1 = s2.select("start", F.lit(1).alias("step"), F.col("n1").alias("visited"))
     out2 = s2.select("start", F.lit(2).alias("step"), F.col("n2").alias("visited"))
     return out1.unionByName(out2)
+
+
+# --- degree distribution + power-law fit -----------------------------------
+# The graph-health fingerprint (corpus_zipf_slope's graph twin):
+# degree histogram of the co-purchase graph and the log-log OLS slope
+# of count vs degree — scale-free graphs sit near −2..−3, a flat or
+# positive slope means the graph is a synthetic clique-soup and
+# community/link algorithms on it will mislead. Degrees come from one
+# adjacency aggregation; the histogram is degree-valued (tiny); the
+# regression is a 1-row aggregate over the histogram, the same
+# regr_slope discipline corpus_zipf_slope ships.
+
+
+@register(
+    "graph_degree_powerlaw",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT id_a AS u FROM edges UNION ALL SELECT id_b FROM edges
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS degree FROM adj GROUP BY u),
+    hist AS (
+      SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM deg GROUP BY degree
+    ),
+    fit AS (
+      SELECT round(regr_slope(ln(CAST(n_nodes AS DOUBLE)),
+                              ln(CAST(degree AS DOUBLE))), 6) AS alpha,
+             CAST(count(*) AS BIGINT) AS n_degree_values
+      FROM hist
+    )
+    SELECT h.degree, h.n_nodes, f.alpha, f.n_degree_values
+    FROM hist h CROSS JOIN fit f
+    """,
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph with the log-log
+    OLS power-law slope attached to every row."""
+    ev = read_testdata(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+    )
+    a = p.select(F.col("user_id").alias("id_a"), "b")
+    bb = p.select(F.col("user_id").alias("id_b"), "b")
+    edges = (
+        a.join(bb, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    adj = edges.select(F.col("id_a").alias("u")).unionByName(
+        edges.select(F.col("id_b").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("degree"))
+    hist = deg.groupBy("degree").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    ln_n = F.log(F.col("n_nodes").cast("double"))
+    ln_d = F.log(F.col("degree").cast("double"))
+    fit = hist.agg(
+        F.round(F.regr_slope(ln_n, ln_d), 6).alias("alpha"),
+        F.count("*").cast("bigint").alias("n_degree_values"),
+    )
+    return hist.crossJoin(F.broadcast(fit))

@@ -1744,3 +1744,45 @@ def test_chi2_independence_matches_python(spark):
     v = math.sqrt(chi2 / (n * min(len(brands) - 1, len(types) - 1)))
     assert abs(got["cramers_v"] - round(v, 6)) < 1e-6
     assert 0.0 <= got["cramers_v"] <= 1.0
+
+
+def test_degree_powerlaw_histogram_ties_out(spark):
+    """Histogram must partition the node set and the slope must match
+    a python OLS over the log-log points (sf0.01 — smoke has a
+    single-point histogram with undefined slope)."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+    from pyspark.sql import functions as SF
+
+    sf = "/root/testdata/sf0.01"
+    p = (
+        read_testdata(spark, sf, "events")
+        .where(SF.col("event_type") == "purchase")
+        .select("user_id", SF.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+        .collect()
+    )
+    byb = defaultdict(set)
+    for r in p:
+        byb[r["b"]].add(r["user_id"])
+    nbrs = defaultdict(set)
+    for us in byb.values():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                nbrs[us[i]].add(us[j])
+                nbrs[us[j]].add(us[i])
+    hist = Counter(len(v) for v in nbrs.values())
+    rows = catalog.queries()["graph_degree_powerlaw"](spark, sf).collect()
+    assert {(r["degree"], r["n_nodes"]) for r in rows} == set(hist.items())
+    xs = [math.log(d) for d in hist]
+    ys = [math.log(c) for c in hist.values()]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    slope = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+    assert abs(rows[0]["alpha"] - round(slope, 6)) < 1e-4
+    assert sum(hist.values()) == len(nbrs)
