@@ -996,3 +996,67 @@ def source_parquet_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         "rg_id bigint, n_rows bigint, min_doc_id bigint, max_doc_id bigint,"
         " min_chars bigint, max_chars bigint",
     )
+
+
+# --- whole-file text source ------------------------------------------------
+# Document-per-file corpora (the layout crawls and scrapers hand
+# you) read with `wholetext=True`: each FILE is one row, newlines and
+# all — vs the line-oriented A1 scan where a document with embedded
+# newlines shatters. Files here are one per doc_id % 8 shard, each
+# holding that shard's docs joined by newlines, so the whole-file
+# read sees multi-line content and the oracle checks both the file
+# count and that every document's characters arrived (sum over files
+# of length = sum of doc lengths + separators).
+
+
+@register(
+    "source_text_wholetext",
+    oracle="""
+    WITH shard AS (
+      SELECT doc_id % 8 AS s,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS doc_chars
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(doc_chars + n_docs - 1) AS BIGINT) AS total_chars,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs
+    FROM shard
+    """,
+)
+def source_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → 8 multi-line shard files → wholetext read (one row
+    per FILE) → file/char/doc totals. A line-oriented read of the
+    same files would report ~n_docs rows, not 8."""
+    d = read_testdata(spark, sf_dir, "documents")
+    path = _roundtrip_dir("wholetext_docs", sf_dir)
+    (
+        d.select((F.col("doc_id") % 8).alias("s"), "doc_id", "text")
+        .groupBy("s")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda x: x.getField("text"),
+                ),
+                "\n",
+            ).alias("value"),
+            F.count("*").alias("n_docs"),
+        )
+        .select("s", "value")
+        .write.partitionBy("s")
+        .mode("overwrite")
+        .text(path)
+    )
+    back = spark.read.option("recursiveFileLookup", "true").text(
+        path, wholetext=True
+    )
+    # the text writer terminates the (single) row with one newline —
+    # strip it so char totals compare against the document lengths
+    content = F.regexp_replace("value", "\n$", "")
+    rows = back.where(F.length("value") > 0).select(content.alias("content"))
+    return rows.agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.length("content")).cast("bigint").alias("total_chars"),
+        F.sum(F.size(F.split("content", "\n"))).cast("bigint").alias("n_docs"),
+    )

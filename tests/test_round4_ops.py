@@ -1786,3 +1786,19 @@ def test_degree_powerlaw_histogram_ties_out(spark):
     )
     assert abs(rows[0]["alpha"] - round(slope, 6)) < 1e-4
     assert sum(hist.values()) == len(nbrs)
+
+
+def test_wholetext_reads_one_row_per_file(spark):
+    """The wholetext scan must see exactly 8 multi-line shard files
+    whose reassembled documents cover the corpus — a line-oriented
+    read of the same files would report ~n_docs rows."""
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    row = catalog.queries()["source_text_wholetext"](spark, SF_SMOKE).head()
+    docs = read_testdata(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    total = docs.agg(F.sum(F.length("text"))).head()[0]
+    assert row["n_files"] == 8
+    assert row["n_docs"] == n
+    assert row["total_chars"] == total + n - 8  # newline separators
