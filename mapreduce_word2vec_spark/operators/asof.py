@@ -34,10 +34,18 @@ def asof_join(
     direction: str = "backward",
     tolerance_seconds: float | None = None,
     suffix: str = "_right",
+    allow_exact_matches: bool = True,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row, plus the matched right
     row's ``right_cols`` (renamed with ``suffix`` on collision) and the
     matched right time as ``{right_time}{suffix}``; nulls if no match.
+
+    ``allow_exact_matches=False`` makes the time comparison strict
+    (pandas merge_asof semantics): a right row AT the left timestamp
+    is invisible — the lookup a leakage-free feature join needs when
+    the feature was computed FROM the event it would otherwise match.
+    Implementation cost is zero: only the equal-timestamp sort order
+    of the two tagged sides flips.
 
     ``right`` must have at most one row per (key, time) — the match is
     otherwise ambiguous; dedup upstream to keep the result
@@ -72,19 +80,22 @@ def asof_join(
         F.col(right_time).cast("timestamp").alias(matched_time),
     )
 
-    # Backward: right rows at an equal timestamp are visible to the left
-    # row (inclusive), so they must sort first → _side ascending. The
-    # window never crosses a key boundary (partitionBy keys).
+    # Backward inclusive: right rows at an equal timestamp are visible
+    # to the left row, so they must sort first → _side ascending (right
+    # is 0). Strict: the left row sorts first → _side descending, and
+    # the equal-timestamp right row is no longer carried. The window
+    # never crosses a key boundary (partitionBy keys).
+    side_order = F.col("_side").asc() if allow_exact_matches else F.col("_side").desc()
     if direction == "backward":
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("_t").asc(), F.col("_side").asc())
+            .orderBy(F.col("_t").asc(), side_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col("_t").desc(), F.col("_side").asc())
+            .orderBy(F.col("_t").desc(), side_order)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
 

@@ -7106,3 +7106,55 @@ def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# --- strict (exclusive-boundary) as-of join --------------------------------
+# merge_asof's allow_exact_matches=False: a purchase AT the click's
+# own timestamp is invisible — the boundary discipline leakage-free
+# point-in-time feature joins require when the feature row was
+# computed FROM the event that would otherwise match it. Same
+# union-then-window single exchange; only the equal-timestamp sort
+# order of the tagged sides flips (operators/asof.py). DuckDB's ASOF
+# accepts the strict comparator directly, so the oracle is the `>`
+# form of join_asof's `>=`.
+
+
+@register(
+    "join_asof_strict",
+    oracle="""
+    WITH clicks AS (SELECT event_id, ts, user_id, value FROM events
+                    WHERE event_type = 'click'),
+         purch AS (SELECT user_id, ts,
+                          event_id AS purchase_event_id,
+                          value AS purchase_value
+                   FROM events WHERE event_type = 'purchase')
+    SELECT c.user_id, c.ts, c.event_id, c.value,
+           p.purchase_event_id, p.purchase_value, p.ts AS ts_right
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts > p.ts
+    """,
+)
+def join_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join with a STRICT boundary: most recent
+    purchase strictly before each click."""
+    from mapreduce_word2vec_spark.operators.asof import asof_join
+
+    ev = rt(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks,
+        purch,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_cols=["purchase_event_id", "purchase_value"],
+        allow_exact_matches=False,
+    )

@@ -4426,7 +4426,8 @@ def doc_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(count(*) AS BIGINT) AS n_types,
            CAST(sum(freq) AS BIGINT) AS n_occurrences,
            TRUE AS fertility_min_ok,
-           TRUE AS fertility_bounded_ok
+           TRUE AS fertility_bounded_ok,
+           TRUE AS lossless_ok
     FROM w
     """,
 )
@@ -4447,12 +4448,12 @@ def tokenizer_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
     )
     rules = train_bpe_merges(wf, n_merges=_BPE_MERGES)
+    sub = F.element_at(encode_with_merges(F.array(F.col("word")), rules), 1)
     enc = wf.select(
         "word",
         "freq",
-        F.size(
-            F.element_at(encode_with_merges(F.array(F.col("word")), rules), 1)
-        ).alias("n_subwords"),
+        F.size(sub).alias("n_subwords"),
+        F.array_join(sub, "").alias("rejoined"),
     )
     return enc.agg(
         F.count("*").cast("bigint").alias("n_types"),
@@ -4461,6 +4462,7 @@ def tokenizer_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("n_subwords") <= F.length("word")).alias(
             "fertility_bounded_ok"
         ),
+        F.min(F.col("rejoined") == F.col("word")).alias("lossless_ok"),
     )
 
 

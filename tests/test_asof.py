@@ -147,7 +147,7 @@ def test_fuzz_against_pandas_merge_asof(spark):
         left = spark.createDataFrame(left_rows, "k int, t timestamp, lid int")
         right = spark.createDataFrame(right_rows, "k int, t timestamp, price double")
         for direction in ("backward", "forward"):
-            for tol in (None, 600.0):
+            for tol, exact in ((None, True), (600.0, True), (None, False)):
                 got = {
                     r["lid"]: (r["price"], r["t_right"])
                     for r in asof_join(
@@ -159,6 +159,7 @@ def test_fuzz_against_pandas_merge_asof(spark):
                         right_cols=["price"],
                         direction=direction,
                         tolerance_seconds=tol,
+                        allow_exact_matches=exact,
                     ).collect()
                 }
                 lpdf = pd.DataFrame(left_rows, columns=["k", "t", "lid"]).sort_values(
@@ -177,6 +178,7 @@ def test_fuzz_against_pandas_merge_asof(spark):
                     tolerance=(
                         pd.Timedelta(seconds=tol) if tol is not None else None
                     ),
+                    allow_exact_matches=exact,
                 )
                 assert len(got) == len(left_rows), (trial, direction, tol)
                 for _, row in want_pdf.iterrows():

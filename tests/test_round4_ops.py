@@ -1440,6 +1440,7 @@ def test_bpe_contract_booleans_are_falsifiable(spark):
 
     row = catalog.queries()["tokenizer_bpe_contract"](spark, SF_SMOKE).head()
     assert row["fertility_min_ok"] and row["fertility_bounded_ok"]
+    assert row["lossless_ok"]
     assert row["n_types"] > 0 and row["n_occurrences"] >= row["n_types"]
     bad = spark.createDataFrame(
         [("ab", 0), ("cd", 5)], "word string, n_subwords int"
