@@ -7158,3 +7158,74 @@ def join_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["purchase_event_id", "purchase_value"],
         allow_exact_matches=False,
     )
+
+
+# --- trimmed mean (robust location) ----------------------------------------
+# The robust-statistics gap between median and mean: the 10%-trimmed
+# mean per group — rank within group, drop the top and bottom decile,
+# average the middle. Rank bounds come from the same window exchange
+# that would compute a median; the middle-band sum accumulates as
+# DECIMAL(18,6) of the 2-dp prices (order-proof), and only the final
+# mean divides as a double. Deterministic trim membership via the
+# (price, orderkey, linenumber) total order — no ties ambiguity.
+
+
+@register(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    mid AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             sum(CAST(round(l_extendedprice, 6) AS DECIMAL(18,6))) AS s
+      FROM r
+      WHERE rn > n // 10 AND rn <= n - n // 10
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n_kept,
+           round(CAST(s AS DOUBLE) / n_kept, 6) AS trimmed_mean
+    FROM mid
+    """,
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of extended price per return flag with
+    decimal-exact middle-band accumulation."""
+    from pyspark.sql import Window
+
+    li = rt(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number()
+        .over(w.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    mid = (
+        r.where(
+            (F.col("rn") > F.floor(F.col("n") / 10))
+            & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 10))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum(F.round("l_extendedprice", 6).cast("decimal(18,6)")).alias("s"),
+        )
+    )
+    return mid.select(
+        "l_returnflag",
+        "n_kept",
+        F.round(F.col("s").cast("double") / F.col("n_kept"), 6).alias(
+            "trimmed_mean"
+        ),
+    )

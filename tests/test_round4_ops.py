@@ -1803,3 +1803,42 @@ def test_wholetext_reads_one_row_per_file(spark):
     assert row["n_files"] == 8
     assert row["n_docs"] == n
     assert row["total_chars"] == total + n - 8  # newline separators
+
+
+def test_trimmed_mean_matches_python_and_is_robust(spark):
+    """Trimmed means must equal a python recompute of the decile trim,
+    and trimming must move the estimate toward the median relative to
+    the raw mean on at least one group (robustness is observable)."""
+    import statistics
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    groups = defaultdict(list)
+    for r in (
+        read_testdata(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .collect()
+    ):
+        groups[r["l_returnflag"]].append(
+            (r["l_extendedprice"], r["l_orderkey"], r["l_linenumber"])
+        )
+    got = {
+        r["l_returnflag"]: (r["n_kept"], r["trimmed_mean"])
+        for r in catalog.queries()["agg_trimmed_mean"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(groups)
+    moved = False
+    for flag, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        mid = [round(p, 6) for p, _, _ in xs[n // 10 : n - n // 10]]
+        n_kept, tm = got[flag]
+        assert n_kept == len(mid)
+        assert abs(tm - round(sum(mid) / len(mid), 6)) < 1e-6
+        raw = sum(p for p, _, _ in xs) / n
+        med = statistics.median(p for p, _, _ in xs)
+        if abs(tm - med) < abs(raw - med) - 1e-9:
+            moved = True
+    assert moved
