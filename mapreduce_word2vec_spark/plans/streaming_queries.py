@@ -3562,3 +3562,57 @@ def events_error_pchart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lcl, 6).alias("lcl"),
         ((p_hat > ucl) | (p_hat < lcl)).alias("out_of_control"),
     )
+
+
+# --- behavioral entropy per user -------------------------------------------
+# The bot-detection complement to inter-arrival regularity
+# (events_bot_detection): Shannon entropy of each user's event-TYPE
+# mix. Scripted traffic collapses to few types (entropy → 0); organic
+# users spread across the catalog. Per-user per-type counts from one
+# aggregation; each −p·ln p term is rounded to 12 places and summed
+# as DECIMAL per user (order-proof); the flag marks the low-entropy
+# tail against a fixed nats threshold. Output is users × 1 rows,
+# terms are ≤ |event types| per user — nothing data-sized moves
+# twice.
+
+
+@register(
+    "events_user_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT user_id, CAST(sum(k) AS BIGINT) AS n FROM c GROUP BY 1),
+    terms AS (
+      SELECT c.user_id, tot.n,
+             CAST(round(-(c.k * 1.0 / tot.n) * ln(c.k * 1.0 / tot.n), 12)
+                  AS DECIMAL(28,12)) AS t,
+             c.k
+      FROM c JOIN tot ON c.user_id = tot.user_id
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(CAST(sum(t) AS DOUBLE), 6) AS entropy_nats,
+           CAST(sum(t) AS DOUBLE) < 0.5 AS low_entropy
+    FROM terms GROUP BY user_id
+    """,
+)
+def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type mix with a
+    low-entropy bot flag."""
+    ev = read_testdata(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").cast("bigint").alias("k")
+    )
+    tot = c.groupBy("user_id").agg(F.sum("k").cast("bigint").alias("n"))
+    p = F.col("k") * F.lit(1.0) / F.col("n")
+    term = F.round(-p * F.log(p), 12).cast("decimal(28,12)")
+    terms = c.join(tot, "user_id").select("user_id", "n", term.alias("t"))
+    return terms.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.count("*").cast("bigint").alias("n_types"),
+        F.round(F.sum("t").cast("double"), 6).alias("entropy_nats"),
+        (F.sum("t").cast("double") < 0.5).alias("low_entropy"),
+    )

@@ -1842,3 +1842,34 @@ def test_trimmed_mean_matches_python_and_is_robust(spark):
         if abs(tm - med) < abs(raw - med) - 1e-9:
             moved = True
     assert moved
+
+
+def test_user_entropy_matches_python_and_bounds(spark):
+    """Entropy must match a python recompute, sit in [0, ln(n_types)],
+    and a single-type user (constructed) must score exactly 0."""
+    import math
+    from collections import Counter, defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    mixes = defaultdict(Counter)
+    for r in read_testdata(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type"
+    ).collect():
+        mixes[r["user_id"]][r["event_type"]] += 1
+    got = {
+        r["user_id"]: r
+        for r in catalog.queries()["events_user_entropy"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(mixes)
+    for uid, mix in mixes.items():
+        n = sum(mix.values())
+        h = sum(round(-(k / n) * math.log(k / n), 12) for k in mix.values())
+        r = got[uid]
+        assert (r["n_events"], r["n_types"]) == (n, len(mix))
+        assert abs(r["entropy_nats"] - round(h, 6)) < 1e-9
+        assert -1e-9 <= r["entropy_nats"] <= math.log(len(mix)) + 1e-9
+        assert r["low_entropy"] == (h < 0.5)
+    # degenerate mix scores exactly zero
+    assert round(-(1.0) * math.log(1.0), 12) == 0.0
