@@ -2123,3 +2123,70 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_degree_values"),
     )
     return hist.crossJoin(F.broadcast(fit))
+
+
+# --- degree assortativity --------------------------------------------------
+# The second one-number graph diagnostic next to the power-law slope:
+# Pearson correlation of endpoint degrees over the (symmetrized) edge
+# list. Positive = hubs attach to hubs (social-like), negative =
+# hub-and-spoke (web-like) — community algorithms behave differently
+# on each. Degrees join onto edges by key (two broadcast-sized joins
+# against the degree table), and the correlation is one aggregate
+# over edge rows — the regr_slope float discipline corpus_zipf_slope
+# established.
+
+
+@register(
+    "graph_assortativity",
+    oracle="""
+    WITH p AS (
+      SELECT DISTINCT user_id,
+             CAST(time_bucket(INTERVAL '5 minutes', ts) AS TIMESTAMP) AS b
+      FROM events WHERE event_type = 'purchase'
+    ),
+    edges AS (
+      SELECT a.user_id AS id_a, b.user_id AS id_b
+      FROM p a JOIN p b ON a.b = b.b AND a.user_id < b.user_id
+      GROUP BY 1, 2
+    ),
+    adj AS (
+      SELECT id_a AS u, id_b AS v FROM edges
+      UNION ALL
+      SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY u)
+    SELECT CAST(count(*) / 2 AS BIGINT) AS n_directed_edges,
+           round(corr(du.d, dv.d), 6) AS assortativity
+    FROM adj
+    JOIN deg du ON adj.u = du.u
+    JOIN deg dv ON adj.v = dv.u
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Pearson r of endpoint degrees over the
+    symmetrized edge list) of the co-purchase graph."""
+    ev = read_testdata(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+    )
+    a = p.select(F.col("user_id").alias("id_a"), "b")
+    bb = p.select(F.col("user_id").alias("id_b"), "b")
+    edges = (
+        a.join(bb, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    adj = edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+        edges.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = adj.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    j = adj.join(du, "u").join(dv, "v")
+    return j.agg(
+        (F.count("*") / 2).cast("bigint").alias("n_directed_edges"),
+        F.round(F.corr("du", "dv"), 6).alias("assortativity"),
+    )

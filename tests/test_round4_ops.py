@@ -1873,3 +1873,47 @@ def test_user_entropy_matches_python_and_bounds(spark):
         assert r["low_entropy"] == (h < 0.5)
     # degenerate mix scores exactly zero
     assert round(-(1.0) * math.log(1.0), 12) == 0.0
+
+
+def test_assortativity_matches_python_pearson(spark):
+    """The coefficient must equal a python Pearson r over the
+    symmetrized endpoint-degree pairs (sf0.01 — the smoke graph has
+    zero degree variance and a NaN coefficient by definition)."""
+    import math
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+    from pyspark.sql import functions as SF
+
+    sf = "/root/testdata/sf0.01"
+    p = (
+        read_testdata(spark, sf, "events")
+        .where(SF.col("event_type") == "purchase")
+        .select("user_id", SF.window("ts", "5 minutes")["start"].alias("b"))
+        .distinct()
+        .collect()
+    )
+    byb = defaultdict(set)
+    for r in p:
+        byb[r["b"]].add(r["user_id"])
+    nbrs = defaultdict(set)
+    for us in byb.values():
+        us = sorted(us)
+        for i in range(len(us)):
+            for j in range(i + 1, len(us)):
+                nbrs[us[i]].add(us[j])
+                nbrs[us[j]].add(us[i])
+    pairs = [
+        (len(nbrs[u]), len(nbrs[v])) for u in nbrs for v in nbrs[u]
+    ]
+    n = len(pairs)
+    mx = sum(x for x, _ in pairs) / n
+    my = sum(y for _, y in pairs) / n
+    cov = sum((x - mx) * (y - my) for x, y in pairs)
+    sx = math.sqrt(sum((x - mx) ** 2 for x, _ in pairs))
+    sy = math.sqrt(sum((y - my) ** 2 for _, y in pairs))
+    r_ = cov / (sx * sy)
+    row = catalog.queries()["graph_assortativity"](spark, sf).head()
+    assert row["n_directed_edges"] == n // 2
+    assert abs(row["assortativity"] - round(r_, 6)) < 1e-4
