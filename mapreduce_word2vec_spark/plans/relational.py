@@ -7229,3 +7229,85 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean"
         ),
     )
+
+
+# --- winsorized mean --------------------------------------------------------
+# agg_trimmed_mean's sibling: instead of DROPPING the tail deciles,
+# CLAMP every value to the kept band's [min, max] — all rows keep a
+# vote, outliers just lose their leverage (the estimator insurance
+# pricing and latency SLOs prefer, since n stays the full n). Same
+# rank exchange as the trim; the clamp bounds are the kept band's
+# endpoints (deterministic via the total order), and the clamped sum
+# accumulates as DECIMAL(18,6), so the mean is engine-exact.
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    bounds AS (
+      SELECT l_returnflag,
+             min(l_extendedprice) AS lo,
+             max(l_extendedprice) AS hi
+      FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+      GROUP BY l_returnflag
+    )
+    SELECT r.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(b.lo, 6) AS lo,
+           round(b.hi, 6) AS hi,
+           round(CAST(sum(CAST(round(least(greatest(r.l_extendedprice, b.lo), b.hi), 6)
+                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS winsorized_mean
+    FROM r JOIN bounds b ON r.l_returnflag = b.l_returnflag
+    GROUP BY r.l_returnflag, b.lo, b.hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-winsorized mean of extended price per return flag: tail
+    values clamped to the kept band's endpoints, decimal-exact sum."""
+    from pyspark.sql import Window
+
+    li = rt(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number()
+        .over(w.orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+        .alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    band = r.where(
+        (F.col("rn") > F.floor(F.col("n") / 10))
+        & (F.col("rn") <= F.col("n") - F.floor(F.col("n") / 10))
+    )
+    bounds = band.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    j = r.join(F.broadcast(bounds), "l_returnflag")
+    clamped = F.round(
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")), 6
+    ).cast("decimal(18,6)")
+    return j.groupBy("l_returnflag", "lo", "hi").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(F.sum(clamped).cast("double") / F.count("*"), 6).alias(
+            "winsorized_mean"
+        ),
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "winsorized_mean",
+    )

@@ -1917,3 +1917,41 @@ def test_assortativity_matches_python_pearson(spark):
     row = catalog.queries()["graph_assortativity"](spark, sf).head()
     assert row["n_directed_edges"] == n // 2
     assert abs(row["assortativity"] - round(r_, 6)) < 1e-4
+
+
+def test_winsorized_mean_matches_python(spark):
+    """Winsorized means and clamp bounds must match a python
+    recompute; n stays the FULL group size (the property that
+    distinguishes winsorizing from trimming); and the estimate sits
+    between the trimmed mean and the raw mean's direction of pull."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    groups = defaultdict(list)
+    for r in (
+        read_testdata(spark, SF_SMOKE, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber")
+        .collect()
+    ):
+        groups[r["l_returnflag"]].append(
+            (r["l_extendedprice"], r["l_orderkey"], r["l_linenumber"])
+        )
+    got = {
+        r["l_returnflag"]: r
+        for r in catalog.queries()["agg_winsorized_mean"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(groups)
+    for flag, xs in groups.items():
+        xs.sort()
+        n = len(xs)
+        band = [p for p, _, _ in xs[n // 10 : n - n // 10]]
+        lo, hi = min(band), max(band)
+        wmean = round(
+            sum(round(min(max(p, lo), hi), 6) for p, _, _ in xs) / n, 6
+        )
+        r = got[flag]
+        assert r["n_rows"] == n  # full n — not the trimmed count
+        assert (r["lo"], r["hi"]) == (round(lo, 6), round(hi, 6))
+        assert abs(r["winsorized_mean"] - wmean) < 1e-6
