@@ -7311,3 +7311,117 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hi", 6).alias("hi"),
         "winsorized_mean",
     )
+
+
+# --- forecast backtest (WAPE) ----------------------------------------------
+# The eval orders_trend_forecast was missing: fit the per-group trend
+# on the FIRST 80% of months only, score the held-out tail, report
+# WAPE (Σ|pred−actual| / Σ actual — the scale-free error revenue
+# planners quote). Same grouped-sufficient-statistics fit, just
+# filtered to the train span (the cutoff is integer arithmetic on the
+# group's own month range, so both engines split identically);
+# holdout residuals round to 6 dp and accumulate as DECIMAL, making
+# the metric engine-exact. Everything is one month-level aggregation
+# plus group-sized joins.
+
+
+@register(
+    "orders_forecast_backtest",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderpriority,
+             (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS t,
+             round(sum(o_totalprice), 6) AS rev
+      FROM orders GROUP BY o_orderpriority, t
+    ),
+    span AS (
+      SELECT o_orderpriority,
+             min(t) + (max(t) - min(t)) * 4 // 5 AS cutoff
+      FROM m GROUP BY o_orderpriority
+    ),
+    s AS (
+      SELECT m.o_orderpriority, count(*) * 1.0 AS n,
+             round(sum(m.t), 6) AS sx, round(sum(m.rev), 6) AS sy,
+             round(sum(m.t * m.t), 6) AS sxx, round(sum(m.t * m.rev), 6) AS sxy
+      FROM m JOIN span ON m.o_orderpriority = span.o_orderpriority
+      WHERE m.t <= span.cutoff
+      GROUP BY m.o_orderpriority
+    ),
+    fit AS (
+      SELECT o_orderpriority,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+             (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS icept
+      FROM s
+    ),
+    holdout AS (
+      SELECT m.o_orderpriority,
+             CAST(round(abs(f.icept + f.slope * m.t - m.rev), 6)
+                  AS DECIMAL(28,6)) AS abs_err,
+             CAST(round(m.rev, 6) AS DECIMAL(28,6)) AS actual
+      FROM m
+      JOIN span ON m.o_orderpriority = span.o_orderpriority
+      JOIN fit f ON m.o_orderpriority = f.o_orderpriority
+      WHERE m.t > span.cutoff
+    )
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_holdout_months,
+           round(CAST(sum(abs_err) AS DOUBLE)
+                 / CAST(sum(actual) AS DOUBLE), 6) AS wape
+    FROM holdout GROUP BY o_orderpriority
+    """,
+)
+def orders_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out WAPE of the per-priority monthly revenue trend: fit
+    on the first 80% of each group's months, score the tail."""
+    o = rt(spark, sf_dir, "orders")
+    m = o.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("t"),
+    ).agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
+    span = m.groupBy("o_orderpriority").agg(
+        (
+            F.min("t") + F.floor((F.max("t") - F.min("t")) * 4 / 5)
+        ).alias("cutoff")
+    )
+    mj = m.join(F.broadcast(span), "o_orderpriority")
+    s = (
+        mj.where(F.col("t") <= F.col("cutoff"))
+        .groupBy("o_orderpriority")
+        .agg(
+            (F.count("*") * F.lit(1.0)).alias("n"),
+            F.round(F.sum("t"), 6).alias("sx"),
+            F.round(F.sum("rev"), 6).alias("sy"),
+            F.round(F.sum(F.col("t") * F.col("t")), 6).alias("sxx"),
+            F.round(F.sum(F.col("t") * F.col("rev")), 6).alias("sxy"),
+        )
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    fit = s.select(
+        "o_orderpriority",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("icept"),
+    )
+    holdout = (
+        mj.where(F.col("t") > F.col("cutoff"))
+        .join(F.broadcast(fit), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round(
+                F.abs(F.col("icept") + F.col("slope") * F.col("t") - F.col("rev")),
+                6,
+            )
+            .cast("decimal(28,6)")
+            .alias("abs_err"),
+            F.round("rev", 6).cast("decimal(28,6)").alias("actual"),
+        )
+    )
+    return holdout.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_holdout_months"),
+        F.round(
+            F.sum("abs_err").cast("double") / F.sum("actual").cast("double"), 6
+        ).alias("wape"),
+    )

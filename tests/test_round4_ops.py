@@ -1955,3 +1955,43 @@ def test_winsorized_mean_matches_python(spark):
         assert r["n_rows"] == n  # full n — not the trimmed count
         assert (r["lo"], r["hi"]) == (round(lo, 6), round(hi, 6))
         assert abs(r["winsorized_mean"] - wmean) < 1e-6
+
+
+def test_forecast_backtest_matches_python(spark):
+    """WAPE per priority must match a python refit on the same 80/20
+    month split, and the holdout must be non-empty for every group."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    monthly = defaultdict(lambda: defaultdict(float))
+    for r in read_testdata(spark, SF_SMOKE, "orders").collect():
+        t = (r["o_orderdate"].year - 1995) * 12 + r["o_orderdate"].month - 1
+        monthly[r["o_orderpriority"]][t] += r["o_totalprice"]
+    got = {
+        r["o_orderpriority"]: r
+        for r in catalog.queries()["orders_forecast_backtest"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert set(got) == set(monthly)
+    for prio, months in monthly.items():
+        rev = {t: round(v, 6) for t, v in months.items()}
+        ts = sorted(rev)
+        cutoff = ts[0] + (ts[-1] - ts[0]) * 4 // 5
+        train = [(t, rev[t]) for t in ts if t <= cutoff]
+        hold = [(t, rev[t]) for t in ts if t > cutoff]
+        n = float(len(train))
+        sx = round(sum(t for t, _ in train), 6)
+        sy = round(sum(v for _, v in train), 6)
+        sxx = round(sum(t * t for t, _ in train), 6)
+        sxy = round(sum(t * v for t, v in train), 6)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icept = (sy - slope * sx) / n
+        abs_err = sum(round(abs(icept + slope * t - v), 6) for t, v in hold)
+        actual = sum(v for _, v in hold)
+        r = got[prio]
+        assert r["n_holdout_months"] == len(hold) > 0
+        assert abs(r["wape"] - round(abs_err / actual, 6)) < 1e-6
+        assert r["wape"] >= 0
