@@ -3616,3 +3616,142 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("t").cast("double"), 6).alias("entropy_nats"),
         (F.sum("t").cast("double") < 0.5).alias("low_entropy"),
     )
+
+
+# --- hysteresis alerting (flap suppression) --------------------------------
+# The alert debounce every on-call rotation demands: the alarm ARMS
+# only after 3 consecutive errors and DISARMS only after 2
+# consecutive successes — single successes inside an incident do not
+# flap it closed. The per-user event sequence run-length-encodes into
+# a (is_error, run_len) list (one window exchange), and the state
+# machine is a SEQUENTIAL ARRAY FOLD over the runs — the batch twin
+# of the streaming CEP DFA, deterministic by construction. Spark runs
+# it as an F.aggregate HOF fold with a 3-int accumulator
+# [armed, episodes, events_in_alarm]; the oracle replays it as a
+# depth-bounded RECURSIVE walk over indexed runs, because DuckDB
+# 1.0's list_reduce mis-folds multi-row batches whose accumulator
+# width differs from the element width (repro pinned in SCALE.md) —
+# single-row folds were correct, which made it a silent wrong-answer
+# bug, caught only by this value oracle. State per user is O(runs),
+# never the raw sequence.
+
+
+@register(
+    "events_alert_hysteresis",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, ts, event_id, is_err,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               - row_number() OVER (PARTITION BY user_id, is_err
+                                    ORDER BY ts, event_id) AS grp
+      FROM ev
+    ),
+    rle AS (
+      SELECT user_id, CAST(is_err AS BIGINT) AS is_err,
+             CAST(count(*) AS BIGINT) AS len,
+             min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|'
+                 || lpad(CAST(event_id AS VARCHAR), 20, '0')) AS ord
+      FROM runs GROUP BY user_id, is_err, grp
+    ),
+    idx AS (
+      SELECT user_id, is_err, len,
+             row_number() OVER (PARTITION BY user_id ORDER BY ord) AS i
+      FROM rle
+    ),
+    nruns AS (SELECT user_id, max(i) AS m FROM idx GROUP BY user_id),
+    walk(user_id, i, armed, eps, ev) AS (
+      SELECT user_id, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      FROM nruns
+      UNION ALL
+      SELECT w.user_id, w.i + 1,
+             CASE WHEN r.is_err = 1 AND w.armed = 0 AND r.len >= 3 THEN 1
+                  WHEN r.is_err = 0 AND w.armed = 1 AND r.len >= 2 THEN 0
+                  ELSE w.armed END,
+             CASE WHEN r.is_err = 1 AND w.armed = 0 AND r.len >= 3
+                  THEN w.eps + 1 ELSE w.eps END,
+             CASE WHEN r.is_err = 1 AND w.armed = 0 AND r.len >= 3
+                    THEN w.ev + r.len - 2
+                  WHEN r.is_err = 1 AND w.armed = 1 THEN w.ev + r.len
+                  WHEN r.is_err = 0 AND w.armed = 1 THEN w.ev + 1
+                  ELSE w.ev END
+      FROM walk w JOIN idx r ON r.user_id = w.user_id AND r.i = w.i + 1
+    )
+    SELECT w.user_id,
+           w.eps AS n_episodes,
+           w.ev AS events_in_alarm,
+           w.armed = 1 AS still_armed
+    FROM walk w JOIN nruns n ON w.user_id = n.user_id AND w.i = n.m
+    """,
+)
+def events_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flap-suppressed alerting per user: arm after 3 consecutive
+    errors, disarm after 2 consecutive successes — run-length encode,
+    then one deterministic array fold."""
+    from pyspark.sql import Window
+
+    ev = read_testdata(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "is_err",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    rle = runs.groupBy("user_id", "is_err", "grp").agg(
+        F.min(F.struct("ts", "event_id")).alias("ord"),
+        F.count("*").cast("bigint").alias("len"),
+    )
+    seq = rle.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ord", F.col("is_err").cast("bigint").alias("ie"), "len"))
+            ),
+            lambda s: F.array(s.getField("ie"), s.getField("len")),
+        ).alias("rl")
+    )
+    def step(acc, x):
+        ie, ln = F.element_at(x, 1), F.element_at(x, 2)
+        armed, eps, ev_ = (
+            F.element_at(acc, 1),
+            F.element_at(acc, 2),
+            F.element_at(acc, 3),
+        )
+        arm_new = (ie == 1) & (armed == 0) & (ln >= 3)
+        stay = (ie == 1) & (armed == 1)
+        disarm = (ie == 0) & (armed == 1) & (ln >= 2)
+        gap = (ie == 0) & (armed == 1) & (ln < 2)
+        return (
+            F.when(arm_new, F.array(F.lit(1).cast("bigint"), eps + 1, ev_ + ln - 2))
+            .when(stay, F.array(F.lit(1).cast("bigint"), eps, ev_ + ln))
+            .when(disarm, F.array(F.lit(0).cast("bigint"), eps, ev_ + 1))
+            .when(gap, F.array(F.lit(1).cast("bigint"), eps, ev_ + 1))
+            .otherwise(acc)
+        )
+
+    folded = seq.select(
+        "user_id",
+        F.aggregate(
+            "rl",
+            F.array(F.lit(0), F.lit(0), F.lit(0)).cast("array<bigint>"),
+            step,
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        F.element_at("st", 2).alias("n_episodes"),
+        F.element_at("st", 3).alias("events_in_alarm"),
+        (F.element_at("st", 1) == 1).alias("still_armed"),
+    )

@@ -1995,3 +1995,52 @@ def test_forecast_backtest_matches_python(spark):
         assert r["n_holdout_months"] == len(hold) > 0
         assert abs(r["wape"] - round(abs_err / actual, 6)) < 1e-6
         assert r["wape"] >= 0
+
+
+def test_hysteresis_matches_python_state_machine(spark):
+    """Episode counts, in-alarm events, and the final armed state
+    must equal a python replay of the arm-at-3/disarm-at-2 machine on
+    every user's ordered event sequence — including alarm persistence
+    through single-success gaps."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    seq = defaultdict(list)
+    for r in sorted(
+        read_testdata(spark, SF_SMOKE, "events")
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    ):
+        seq[r["user_id"]].append(1 if r["event_type"] == "error" else 0)
+
+    def replay(xs):
+        runs = []
+        for x in xs:
+            if runs and runs[-1][0] == x:
+                runs[-1][1] += 1
+            else:
+                runs.append([x, 1])
+        armed = eps = ev = 0
+        for ie, ln in runs:
+            if ie and not armed and ln >= 3:
+                armed, eps, ev = 1, eps + 1, ev + ln - 2
+            elif ie and armed:
+                ev += ln
+            elif not ie and armed and ln >= 2:
+                armed, ev = 0, ev + 1
+            elif not ie and armed:
+                ev += 1
+        return eps, ev, bool(armed)
+
+    got = {
+        r["user_id"]: (r["n_episodes"], r["events_in_alarm"], r["still_armed"])
+        for r in catalog.queries()["events_alert_hysteresis"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    want = {u: replay(xs) for u, xs in seq.items()}
+    assert got == want
+    assert any(e > 0 for e, _, _ in want.values())  # machine actually fires
