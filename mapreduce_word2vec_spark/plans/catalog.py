@@ -147,7 +147,7 @@ _PRIORITY = (
 # graph_degree_powerlaw, source_text_wholetext, join_asof_strict,
 # agg_trimmed_mean, events_user_entropy, graph_assortativity,
 # agg_winsorized_mean, orders_forecast_backtest,
-# events_alert_hysteresis), then
+# events_alert_hysteresis, multimodal_aspect_filter), then
 # doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
 # emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
 # doc_compression_ratio, w2v_vocabulary,

@@ -746,3 +746,62 @@ def multimodal_vit_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("byte_offset"),
     )
+
+
+# --- aspect-ratio / resolution screening -----------------------------------
+# The first image filter every multimodal curation run applies
+# (LAION-style): drop extreme aspect ratios (banner strips, scan
+# slivers) and sub-resolution thumbnails BEFORE paying for any
+# decode. Operates purely on the typed metadata struct — the binary
+# payload is never touched, so the scan reads only the meta columns
+# (the schema-pruning property multimodal_meta pins). Keep rule:
+# 1/3 <= w/h <= 3 and min(w, h) >= 96; report per-format keep rates
+# from integer counts.
+
+
+@register(
+    "multimodal_aspect_filter",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'png'
+                  WHEN doc_id % 3 = 1 THEN 'jpeg'
+                  ELSE 'webp' END AS format,
+             64 + (doc_id % 5) * 32 AS w,
+             64 + (doc_id % 7) * 16 AS h
+      FROM documents
+    ),
+    f AS (
+      SELECT format,
+             CASE WHEN w * 3 >= h AND h * 3 >= w
+                       AND least(w, h) >= 96 THEN 1 ELSE 0 END AS keep
+      FROM m
+    )
+    SELECT format,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           round(sum(keep) * 1.0 / count(*), 6) AS keep_rate
+    FROM f GROUP BY format
+    """,
+)
+def multimodal_aspect_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio + min-resolution screen over media metadata:
+    per-format keep counts and rates, payload untouched."""
+    from mapreduce_word2vec_spark.operators.multimodal import attach_media_expr
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    media = attach_media_expr(docs)
+    w, h = F.col("meta.width"), F.col("meta.height")
+    keep = F.when(
+        (w * 3 >= h) & (h * 3 >= w) & (F.least(w, h) >= 96), 1
+    ).otherwise(0)
+    return (
+        media.select(F.col("meta.format").alias("format"), keep.alias("keep"))
+        .groupBy("format")
+        .agg(
+            F.count("*").cast("bigint").alias("n_images"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.round(F.sum("keep") * F.lit(1.0) / F.count("*"), 6).alias(
+                "keep_rate"
+            ),
+        )
+    )

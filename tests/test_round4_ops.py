@@ -2044,3 +2044,29 @@ def test_hysteresis_matches_python_state_machine(spark):
     want = {u: replay(xs) for u, xs in seq.items()}
     assert got == want
     assert any(e > 0 for e, _, _ in want.values())  # machine actually fires
+
+
+def test_aspect_filter_counts_and_payload_pruning(spark):
+    """Keep counts must match a python recompute of the rule over the
+    deterministic metadata, partial keeps must exist (the rule is
+    discriminative), and the plan must not read the binary payload."""
+    from collections import defaultdict
+
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import read_testdata
+
+    ids = [r["doc_id"] for r in read_testdata(spark, SF_SMOKE, "documents").collect()]
+    agg = defaultdict(lambda: [0, 0])
+    for d in ids:
+        fmt = ("png", "jpeg", "webp")[d % 3]
+        w, h = 64 + (d % 5) * 32, 64 + (d % 7) * 16
+        a = agg[fmt]
+        a[0] += 1
+        if w * 3 >= h and h * 3 >= w and min(w, h) >= 96:
+            a[1] += 1
+    df = catalog.queries()["multimodal_aspect_filter"](spark, SF_SMOKE)
+    got = {r["format"]: (r["n_images"], r["n_kept"]) for r in df.collect()}
+    assert got == {f: tuple(v) for f, v in agg.items()}
+    assert any(0 < k < n for n, k in agg.values())
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "payload" not in plan  # metadata-only: binary column pruned
