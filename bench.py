@@ -90,6 +90,11 @@ def main() -> None:
         app_name="mapreduce-word2vec-spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # Console progress bars (\r[Stage ...]) share the driver's tail
+        # capture with the final JSON line; silence them so the line is
+        # never crowded out of the 2000-char tail buffer (BENCH_r04
+        # lesson).
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     qs = catalog.queries()
 
@@ -125,7 +130,14 @@ def main() -> None:
         round(sum(samples[name][i] for name in HEADLINE), 3)
         for i in range(n_runs)
     ]
-    print(
+    # The driver captures only the LAST ~2000 chars of output and parses
+    # the JSON line it finds there (BENCH_r04's line, carrying per-query
+    # spread dicts, outgrew that buffer and the round's record was
+    # unparseable). Contract: full detail -> BENCH_DETAIL.json on disk;
+    # stdout's final line stays the compact required shape
+    # {metric, value, unit, queries, sf} (~1.2 KB at 36 queries).
+    detail_path = _REPO / "BENCH_DETAIL.json"
+    detail_path.write_text(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
@@ -137,8 +149,26 @@ def main() -> None:
                 "aggregation": "median",
                 "spread": spread,
                 "run_totals": run_totals,
-            }
+                "samples": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
+            },
+            indent=1,
         )
+        + "\n"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "runs_per_query": n_runs,
+                "aggregation": "median",
+                "detail": "BENCH_DETAIL.json",
+            }
+        ),
+        flush=True,
     )
 
 

@@ -1010,7 +1010,7 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
              round(list_sum(list_transform(range(1, len(e.embedding) + 1),
                i -> (CAST(e.embedding[i] AS DOUBLE) - p.mus[i])
                     * (CAST(e.embedding[i] AS DOUBLE) - p.mus[i])
-                    / p.vars_[i])), 6) AS m2
+                    / greatest(p.vars_[i], 1e-12))), 6) AS m2
       FROM embeddings e JOIN packed p ON e.label = p.label
     )
     SELECT vec_id, label, m2 FROM scored
@@ -1045,7 +1045,10 @@ def emb_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x, mu: x - mu,
             ),
             F.col("vars_"),
-            lambda d, v: d * d / v,
+            # Variance floor (mirrored in the oracle): a constant
+            # dimension within a label has var=0, where Spark yields
+            # Inf/NaN and DuckDB diverges — clamp identically in both.
+            lambda d, v: d * d / F.greatest(v, F.lit(1e-12)),
         ),
         F.lit(0.0),
         lambda acc, x: acc + x,

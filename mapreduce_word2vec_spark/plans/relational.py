@@ -6297,7 +6297,7 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT o_orderkey, 'D', NULL FROM orders WHERE o_orderkey % 1000 = 2
       UNION ALL
-      SELECT o_orderkey + 10000000, 'I', round(o_totalprice, 6)
+      SELECT -o_orderkey, 'I', round(o_totalprice, 6)
       FROM orders WHERE o_orderkey % 1000 = 3
     ),
     tgt AS (SELECT o_orderkey, o_custkey, o_orderstatus,
@@ -6344,8 +6344,12 @@ def merge_three_way(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
+            # Insert keys negated, not offset: o_orderkey >= 1 at every
+            # TPC-H scale factor, so -k can never collide with a real
+            # target key (a fixed +10M offset collides once orderkeys
+            # exceed 10M, silently demoting INSERT to UPDATE).
             o.where(F.col("o_orderkey") % 1000 == 3).select(
-                (F.col("o_orderkey") + 10000000).alias("k"),
+                (-F.col("o_orderkey")).alias("k"),
                 F.lit("I").alias("op"),
                 F.round("o_totalprice", 6).alias("new_price"),
             )
@@ -6545,9 +6549,13 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 self.state[name] = (min(lo, v), max(hi, v))
 
         def terminate(self):
+            # terminate() also fires on partitions where eval() never
+            # ran (empty input split) — emit nothing there instead of
+            # KeyError-ing the task.
             for name in ("o_orderkey", "o_custkey", "o_totalprice"):
-                lo, hi = self.state[name]
-                yield name, lo, hi
+                if name in self.state:
+                    lo, hi = self.state[name]
+                    yield name, lo, hi
 
     spark.udtf.register("profile_cols", udtf(ProfileCols))
     rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_poly_src")

@@ -2960,6 +2960,13 @@ def stream_observe_metrics_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="mw2v_som_")
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
+    # recentProgress is a ring buffer capped at
+    # spark.sql.streaming.numRecentProgressUpdates (default 100); with
+    # enough source files older batch observations would silently evict
+    # and the fold undercounts. 8 source files / 2 per trigger = 4
+    # batches here, but raise the cap and assert below so a layout
+    # change can never turn this into a silent undercount.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
     stream = (
         spark.readStream.schema("ts timestamp, event_type string, value double")
         .option("maxFilesPerTrigger", "2")
@@ -2983,9 +2990,17 @@ def stream_observe_metrics_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    progress = q.recentProgress
+    cap = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates"))
+    if len(progress) >= cap:
+        raise RuntimeError(
+            f"recentProgress hit the {cap}-entry ring-buffer cap; "
+            "older batch observations were evicted and the metrics "
+            "fold would undercount"
+        )
     rows = [
         p["observedMetrics"]["ingest_metrics"]
-        for p in q.recentProgress
+        for p in progress
         if "ingest_metrics" in (p.get("observedMetrics") or {})
     ]
     folded = [
