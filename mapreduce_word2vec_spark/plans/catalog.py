@@ -50,94 +50,76 @@ _loaded = False
 
 # The driver's CORRECTNESS check covers only the FIRST 50 registrations
 # (CORRECTNESS_r01.json is exactly the first 50 in catalog order), so
-# registration order is verification budget. Rounds 1–3 verified 135
-# distinct queries green (r3 window: 50/50). This round-4 window
-# executes the rotation plan recorded below in round 3: all 50 r3-green
-# names yield their slot; the window is (a) the round-3 catalog
-# additions, never driver-tested, in SURVEY §2.B order, (b) one
-# never-tested pick each for the two families the r3 additions don't
-# touch (multimodal, embedding), and (c) four green sentinels spread
-# across families so a regression in verified code still surfaces.
-# Everything not listed keeps its original registration order behind
-# these; queries verified in an earlier round stay registered (and
-# pytest-gated) but yield their slot.
+# registration order is verification budget. Rounds 1–4 verified 181
+# distinct queries green (r4 window: 50/50). This round-5 window
+# executes the rotation plan recorded below in round 4: all 50 r4-green
+# names yield their slot; the window is (a) the first 47 entries of the
+# never-driver-tested backlog in the planned order below — the round-4
+# catalog additions — and (b) three green sentinels across families
+# (per the round-4 verdict, sentinels cut to ≤5 while the backlog is
+# this deep). Everything not listed keeps its original registration
+# order behind these; queries verified in an earlier round stay
+# registered (and pytest-gated) but yield their slot.
 _PRIORITY = (
-    # --- round-3 additions, never driver-tested (44) ---
-    "cte_recursive_series",
-    "scalar_bitwise",
-    "join_bloom_semi",
-    "agg_countmin_words",
-    "source_xml_roundtrip",
-    "source_binaryfile_scan",
-    "source_dpp_prune",
-    "set_intersect_all",
-    "set_except_all",
-    "subquery_not_in_nulls",
-    "observe_metrics",
-    "join_null_safe",
-    "agg_percentile_within_group",
-    "scalar_url_parse",
-    "stream_foreach_batch_merge",
-    "table_ctas_insert",
-    "join_shuffle_hash_hint",
-    "sql_parameterized",
-    "ps_pandas_on_spark",
-    "w2v_skipgram_pairs",
-    "w2v_negative_sampling",
-    "w2v_subsample_probs",
-    "events_attribution_last_touch",
-    "agg_bitmap_distinct",
-    "doc_winnowing",
-    "agg_listagg",
-    "scalar_collation",
-    "events_sliding_distinct_bitmap",
-    "stream_tumbling_live",
-    "stream_session_live",
-    "udf_arrow_scalar",
-    "agg_hll_union_sketch",
-    "source_python_stream",
-    "scalar_xpath",
-    "grouping_id_rollup",
-    "events_ewma",
-    "ml_logreg_gd",
-    "ml_linreg_normal",
-    "events_ab_ttest",
-    "orders_gini_coefficient",
-    "doc_lang_confusion",
-    "events_equidepth_histogram",
-    "join_interval_overlap",
-    # --- family coverage: never-tested similarity/multimodal/embedding ---
-    "knn_maxsim",
-    "multimodal_pair_batches",
-    "emb_hubness",
+    # --- round-4 additions, never driver-tested (47) ---
+    "graph_label_propagation",
+    "agg_filter_clause",
+    "scalar_datetime_tz",
+    "knn_range_search",
+    "source_parquet_bloom",
+    "udf_iterator_pandas",
+    "knn_binary_quantized",
+    "agg_hll_intersection",
+    "graph_kcore",
+    "dedup_incremental_ingest",
+    "events_attribution_linear",
+    "merge_three_way",
+    "dedup_lsh_param_sweep",
+    "sql_scalar_udf",
+    "sql_pipe_syntax",
+    "emb_random_projection",
+    "events_top_paths",
+    "customer_segment_migration",
+    "stream_stream_join_live",
+    "doc_cross_split_perplexity",
+    "stream_dedup_watermark_live",
+    "stream_late_drop_live",
+    "udtf_polymorphic",
+    "sql_session_variable",
+    "source_insert_overwrite_dynamic",
+    "stream_session_dynamic_gap",
+    "emb_pca_explained_variance",
+    "source_file_metadata",
+    "sample_dsir_apply",
+    "doc_ngram_coverage_curve",
+    "events_error_budget_burn",
+    "stream_observe_metrics_live",
+    "dedup_edit_distance",
+    "graph_adamic_adar",
+    "doc_readability",
+    "doc_badwords_filter",
+    "source_parquet_rowgroup_stats",
+    "select_curriculum_order",
+    "join_asof_tolerance",
+    "knn_nprobe_sweep",
+    "events_attribution_position",
+    "sample_horvitz_thompson",
+    "graph_bfs_contamination",
+    "ml_naive_bayes_lang",
+    "udf_window_grouped_agg",
+    "emb_cluster_purity",
+    "udtf_table_argument",
     # --- green sentinels (regression tripwires across families) ---
     "doc_wordcount",
     "dedup_exact",
     "source_csv_roundtrip",
-    "events_funnel",
 )
 
-# Round-5 rotation plan: once CORRECTNESS_r04 lands green, swap the
-# verified names out and promote the remaining never-driver-tested
-# oracle-backed names (~110), continuing in SURVEY §2.B order —
-# round-4 additions first (graph_label_propagation, agg_filter_clause,
-# scalar_datetime_tz, knn_range_search, source_parquet_bloom,
-# udf_iterator_pandas, knn_binary_quantized, agg_hll_intersection,
-# graph_kcore, dedup_incremental_ingest, events_attribution_linear,
-# merge_three_way, dedup_lsh_param_sweep, sql_scalar_udf,
-# sql_pipe_syntax, emb_random_projection, events_top_paths,
-# customer_segment_migration, stream_stream_join_live,
-# doc_cross_split_perplexity, stream_dedup_watermark_live,
-# stream_late_drop_live, udtf_polymorphic, sql_session_variable,
-# source_insert_overwrite_dynamic, stream_session_dynamic_gap,
-# emb_pca_explained_variance, source_file_metadata, sample_dsir_apply,
-# doc_ngram_coverage_curve, events_error_budget_burn,
-# stream_observe_metrics_live, dedup_edit_distance, graph_adamic_adar,
-# doc_readability, doc_badwords_filter, source_parquet_rowgroup_stats,
-# select_curriculum_order, join_asof_tolerance, knn_nprobe_sweep,
-# events_attribution_position, sample_horvitz_thompson,
-# graph_bfs_contamination, ml_naive_bayes_lang, udf_window_grouped_agg,
-# emb_cluster_purity, udtf_table_argument, doc_cdc_chunking,
+# Round-6 rotation plan: once CORRECTNESS_r05 lands green, swap the
+# verified names out and promote the next 45–47 never-driver-tested
+# oracle-backed names (~189 remain after r5), continuing in the order
+# below (the r5 window consumed the list through udtf_table_argument):
+# doc_cdc_chunking,
 # dedup_minhash_candidates, graph_walk_pairs, sql_scripting_loop,
 # sql_execute_immediate, events_did_estimate, tokenizer_bpe_contract,
 # events_interval_coalesce, split_group_aware, events_ab_srm_check,
