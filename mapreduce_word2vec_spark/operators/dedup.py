@@ -323,15 +323,37 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: candidates share ≥1 of 4 8-bit
     bands, verified with bit_count(xor) ≤ max_hamming.
 
-    Signatures are persisted before the self-join: 16 bytes/doc vs
-    re-running tokenize+hash+32-way aggregation once per join side
-    (Catalyst evaluates a broadcast join's sides independently). At
-    100 TB the signature table is ~1/10⁵ of the corpus — caching it
-    is the intended scale pattern, not a local-mode hack."""
-    sh = tracked_persist(simhash_signatures(df, id_col, text_col))
-    bands = sh.select(
-        "doc_id",
+    The self-join runs at SIGNATURE granularity, not document
+    granularity: docs collapse to their distinct 32-bit signature
+    first (near-dup corpora are exactly the ones where many docs
+    share a signature), the banded join + Hamming verify runs over
+    distinct signatures only, and surviving signature PAIRS expand
+    back to doc pairs via their grouped id lists. Two wins, both
+    quadratic where it matters: a band bucket holding m docs across
+    s distinct signatures joins s² rows instead of m² (measured
+    31.6M → 6.9M join rows at sf0.1), and because each doc carries
+    exactly one signature every output pair is produced exactly once
+    — the final dedup shrinks from a distinct over every verified
+    DOC pair to a ≤4-row-multiplicity dropDuplicates over signature
+    pairs. Same-signature (Hamming 0) pairs come from a separate
+    within-group expansion; both expansions are output-bounded (the
+    pair list itself is the quadratic object — a giant identical-sig
+    cluster at 100 TB should be capped or represented by a survivor
+    upstream, which is a policy choice, not a plan limit).
+
+    The grouped signature table is persisted before the self-join:
+    ~20 bytes/doc vs re-running tokenize+hash+32-way aggregation
+    once per join side (Catalyst evaluates join sides
+    independently). At 100 TB it is ~1/10⁵ of the corpus — caching
+    it is the intended scale pattern, not a local-mode hack."""
+    grp = tracked_persist(
+        simhash_signatures(df, id_col, text_col)
+        .groupBy("sh")
+        .agg(F.collect_list("doc_id").alias("ids"))
+    )
+    bands = grp.select(
         "sh",
+        "ids",
         F.explode(
             F.array(
                 *[
@@ -343,25 +365,41 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Self-join, NOT _bucket_pairs: simhash band keys are only 8 bits,
-    # so buckets hold ~n/256 documents and the interpreted O(bucket²)
-    # HOF expansion degenerates (measured 25s vs 2.4s at sf0.1). The
-    # codegen'd hash join + filter handles dense buckets fine; MinHash
-    # (high-entropy 4-hash keys, tiny buckets) uses _bucket_pairs.
-    a = bands.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "key")
-    b = bands.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "key")
+    ).select("sh", "ids", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("sh").alias("sh_a"), F.col("ids").alias("ids_a"), "band", "key")
+    b = bands.select(F.col("sh").alias("sh_b"), F.col("ids").alias("ids_b"), "band", "key")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    # Hamming filter BEFORE the distinct: same result (row-level
-    # predicate commutes with dedup) but the distinct's shuffle carries
-    # only verified near-dups, not every banding collision.
-    return (
+    # Hamming filter BEFORE the signature-pair dedup: the dedup's
+    # shuffle then carries only verified near-dup signature pairs
+    # (≤4× multiplicity from shared bands), never raw band collisions.
+    sig_pairs = (
         a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("sh_a") < F.col("sh_b"))
+        .select("sh_a", "sh_b", "ids_a", "ids_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
+        .dropDuplicates(["sh_a", "sh_b"])
     )
+    cross = (
+        sig_pairs.select(F.explode("ids_a").alias("i"), "ids_b", "hamming")
+        .select("i", F.explode("ids_b").alias("j"), "hamming")
+        .select(
+            F.least("i", "j").alias("id_a"),
+            F.greatest("i", "j").alias("id_b"),
+            "hamming",
+        )
+    )
+    same = (
+        grp.where(F.size("ids") > 1)
+        .select(F.explode("ids").alias("i"), "ids")
+        .select("i", F.explode("ids").alias("j"))
+        .where(F.col("i") < F.col("j"))
+        .select(
+            F.col("i").alias("id_a"),
+            F.col("j").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def mllib_minhash_pairs(
