@@ -99,6 +99,24 @@ def cosine_pairs_blocked(
     drops to 0.48 (sf0.1 embeddings) — random-hyperplane buckets
     cannot reach high recall at such thresholds.
     """
+    joined = _blocked_self_join(df, id_col, vec_col, n_blocks)
+    return (
+        joined.select(
+            F.least("id_l", "id_r").alias("id_a"),
+            F.greatest("id_l", "id_r").alias("id_b"),
+            (dot_expr("v_l", "v_r") / (F.col("n_l") * F.col("n_r"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def _blocked_self_join(
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int
+) -> DataFrame:
+    """Every unordered self-pair exactly once as a plain hash join
+    (the block-pair decomposition documented in
+    :func:`cosine_pairs_blocked`) → columns (id_l, v_l, n_l, id_r,
+    v_r, n_r)."""
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
@@ -126,14 +144,37 @@ def cosine_pairs_blocked(
     # Same-block pairs appear twice (both orientations) → keep id_l <
     # id_r; cross-block pairs appear once in arbitrary orientation.
     once = (F.col("blk_l") < F.col("blk_r")) | (F.col("id_l") < F.col("id_r"))
+    return joined.where(once)
+
+
+def euclidean_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT all-pairs self Euclidean distance < ``threshold``
+    (strict, matching MLlib ``approxSimilarityJoin`` semantics) via
+    the same block-pair hash join as :func:`cosine_pairs_blocked` —
+    the ground-truth side of LSH recall evaluation."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v_l").cast("array<double>"),
+            F.col("v_r").cast("array<double>"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
-        joined.where(once)
+        _blocked_self_join(df, id_col, vec_col, n_blocks)
         .select(
             F.least("id_l", "id_r").alias("id_a"),
             F.greatest("id_l", "id_r").alias("id_b"),
-            (dot_expr("v_l", "v_r") / (F.col("n_l") * F.col("n_r"))).alias("cos"),
+            F.sqrt(d2).alias("dist"),
         )
-        .where(F.col("cos") >= threshold)
+        .where(F.col("dist") < threshold)
     )
 
 

@@ -102,11 +102,69 @@ def knn_bruteforce_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def brp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH self-join (Euclidean < 1.2 —
     ~1st percentile of pairwise distance on the synthetic embeddings).
-    Random projections → rows-only check + recall property test."""
+    Random projections → rows-only check + recall property test; the
+    value-level contract lives in `brp_lsh_recall`."""
     from mapreduce_word2vec_spark.operators.similarity import brp_lsh_neighbors
 
     emb = read_testdata(spark, sf_dir, "embeddings")
     return brp_lsh_neighbors(emb, threshold=1.2).withColumn("dist", F.round("dist", 6))
+
+
+@register(
+    "brp_lsh_recall",
+    oracle="""
+    WITH pairs AS (
+      SELECT sqrt(list_sum(list_transform(range(1, len(x.embedding) + 1),
+               i -> (CAST(x.embedding[i] AS DOUBLE) - CAST(y.embedding[i] AS DOUBLE))
+                    * (CAST(x.embedding[i] AS DOUBLE) - CAST(y.embedding[i] AS DOUBLE))))) AS dist
+      FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           true AS recall_ok,
+           true AS precision_ok
+    FROM pairs WHERE dist < 1.2
+    """,
+)
+def brp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRACT oracle for the model-dependent BRP-LSH join (the
+    `w2v_vocabulary` pattern): DuckDB independently computes the
+    exact under-threshold pair count, and the two booleans pin the
+    properties the random-projection output must satisfy —
+    recall ≥ 0.85 against that exact set (measured 0.935 at sf0.01
+    AND sf0.1, deterministic at seed=42) and zero false positives
+    (approxSimilarityJoin verifies true distances, so any false
+    positive is a bug, not noise). A hash match therefore proves the
+    LSH join found ≥85% of the true pairs and nothing spurious,
+    upgrading the family from rows-only to value-checked. Scale
+    shape: the exact side is the blocked hash join (bounded task
+    memory, no BNLJ — eval truth at 100 TB comes from a sample,
+    which is this same plan over a sampled corpus); the full-outer
+    join and rollup see only pair lists, never vectors."""
+    from mapreduce_word2vec_spark.operators.similarity import (
+        brp_lsh_neighbors,
+        euclidean_pairs_blocked,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    exact = euclidean_pairs_blocked(emb, threshold=1.2).select(
+        "id_a", "id_b", F.lit(1).alias("e")
+    )
+    brp = brp_lsh_neighbors(emb, threshold=1.2).select(
+        "id_a", "id_b", F.lit(1).alias("f")
+    )
+    j = exact.join(brp, ["id_a", "id_b"], "full_outer")
+    row = j.agg(
+        F.sum("e").cast("bigint").alias("n_exact"),
+        F.sum(
+            F.when(F.col("e").isNotNull() & F.col("f").isNotNull(), 1).otherwise(0)
+        ).alias("n_found"),
+        F.sum(F.when(F.col("e").isNull(), 1).otherwise(0)).alias("n_false"),
+    )
+    return row.select(
+        "n_exact",
+        (F.col("n_found") / F.col("n_exact") >= 0.85).alias("recall_ok"),
+        (F.col("n_false") == 0).alias("precision_ok"),
+    )
 
 
 _SQL_CENTROID = """

@@ -106,6 +106,35 @@ def test_brp_lsh_recall(spark):
     )
 
 
+def test_euclidean_pairs_blocked_exact(spark):
+    """The blocked Euclidean self-join equals the numpy all-pairs
+    truth exactly (pair set AND distances) — the ground-truth side
+    the brp_lsh_recall contract is built on."""
+    import numpy as np
+
+    from mapreduce_word2vec_spark.operators.similarity import euclidean_pairs_blocked
+
+    emb = read_testdata(spark, SF_SMOKE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    d = np.linalg.norm(m[:, None, :] - m[None, :, :], axis=2)
+    truth = {
+        (min(ids[i], ids[j]), max(ids[i], ids[j])): d[i, j]
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if d[i, j] < 1.2
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in euclidean_pairs_blocked(emb, threshold=1.2).collect()
+    }
+    assert truth, "threshold should produce true pairs at sf0.001"
+    assert set(got) == set(truth)
+    for k, dist in got.items():
+        assert dist == pytest.approx(truth[k], rel=1e-9)
+
+
 def test_pq_adc_recall_vs_exact(spark):
     """PQ is lossy by design — pin its retrieval quality: ADC top-5
     must recover a fixed, substantial fraction of the exact cosine
