@@ -291,27 +291,32 @@ def simhash_signatures(
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dim = tf.select("w").distinct().select("w", string_hash_expr(F.col("w")).alias("h"))
     hashed = tf.join(F.broadcast(dim), "w").select("doc_id", "tf", "h")
-    sums = []
-    for g in range(SIMHASH_BITS // 2):
-        lo = F.when(
-            F.col("h").bitwiseAND(F.lit(1 << (2 * g))) > 0, F.col("tf")
-        ).otherwise(F.lit(0).cast("long"))
-        hi = F.when(
-            F.col("h").bitwiseAND(F.lit(1 << (2 * g + 1))) > 0, F.col("tf")
-        ).otherwise(F.lit(0).cast("long"))
-        sums.append(F.sum(lo + hi * F.lit(1 << 32)).alias(f"p{g}"))
+    # The lane sums and the 32-branch bit reconstruction are built as
+    # SQL strings parsed in ONE expr() call each, not as Column trees:
+    # looping F.when/.bitwiseAND pays a Python→JVM round trip per
+    # node, and the resulting ~0.9 s of DRIVER-side plan construction
+    # dominated the whole query (execution is also ~0.9 s at sf0.1).
+    # Identical arithmetic, bit-identical output.
+    sums = [
+        F.expr(
+            f"sum(CASE WHEN (h & {1 << (2 * g)}) > 0 THEN tf ELSE 0L END + "
+            f"CASE WHEN (h & {1 << (2 * g + 1)}) > 0 THEN tf ELSE 0L END"
+            f" * {1 << 32}L) AS p{g}"
+        )
+        for g in range(SIMHASH_BITS // 2)
+    ]
     sums.append(F.sum("tf").alias("tot"))
     agg = hashed.groupBy("doc_id").agg(*sums)
-    sh = F.lit(0).cast("long")
+    terms = []
     for j in range(SIMHASH_BITS):
         g = j // 2
         lane = (
-            F.col(f"p{g}").bitwiseAND(F.lit((1 << 32) - 1))
+            f"(p{g} & {(1 << 32) - 1}L)"
             if j % 2 == 0
-            else F.shiftrightunsigned(F.col(f"p{g}"), 32)
+            else f"shiftrightunsigned(p{g}, 32)"
         )
-        sh = sh + F.when(lane * 2 - F.col("tot") > 0, F.lit(1 << j)).otherwise(0)
-    return agg.select("doc_id", sh.alias("sh"))
+        terms.append(f"(CASE WHEN {lane} * 2 - tot > 0 THEN {1 << j}L ELSE 0L END)")
+    return agg.select("doc_id", F.expr(" + ".join(terms)).alias("sh"))
 
 
 def simhash_pairs(
@@ -351,9 +356,12 @@ def simhash_pairs(
         .groupBy("sh")
         .agg(F.collect_list("doc_id").alias("ids"))
     )
+    # The banded self-join runs over BARE signatures (16 bytes/row):
+    # carrying the id lists through the collision stream would pay
+    # their serialization once per collision row, not once per
+    # surviving signature pair. Lists join back post-dedup instead.
     bands = grp.select(
         "sh",
-        "ids",
         F.explode(
             F.array(
                 *[
@@ -365,9 +373,9 @@ def simhash_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select("sh", "ids", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = bands.select(F.col("sh").alias("sh_a"), F.col("ids").alias("ids_a"), "band", "key")
-    b = bands.select(F.col("sh").alias("sh_b"), F.col("ids").alias("ids_b"), "band", "key")
+    ).select("sh", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("sh").alias("sh_a"), "band", "key")
+    b = bands.select(F.col("sh").alias("sh_b"), "band", "key")
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     # Hamming filter BEFORE the signature-pair dedup: the dedup's
     # shuffle then carries only verified near-dup signature pairs
@@ -375,9 +383,11 @@ def simhash_pairs(
     sig_pairs = (
         a.join(b, ["band", "key"])
         .where(F.col("sh_a") < F.col("sh_b"))
-        .select("sh_a", "sh_b", "ids_a", "ids_b", hamming.alias("hamming"))
+        .select("sh_a", "sh_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["sh_a", "sh_b"])
+        .join(grp.select(F.col("sh").alias("sh_a"), F.col("ids").alias("ids_a")), "sh_a")
+        .join(grp.select(F.col("sh").alias("sh_b"), F.col("ids").alias("ids_b")), "sh_b")
     )
     cross = (
         sig_pairs.select(F.explode("ids_a").alias("i"), "ids_b", "hamming")
