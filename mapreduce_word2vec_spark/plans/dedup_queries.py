@@ -210,12 +210,72 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_mllib_minhash")
 def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib MinHashLSH near-dup pairs (est. Jaccard ≥ 0.6). Random
-    hash families → rows-only check + recall property test."""
+    hash families → rows-only check + recall property test; the
+    value-level contract lives in `dedup_mllib_minhash_recall`."""
     from mapreduce_word2vec_spark.operators.dedup import mllib_minhash_pairs
 
     docs = read_testdata(spark, sf_dir, "documents")
     out = mllib_minhash_pairs(docs, threshold=0.6)
     return out.withColumn("est_jaccard", F.round("est_jaccard", 6))
+
+
+@register(
+    "dedup_mllib_minhash_recall",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           true AS recall_ok,
+           true AS precision_ok
+    FROM shared
+    JOIN sizes sa ON id_a = sa.doc_id
+    JOIN sizes sb ON id_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    """,
+)
+def dedup_mllib_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRACT oracle for the model-dependent MLlib MinHashLSH join
+    (the `brp_lsh_recall` pattern): DuckDB independently counts the
+    exact Jaccard ≥ 0.6 pairs (the dedup_ngram_jaccard truth), and
+    the booleans pin recall ≥ 0.9 against that truth (measured 1.0
+    at sf0.01 AND sf0.1 across repeated runs — 5 hash tables is
+    ample at this threshold) and zero false positives
+    (approxSimilarityJoin's keyDistance IS exact Jaccard over the
+    binary shingle vectors, so any false positive is a bug). The
+    exact side reuses the candidate-bounded shingle self-join —
+    eval truth at 100 TB comes from running this same plan over a
+    sample."""
+    from mapreduce_word2vec_spark.operators.dedup import (
+        mllib_minhash_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, threshold=0.6).select(
+        "id_a", "id_b", F.lit(1).alias("e")
+    )
+    mh = mllib_minhash_pairs(docs, threshold=0.6).select(
+        "id_a", "id_b", F.lit(1).alias("f")
+    )
+    j = exact.join(mh, ["id_a", "id_b"], "full_outer")
+    row = j.agg(
+        F.sum("e").cast("bigint").alias("n_exact"),
+        F.sum(
+            F.when(F.col("e").isNotNull() & F.col("f").isNotNull(), 1).otherwise(0)
+        ).alias("n_found"),
+        F.sum(F.when(F.col("e").isNull(), 1).otherwise(0)).alias("n_false"),
+    )
+    return row.select(
+        "n_exact",
+        (F.col("n_found") / F.col("n_exact") >= 0.9).alias("recall_ok"),
+        (F.col("n_false") == 0).alias("precision_ok"),
+    )
 
 
 # Recursive-CTE connected components over the Jaccard >= 0.6 edge
