@@ -85,7 +85,10 @@ _PRIORITY = (
     "stream_dedup_watermark_live",
     "stream_late_drop_live",
     "udtf_polymorphic",
-    "sql_session_variable",
+    # multimodal_aspect_filter takes sql_session_variable's slot (SQL
+    # surface keeps two reps, multimodal otherwise had none); the
+    # variable row moves to the round-6 front of the backlog.
+    "multimodal_aspect_filter",
     "source_insert_overwrite_dynamic",
     "stream_session_dynamic_gap",
     "emb_pca_explained_variance",
@@ -118,8 +121,9 @@ _PRIORITY = (
 # Round-6 rotation plan: once CORRECTNESS_r05 lands green, swap the
 # verified names out and promote the next 45–47 never-driver-tested
 # oracle-backed names (~189 remain after r5), continuing in the order
-# below (the r5 window consumed the list through udtf_table_argument):
-# doc_cdc_chunking,
+# below (the r5 window consumed the list through udtf_table_argument,
+# plus multimodal_aspect_filter in sql_session_variable's slot):
+# sql_session_variable, doc_cdc_chunking,
 # dedup_minhash_candidates, graph_walk_pairs, sql_scripting_loop,
 # sql_execute_immediate, events_did_estimate, tokenizer_bpe_contract,
 # events_interval_coalesce, split_group_aware, events_ab_srm_check,
