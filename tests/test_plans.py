@@ -339,15 +339,16 @@ def test_compact_and_percentile_rollup_single_exchange(spark):
 def test_driver_window_spans_all_families(spark):
     """The driver's CORRECTNESS check covers only the FIRST 50
     registrations — registration order is verification budget. Every
-    query family must keep >= 1 representative inside the round-4
+    query family must keep >= 1 representative inside the round-5
     window (exact composition asserted in
     test_correctness_window_covers_all_families)."""
     names = list(catalog.all_queries())[:50]
     for prefix in ("dedup_", "knn_", "stream_", "udf_", "multimodal_",
                    "source_", "emb_", "events_", "join_", "agg_",
-                   "doc_", "scalar_", "w2v_", "ml_", "set_", "cte_"):
+                   "doc_", "scalar_", "ml_", "graph_", "sql_",
+                   "sample_", "select_", "merge_", "udtf_"):
         assert any(n.startswith(prefix) for n in names), prefix
-    assert "events_funnel" in names  # green sentinel, regression tripwire
+    assert "doc_wordcount" in names  # green sentinel, regression tripwire
 
 
 def test_salted_join_no_cartesian_and_bigram_no_self_join(spark):

@@ -267,7 +267,9 @@ def test_merge_three_way_clause_matrix(spark):
         else:
             assert abs(m[k]["o_totalprice"] - round(r["o_totalprice"], 6)) < 1e-6
         if k % 1000 == 3:
-            ins = m[k + 10000000]
+            # Insert keys are the NEGATED source keys (collision-proof
+            # at every scale factor, o_orderkey >= 1).
+            ins = m[-k]
             assert ins["o_orderstatus"] == "I" and ins["o_custkey"] == -1
 
 
