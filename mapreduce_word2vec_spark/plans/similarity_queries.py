@@ -98,6 +98,56 @@ def knn_bruteforce_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cos", F.round("cos", 6))
 
 
+@register(
+    "knn_bruteforce_blas_parity",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           true AS topk_match_ok,
+           true AS score_match_ok
+    FROM embeddings WHERE vec_id < 10
+    """,
+)
+def knn_bruteforce_blas_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRACT oracle for the rows-only `knn_bruteforce_blas` (the
+    `brp_lsh_recall` pattern): the BLAS/mapInPandas top-5 must equal
+    the expression-based `knn_bruteforce` — whose values the DuckDB
+    oracle already pins — query-for-query. The oracle independently
+    counts the query set; the booleans assert the two engines return
+    the SAME neighbor sets (full-outer join, zero one-sided rows) and
+    6-dp-rounded scores within 2e-6 (float summation order may flip
+    the last rounded digit at a rounding boundary; measured diff 0.0
+    at sf0.01 AND sf0.1). A hash match therefore transfers the SQL
+    oracle's value guarantee onto the Arrow/NumPy path. Both sides
+    are top-k-bounded, so the comparison join sees queries × 5 rows
+    regardless of corpus size."""
+    from mapreduce_word2vec_spark.operators.similarity import (
+        knn_bruteforce,
+        knn_bruteforce_numpy,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 10)
+    b = knn_bruteforce_numpy(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cb")
+    )
+    e = knn_bruteforce(emb, queries_df, k=5).select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("ce")
+    )
+    j = b.join(e, ["query_id", "neighbor_id"], "full_outer")
+    row = j.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.sum(
+            F.when(F.col("cb").isNull() | F.col("ce").isNull(), 1).otherwise(0)
+        ).alias("n_one_sided"),
+        F.max(F.abs(F.col("cb") - F.col("ce"))).alias("max_diff"),
+    )
+    return row.select(
+        "n_queries",
+        (F.col("n_one_sided") == 0).alias("topk_match_ok"),
+        (F.col("max_diff") <= 2e-6).alias("score_match_ok"),
+    )
+
+
 @register("brp_lsh_pairs")
 def brp_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MLlib BucketedRandomProjectionLSH self-join (Euclidean < 1.2 —
