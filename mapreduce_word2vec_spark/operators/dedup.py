@@ -412,6 +412,9 @@ def simhash_pairs(
     return cross.unionByName(same)
 
 
+MLLIB_MINHASH_VOCAB = 1 << 20
+
+
 def mllib_minhash_pairs(
     df: DataFrame,
     threshold: float = 0.6,
@@ -420,7 +423,16 @@ def mllib_minhash_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """MLlib MinHashLSH over binary shingle vectors (model-based ◇
-    variant): approxSimilarityJoin at Jaccard distance ≤ 1-threshold."""
+    variant): approxSimilarityJoin at Jaccard distance ≤ 1-threshold.
+
+    vocabSize is set explicitly (CountVectorizer's default 2^18 cap
+    would silently DROP the rarest shingles past it, making the
+    vector Jaccard diverge from set Jaccard — and an all-OOV doc
+    becomes a zero vector MinHashLSH rejects). The exact-Jaccard
+    contract (`dedup_mllib_minhash_recall`) guards the bound at run
+    time; past ~10^6 distinct shingles the driver-collected
+    CountVectorizer vocabulary is the non-scale-safe piece and the
+    fixed-constant :func:`minhash_lsh_pairs` is the 100 TB path."""
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     sh = (
@@ -428,7 +440,12 @@ def mllib_minhash_pairs(
         .select(F.col("id"), F.array_distinct(ngrams_expr(F.col("_ws"), 3)).alias("sh"))
         .where(F.size("sh") > 0)
     )
-    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True)
+    cv = CountVectorizer(
+        inputCol="sh",
+        outputCol="features",
+        binary=True,
+        vocabSize=MLLIB_MINHASH_VOCAB,
+    )
     model = cv.fit(sh)
     feats = model.transform(sh)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)

@@ -111,29 +111,32 @@ def cosine_pairs_blocked(
 
 
 def _blocked_self_join(
-    df: DataFrame, id_col: str, vec_col: str, n_blocks: int
+    df: DataFrame, id_col: str, vec_col: str, n_blocks: int, with_norms: bool = True
 ) -> DataFrame:
     """Every unordered self-pair exactly once as a plain hash join
     (the block-pair decomposition documented in
-    :func:`cosine_pairs_blocked`) → columns (id_l, v_l, n_l, id_r,
-    v_r, n_r)."""
+    :func:`cosine_pairs_blocked`) → columns (id_l, v_l, id_r, v_r),
+    plus (n_l, n_r) when ``with_norms`` — the norm is an interpreted
+    O(d) HOF per exploded row, so distance metrics that don't need it
+    (Euclidean) skip it."""
+    norm_cols = [norm_expr(vec_col).alias("_n")] if with_norms else []
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        norm_expr(vec_col).alias("_n"),
+        *norm_cols,
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
     left = base.select(
         F.col("_id").alias("id_l"),
         F.col("_v").alias("v_l"),
-        F.col("_n").alias("n_l"),
+        *([F.col("_n").alias("n_l")] if with_norms else []),
         F.col("_blk").alias("blk_l"),
         F.explode(F.sequence(F.col("_blk"), F.lit(n_blocks - 1))).alias("pj_l"),
     )
     right = base.select(
         F.col("_id").alias("id_r"),
         F.col("_v").alias("v_r"),
-        F.col("_n").alias("n_r"),
+        *([F.col("_n").alias("n_r")] if with_norms else []),
         F.col("_blk").alias("blk_r"),
         F.explode(F.sequence(F.lit(0), F.col("_blk"))).alias("pi_r"),
     )
@@ -168,7 +171,7 @@ def euclidean_pairs_blocked(
         lambda acc, x: acc + x,
     )
     return (
-        _blocked_self_join(df, id_col, vec_col, n_blocks)
+        _blocked_self_join(df, id_col, vec_col, n_blocks, with_norms=False)
         .select(
             F.least("id_l", "id_r").alias("id_a"),
             F.greatest("id_l", "id_r").alias("id_b"),
@@ -268,12 +271,21 @@ def knn_bruteforce_numpy(
                 if len(ids) == 0:
                     continue
                 take = min(k, len(ids))
-                part = np.argpartition(-vals, take - 1)[:take]
+                # Tie-break the batch-level prune by neighbor_id ASC,
+                # matching _topk's (cos DESC, neighbor_id ASC) final
+                # rank: argpartition alone keeps an ARBITRARY member of
+                # a cosine tie at the take-boundary, which could prune
+                # the candidate the final rank would have selected —
+                # near-dup corpora make exact ties (duplicate vectors)
+                # realistic, and the knn_bruteforce_blas_parity
+                # contract requires set equality with the expression
+                # path.
+                order = np.lexsort((ids, -vals))[:take]
                 yield pd.DataFrame(
                     {
                         "query_id": q_ids[qi],
-                        "neighbor_id": ids[part],
-                        "cos": vals[part],
+                        "neighbor_id": ids[order],
+                        "cos": vals[order],
                     }
                 )
 

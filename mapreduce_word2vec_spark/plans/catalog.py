@@ -122,8 +122,10 @@ _PRIORITY = (
 # verified names out and promote the next 45–47 never-driver-tested
 # oracle-backed names (~189 remain after r5), continuing in the order
 # below (the r5 window consumed the list through udtf_table_argument,
-# plus multimodal_aspect_filter in sql_session_variable's slot):
-# sql_session_variable, doc_cdc_chunking,
+# plus multimodal_aspect_filter in sql_session_variable's slot).
+# Round-5 additions lead (never driver-tested, registered this round):
+# brp_lsh_recall, dedup_mllib_minhash_recall, knn_bruteforce_blas_parity,
+# then sql_session_variable, doc_cdc_chunking,
 # dedup_minhash_candidates, graph_walk_pairs, sql_scripting_loop,
 # sql_execute_immediate, events_did_estimate, tokenizer_bpe_contract,
 # events_interval_coalesce, split_group_aware, events_ab_srm_check,

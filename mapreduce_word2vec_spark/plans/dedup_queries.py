@@ -252,11 +252,25 @@ def dedup_mllib_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval truth at 100 TB comes from running this same plan over a
     sample."""
     from mapreduce_word2vec_spark.operators.dedup import (
+        MLLIB_MINHASH_VOCAB,
+        doc_shingles,
         mllib_minhash_pairs,
         ngram_jaccard_pairs,
     )
 
     docs = read_testdata(spark, sf_dir, "documents")
+    # The zero-false-positive claim holds only while CountVectorizer's
+    # vocabulary covers EVERY distinct shingle (a truncated vocab makes
+    # vector Jaccard diverge from set Jaccard) — guard the bound so a
+    # bigger corpus fails loudly instead of failing the contract
+    # mysteriously.
+    n_shingles = doc_shingles(docs, "doc_id", "text", 3).select("shingle").distinct().count()
+    if n_shingles >= MLLIB_MINHASH_VOCAB:
+        raise RuntimeError(
+            f"{n_shingles} distinct shingles >= CountVectorizer vocabSize "
+            f"{MLLIB_MINHASH_VOCAB}; the exact-Jaccard precision contract "
+            "no longer holds — use the fixed-constant minhash_lsh_pairs path"
+        )
     exact = ngram_jaccard_pairs(docs, threshold=0.6).select(
         "id_a", "id_b", F.lit(1).alias("e")
     )

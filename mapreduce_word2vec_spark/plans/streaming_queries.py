@@ -2964,40 +2964,48 @@ def stream_observe_metrics_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spark.sql.streaming.numRecentProgressUpdates (default 100); with
     # enough source files older batch observations would silently evict
     # and the fold undercounts. 8 source files / 2 per trigger = 4
-    # batches here, but raise the cap and assert below so a layout
-    # change can never turn this into a silent undercount.
-    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "512")
-    stream = (
-        spark.readStream.schema("ts timestamp, event_type string, value double")
-        .option("maxFilesPerTrigger", "2")
-        .parquet(src)
-        .observe(
-            "ingest_metrics",
-            F.count(F.lit(1)).alias("n_rows"),
-            F.sum("value").alias("sum_value"),
-            F.count(F.when(F.col("event_type") == "error", 1)).alias(
-                "n_errors"
-            ),
+    # batches here, but raise the cap (restored after the run — the
+    # session is shared by the whole catalog) and assert below so a
+    # layout change can never turn this into a silent undercount.
+    _CAP_KEY = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_cap = spark.conf.get(_CAP_KEY, None)
+    spark.conf.set(_CAP_KEY, "512")
+    try:
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string, value double")
+            .option("maxFilesPerTrigger", "2")
+            .parquet(src)
+            .observe(
+                "ingest_metrics",
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("value").alias("sum_value"),
+                F.count(F.when(F.col("event_type") == "error", 1)).alias(
+                    "n_errors"
+                ),
+            )
         )
-    )
-    name = f"som_{tag}"
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    progress = q.recentProgress
-    cap = int(spark.conf.get("spark.sql.streaming.numRecentProgressUpdates"))
-    if len(progress) >= cap:
-        raise RuntimeError(
-            f"recentProgress hit the {cap}-entry ring-buffer cap; "
-            "older batch observations were evicted and the metrics "
-            "fold would undercount"
+        name = f"som_{tag}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
         )
+        q.awaitTermination()
+        progress = q.recentProgress
+        if len(progress) >= 512:
+            raise RuntimeError(
+                "recentProgress hit the 512-entry ring-buffer cap; "
+                "older batch observations were evicted and the metrics "
+                "fold would undercount"
+            )
+    finally:
+        if prev_cap is None:
+            spark.conf.unset(_CAP_KEY)
+        else:
+            spark.conf.set(_CAP_KEY, prev_cap)
     rows = [
         p["observedMetrics"]["ingest_metrics"]
         for p in progress
