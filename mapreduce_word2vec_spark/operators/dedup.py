@@ -213,18 +213,17 @@ def minhash_signatures(
     )
     dim = sh.select("s").distinct().select("s", string_hash_expr(F.col("s")).alias("h"))
     hashed = sh.join(F.broadcast(dim), "s").select("doc_id", "h")
+    # Permutation mins ship as one parsed expr() each (the
+    # simhash_signatures lesson: Column trees looped in Python pay a
+    # py4j round trip per node of driver-side plan construction).
     mins = [
-        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"m{i}")
+        F.expr(f"min((h * {a} + {b}) % {MINHASH_P}) AS m{i}")
         for i, (a, b) in enumerate(MINHASH_COEFFS)
     ]
-    return (
-        hashed.groupBy("doc_id")
-        .agg(*mins)
-        .select(
-            "doc_id",
-            F.array(*[f"m{i}" for i in range(len(MINHASH_COEFFS))]).alias("sig"),
-        )
+    sig = F.expr(
+        "array(" + ", ".join(f"m{i}" for i in range(len(MINHASH_COEFFS))) + ")"
     )
+    return hashed.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, **kw) -> DataFrame:
