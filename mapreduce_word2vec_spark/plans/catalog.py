@@ -125,6 +125,7 @@ _PRIORITY = (
 # plus multimodal_aspect_filter in sql_session_variable's slot).
 # Round-5 additions lead (never driver-tested, registered this round):
 # brp_lsh_recall, dedup_mllib_minhash_recall, knn_bruteforce_blas_parity,
+# w2v_synonyms_contract, ref_pipeline_contract, doc_embedding_knn_contract,
 # then sql_session_variable, doc_cdc_chunking,
 # dedup_minhash_candidates, graph_walk_pairs, sql_scripting_loop,
 # sql_execute_immediate, events_did_estimate, tokenizer_bpe_contract,

@@ -1057,3 +1057,253 @@ def emb_ood_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.join(F.broadcast(packed), "label")
         .select("vec_id", "label", F.round(m2, 6).alias("m2"))
     )
+
+
+_SQL_TOKS = (
+    r"list_filter(regexp_split_to_array(lower(text), '\W+'), "
+    r"w -> regexp_matches(w, '^[a-z]+$'))"
+)
+
+
+@register(
+    "w2v_synonyms_contract",
+    oracle=rf"""
+    WITH toks AS (SELECT unnest({_SQL_TOKS}) AS word FROM documents),
+    top AS (SELECT word FROM toks GROUP BY word ORDER BY count(*) DESC, word LIMIT 1)
+    SELECT word AS query_word,
+           CAST(least(5, (SELECT count(DISTINCT word) FROM toks) - 1) AS BIGINT)
+             AS n_synonyms,
+           true AS no_self,
+           true AS all_in_vocab,
+           true AS sims_bounded,
+           true AS topk_consistent
+    FROM top
+    """,
+)
+def w2v_synonyms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRACT oracle for the model-dependent ``w2v_synonyms`` (the
+    `w2v_vocabulary` pattern): DuckDB independently pins the query
+    word (the corpus's most frequent token under the deterministic
+    desc-count/asc-word tie-break) and the synonym count, while the
+    booleans pin the properties any correct ``findSynonyms`` (A8's
+    query form) must satisfy regardless of the learned vectors: the
+    query word is excluded, every synonym is a vocabulary word,
+    similarities are valid cosines, and — the strong one — the
+    returned set IS the exact top-k by cosine against the model's own
+    vectors (max cosine over non-returned vocab ≤ min over returned,
+    ε=1e-6), i.e. findSynonyms ≡ brute-force kNN on word vectors.
+    Scale shape: everything after training is vocab-bounded; the
+    five returned rows and the one query vector broadcast."""
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
+    from mapreduce_word2vec_spark.operators.word2vec import (
+        sentences_df,
+        train_word2vec,
+        word_vectors,
+    )
+    from mapreduce_word2vec_spark.session import EngineConfig
+
+    docs = read_testdata(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    sentences = sentences_df(docs)
+    model = train_word2vec(sentences, EngineConfig(layer_size=32))
+    top_word = (
+        sentences.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .count()
+        .orderBy(F.desc("count"), "w")
+        .first()["w"]
+    )
+    syn = model.findSynonyms(top_word, 5).select(
+        "word", F.col("similarity").cast("double").alias("sim")
+    )
+    vocab = sentences.select(F.explode("tokens").alias("word")).distinct()
+
+    base = syn.agg(
+        F.count("*").cast("bigint").alias("n_synonyms"),
+        F.coalesce(F.min(F.col("word") != F.lit(top_word)), F.lit(True)).alias(
+            "no_self"
+        ),
+        F.coalesce(
+            F.min((F.col("sim") >= -1.000001) & (F.col("sim") <= 1.000001)),
+            F.lit(True),
+        ).alias("sims_bounded"),
+    )
+    missing = (
+        syn.select("word")
+        .join(vocab, "word", "left_anti")
+        .agg((F.count("*") == 0).alias("all_in_vocab"))
+    )
+    # Recompute cosines against the model's own vectors so the top-k
+    # property is judged on one consistent similarity definition.
+    vecs = word_vectors(model).select(
+        "word", F.col("vector").cast("array<double>").alias("v")
+    )
+    qv = vecs.where(F.col("word") == top_word).select(
+        F.col("v").alias("qv"), norm_expr("v").alias("qn")
+    )
+    scored = (
+        vecs.where(F.col("word") != top_word)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "word",
+            (dot_expr("v", "qv") / (norm_expr("v") * F.col("qn"))).alias("cos"),
+        )
+    )
+    ret_min = (
+        scored.join(F.broadcast(syn.select("word")), "word", "inner")
+        .agg(F.coalesce(F.min("cos"), F.lit(2.0)).alias("min_ret"))
+    )
+    non_max = (
+        scored.join(F.broadcast(syn.select("word")), "word", "left_anti")
+        .agg(F.coalesce(F.max("cos"), F.lit(-2.0)).alias("max_non"))
+    )
+    topk = (
+        ret_min.crossJoin(F.broadcast(non_max))
+        .select((F.col("max_non") <= F.col("min_ret") + 1e-6).alias("topk_consistent"))
+    )
+    return (
+        base.crossJoin(F.broadcast(missing))
+        .crossJoin(F.broadcast(topk))
+        .select(
+            F.lit(top_word).alias("query_word"),
+            "n_synonyms",
+            "no_self",
+            "all_in_vocab",
+            "sims_bounded",
+            "topk_consistent",
+        )
+    )
+
+
+@register(
+    "ref_pipeline_contract",
+    oracle=rf"""
+    WITH toks AS (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+    SELECT word,
+           CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(split(word, ''), c -> CAST(ascii(c) AS BIGINT))),
+                (a, b) -> (a * 257 + b) % 100000) AS BIGINT) AS token,
+           CAST(count(*) AS BIGINT) AS count,
+           CAST(32 AS BIGINT) AS dim
+    FROM toks GROUP BY word
+    """,
+)
+def ref_pipeline_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRACT oracle for the model-dependent ``ref_pipeline_documents``
+    (SURVEY §2.C): the full reference pipeline — word counts joined to
+    the trained model's vectors, with token id and vector dimensionality
+    (``MapRedWord2Vec.scala:170,232-235``) — projected onto its
+    DETERMINISTIC columns. With min_word_frequency=1 the model vocab is
+    exactly the distinct token set, so the inner join must preserve
+    every counted word; DuckDB reproduces (word, token, count, dim) in
+    closed form (token = the portable polynomial fallback id, the same
+    fold ``doc_ref_output`` oracles). A hash match proves the pipeline
+    composition — tokenize → count → train → join → format — lost or
+    duplicated nothing, leaving only the vector VALUES model-dependent
+    (rows-only twin + E2E tests cover those)."""
+    from mapreduce_word2vec_spark.functions.tokens import fallback_token_id_expr
+    from mapreduce_word2vec_spark.operators.word2vec import (
+        sentences_df,
+        train_word2vec,
+        word_vectors,
+    )
+    from mapreduce_word2vec_spark.operators.wordcount import word_counts
+    from mapreduce_word2vec_spark.session import EngineConfig
+
+    docs = read_testdata(spark, sf_dir, "documents").select(F.col("text").alias("value"))
+    counts = word_counts(docs)
+    model = train_word2vec(sentences_df(docs), EngineConfig(layer_size=32))
+    vectors = word_vectors(model)
+    return (
+        counts.join(F.broadcast(vectors), "word", "inner")
+        .select(
+            "word",
+            fallback_token_id_expr("word").cast("bigint").alias("token"),
+            F.col("count").cast("bigint").alias("count"),
+            F.size("vector").cast("bigint").alias("dim"),
+        )
+    )
+
+
+@register(
+    "doc_embedding_knn_contract",
+    oracle=rf"""
+    WITH elig AS (
+      SELECT doc_id FROM documents WHERE len({_SQL_TOKS}) > 0
+    ),
+    q AS (SELECT count(*) AS nq FROM elig WHERE doc_id < 5),
+    c AS (SELECT count(*) AS nc FROM elig)
+    SELECT CAST(q.nq AS BIGINT) AS n_queries,
+           CAST(q.nq * least(3, c.nc - 1) AS BIGINT) AS n_rows,
+           true AS no_self,
+           true AS k_ok,
+           true AS cos_bounded,
+           true AS neighbors_valid
+    FROM q, c
+    """,
+)
+def doc_embedding_knn_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTRACT oracle for the model-dependent ``doc_embedding_knn``:
+    DuckDB independently computes, from the corpus alone, how many
+    documents are eligible queries (doc_id < 5 with a non-empty A2-A4
+    token list) and therefore exactly how many (query, neighbor) rows
+    the top-3 kNN must emit; the booleans pin the invariants any
+    correct kNN over document mean-vectors (A14 applied per document)
+    must satisfy regardless of the learned embeddings: no self-match,
+    exactly min(3, |corpus|-1) neighbors per query, cosines in
+    [-1, 1], and every neighbor id an eligible document. A hash match
+    upgrades the family from rows-only to value-checked. Scale shape:
+    identical to the twin (query side broadcast, corpus never
+    shuffles); the contract fold adds only single-row aggregates."""
+    from pyspark.ml.functions import vector_to_array
+
+    from mapreduce_word2vec_spark.functions.text import tokens_expr
+    from mapreduce_word2vec_spark.operators.similarity import knn_bruteforce
+    from mapreduce_word2vec_spark.operators.word2vec import train_word2vec
+    from mapreduce_word2vec_spark.session import EngineConfig
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    sentences = docs.select("doc_id", tokens_expr("text").alias("tokens")).where(
+        F.size("tokens") > 0
+    )
+    model = train_word2vec(sentences, EngineConfig(layer_size=32))
+    emb = model.transform(sentences).select(
+        "doc_id", vector_to_array("features", "float64").alias("embedding")
+    )
+    out = knn_bruteforce(emb, emb.where(F.col("doc_id") < 5), k=3, id_col="doc_id")
+
+    per_query = out.groupBy("query_id").agg(F.count("*").alias("nk"))
+    k_ok = per_query.crossJoin(
+        F.broadcast(sentences.agg((F.count("*") - 1).alias("max_k")))
+    ).agg(
+        F.coalesce(
+            F.min(F.col("nk") == F.least(F.lit(3), F.col("max_k"))), F.lit(True)
+        ).alias("k_ok"),
+        F.count("*").cast("bigint").alias("n_queries"),
+    )
+    invalid = (
+        out.select(F.col("neighbor_id").alias("doc_id"))
+        .join(sentences.select("doc_id"), "doc_id", "left_anti")
+        .agg((F.count("*") == 0).alias("neighbors_valid"))
+    )
+    base = out.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.coalesce(F.min(F.col("query_id") != F.col("neighbor_id")), F.lit(True)).alias(
+            "no_self"
+        ),
+        F.coalesce(
+            F.min((F.col("cos") >= -1.000001) & (F.col("cos") <= 1.000001)),
+            F.lit(True),
+        ).alias("cos_bounded"),
+    )
+    return (
+        k_ok.crossJoin(F.broadcast(base))
+        .crossJoin(F.broadcast(invalid))
+        .select(
+            "n_queries",
+            "n_rows",
+            "no_self",
+            "k_ok",
+            "cos_bounded",
+            "neighbors_valid",
+        )
+    )
