@@ -446,6 +446,19 @@ def mllib_minhash_pairs(
         vocabSize=MLLIB_MINHASH_VOCAB,
     )
     model = cv.fit(sh)
+    # A vocabulary AT the cap may have been truncated (fit keeps the
+    # top-vocabSize shingles and len() can't distinguish "exactly full"
+    # from "clipped"), which would silently break vector-Jaccard ≡
+    # set-Jaccard. len(vocabulary) is a driver-side list fit already
+    # collected — this guard costs nothing, unlike a distinct-count
+    # scan of the corpus.
+    if len(model.vocabulary) >= MLLIB_MINHASH_VOCAB:
+        raise RuntimeError(
+            f"CountVectorizer vocabulary hit its {MLLIB_MINHASH_VOCAB} cap; "
+            "rare shingles may have been dropped and vector Jaccard no "
+            "longer equals set Jaccard — use the fixed-constant "
+            "minhash_lsh_pairs path at this corpus size"
+        )
     feats = model.transform(sh)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)
     mh_model = mh.fit(feats)

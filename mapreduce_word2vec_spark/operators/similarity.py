@@ -327,3 +327,33 @@ def brp_lsh_neighbors(
         F.col("datasetB.id").alias("id_b"),
         F.col("dist").alias("dist"),
     ).where(F.col("id_a") < F.col("id_b"))
+
+
+def recall_contract(exact: DataFrame, approx: DataFrame, min_recall: float) -> DataFrame:
+    """Fold an exact and an approximate (id_a, id_b) pair set into the
+    one-row recall/precision contract shared by ``brp_lsh_recall`` and
+    ``dedup_mllib_minhash_recall``: ``n_exact`` plus two booleans —
+    recall ≥ ``min_recall`` against the exact truth (vacuously true
+    when the exact set is empty, matching the oracle's literal
+    ``true``) and zero approx-only pairs. All sums are coalesced so an
+    empty full-outer join yields (0, true, true) rather than NULLs that
+    hash-mismatch the oracle's literals on a pairless corpus/SF."""
+    e = exact.select("id_a", "id_b", F.lit(1).alias("e"))
+    a = approx.select("id_a", "id_b", F.lit(1).alias("f"))
+    j = e.join(a, ["id_a", "id_b"], "full_outer")
+    row = j.agg(
+        F.coalesce(F.sum("e"), F.lit(0)).cast("bigint").alias("n_exact"),
+        F.coalesce(
+            F.sum(F.when(F.col("e").isNotNull() & F.col("f").isNotNull(), 1)),
+            F.lit(0),
+        ).alias("n_found"),
+        F.coalesce(F.sum(F.when(F.col("e").isNull(), 1)), F.lit(0)).alias("n_false"),
+    )
+    return row.select(
+        "n_exact",
+        (
+            (F.col("n_exact") == 0)
+            | (F.col("n_found") / F.col("n_exact") >= min_recall)
+        ).alias("recall_ok"),
+        (F.col("n_false") == 0).alias("precision_ok"),
+    )

@@ -236,7 +236,7 @@ def dedup_mllib_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM shared
     JOIN sizes sa ON id_a = sa.doc_id
     JOIN sizes sb ON id_b = sb.doc_id
-    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) > 0.6
     """,
 )
 def dedup_mllib_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,46 +250,21 @@ def dedup_mllib_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary shingle vectors, so any false positive is a bug). The
     exact side reuses the candidate-bounded shingle self-join —
     eval truth at 100 TB comes from running this same plan over a
-    sample."""
+    sample. The exact side filters STRICTLY above 0.6 because
+    ``approxSimilarityJoin`` keeps ``distCol < threshold`` strictly —
+    a pair at exactly Jaccard 0.6 can never appear on the MLlib side
+    and must not count as a miss (the vocabulary-cap guard lives
+    inside :func:`mllib_minhash_pairs`)."""
     from mapreduce_word2vec_spark.operators.dedup import (
-        MLLIB_MINHASH_VOCAB,
-        doc_shingles,
         mllib_minhash_pairs,
         ngram_jaccard_pairs,
     )
+    from mapreduce_word2vec_spark.operators.similarity import recall_contract
 
     docs = read_testdata(spark, sf_dir, "documents")
-    # The zero-false-positive claim holds only while CountVectorizer's
-    # vocabulary covers EVERY distinct shingle (a truncated vocab makes
-    # vector Jaccard diverge from set Jaccard) — guard the bound so a
-    # bigger corpus fails loudly instead of failing the contract
-    # mysteriously.
-    n_shingles = doc_shingles(docs, "doc_id", "text", 3).select("shingle").distinct().count()
-    if n_shingles >= MLLIB_MINHASH_VOCAB:
-        raise RuntimeError(
-            f"{n_shingles} distinct shingles >= CountVectorizer vocabSize "
-            f"{MLLIB_MINHASH_VOCAB}; the exact-Jaccard precision contract "
-            "no longer holds — use the fixed-constant minhash_lsh_pairs path"
-        )
-    exact = ngram_jaccard_pairs(docs, threshold=0.6).select(
-        "id_a", "id_b", F.lit(1).alias("e")
-    )
-    mh = mllib_minhash_pairs(docs, threshold=0.6).select(
-        "id_a", "id_b", F.lit(1).alias("f")
-    )
-    j = exact.join(mh, ["id_a", "id_b"], "full_outer")
-    row = j.agg(
-        F.sum("e").cast("bigint").alias("n_exact"),
-        F.sum(
-            F.when(F.col("e").isNotNull() & F.col("f").isNotNull(), 1).otherwise(0)
-        ).alias("n_found"),
-        F.sum(F.when(F.col("e").isNull(), 1).otherwise(0)).alias("n_false"),
-    )
-    return row.select(
-        "n_exact",
-        (F.col("n_found") / F.col("n_exact") >= 0.9).alias("recall_ok"),
-        (F.col("n_false") == 0).alias("precision_ok"),
-    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.6).where(F.col("jaccard") > 0.6)
+    mh = mllib_minhash_pairs(docs, threshold=0.6)
+    return recall_contract(exact, mh, min_recall=0.9)
 
 
 # Recursive-CTE connected components over the Jaccard >= 0.6 edge

@@ -1091,7 +1091,11 @@ def w2v_synonyms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarities are valid cosines, and — the strong one — the
     returned set IS the exact top-k by cosine against the model's own
     vectors (max cosine over non-returned vocab ≤ min over returned,
-    ε=1e-6), i.e. findSynonyms ≡ brute-force kNN on word vectors.
+    ε=1e-5 — findSynonyms ranks with float32 BLAS dot products whose
+    per-cosine error at dim 32 is ~2e-6, so a tighter ε would fail a
+    correct model on a near-tie the float32 path orders differently
+    than this float64 recomputation), i.e. findSynonyms ≡ brute-force
+    kNN on word vectors.
     Scale shape: everything after training is vocab-bounded; the
     five returned rows and the one query vector broadcast."""
     from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
@@ -1158,7 +1162,7 @@ def w2v_synonyms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     topk = (
         ret_min.crossJoin(F.broadcast(non_max))
-        .select((F.col("max_non") <= F.col("min_ret") + 1e-6).alias("topk_consistent"))
+        .select((F.col("max_non") <= F.col("min_ret") + 1e-5).alias("topk_consistent"))
     )
     return (
         base.crossJoin(F.broadcast(missing))

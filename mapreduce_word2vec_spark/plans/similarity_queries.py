@@ -134,12 +134,17 @@ def knn_bruteforce_blas_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", F.round("cos", 6).alias("ce")
     )
     j = b.join(e, ["query_id", "neighbor_id"], "full_outer")
+    # Coalesce the folds so an empty query set yields (0, true, true)
+    # matching the oracle's literals instead of NULL booleans (a
+    # one-sided row makes max_diff NULL too — n_one_sided flags it).
     row = j.agg(
         F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-        F.sum(
-            F.when(F.col("cb").isNull() | F.col("ce").isNull(), 1).otherwise(0)
+        F.coalesce(
+            F.sum(F.when(F.col("cb").isNull() | F.col("ce").isNull(), 1)), F.lit(0)
         ).alias("n_one_sided"),
-        F.max(F.abs(F.col("cb") - F.col("ce"))).alias("max_diff"),
+        F.coalesce(F.max(F.abs(F.col("cb") - F.col("ce"))), F.lit(0.0)).alias(
+            "max_diff"
+        ),
     )
     return row.select(
         "n_queries",
@@ -193,28 +198,13 @@ def brp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.operators.similarity import (
         brp_lsh_neighbors,
         euclidean_pairs_blocked,
+        recall_contract,
     )
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    exact = euclidean_pairs_blocked(emb, threshold=1.2).select(
-        "id_a", "id_b", F.lit(1).alias("e")
-    )
-    brp = brp_lsh_neighbors(emb, threshold=1.2).select(
-        "id_a", "id_b", F.lit(1).alias("f")
-    )
-    j = exact.join(brp, ["id_a", "id_b"], "full_outer")
-    row = j.agg(
-        F.sum("e").cast("bigint").alias("n_exact"),
-        F.sum(
-            F.when(F.col("e").isNotNull() & F.col("f").isNotNull(), 1).otherwise(0)
-        ).alias("n_found"),
-        F.sum(F.when(F.col("e").isNull(), 1).otherwise(0)).alias("n_false"),
-    )
-    return row.select(
-        "n_exact",
-        (F.col("n_found") / F.col("n_exact") >= 0.85).alias("recall_ok"),
-        (F.col("n_false") == 0).alias("precision_ok"),
-    )
+    exact = euclidean_pairs_blocked(emb, threshold=1.2)
+    brp = brp_lsh_neighbors(emb, threshold=1.2)
+    return recall_contract(exact, brp, min_recall=0.85)
 
 
 _SQL_CENTROID = """
