@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_word2vec_spark.functions.hashing import KNUTH31, MASK32
 from mapreduce_word2vec_spark.plans.catalog import register
 from mapreduce_word2vec_spark.sources.readers import read_testdata
 
@@ -479,8 +480,11 @@ def emb_pairwise_cos_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time). Per-label rank windows partition by label; the minority size
 # is a broadcast 1-row aggregate.
 
-_BAL_HASH_A = 2_654_435_761
-_BAL_M = 4_294_967_296  # 2^32
+# 31-bit multiplier (functions/hashing.py): the folded vec_id can be
+# up to 2^32-1, so a 32-bit multiplier would overflow int64 once
+# vec_id % 2^32 exceeds ~3.47e9 (DuckDB raises, Spark wraps).
+_BAL_HASH_A = KNUTH31
+_BAL_M = MASK32  # 2^32
 
 
 @register(

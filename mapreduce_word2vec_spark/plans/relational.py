@@ -4964,7 +4964,7 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_ipv4_octets",
     oracle="""
     WITH ip AS (
-      SELECT o_orderkey, (o_orderkey * 2654435761) % 4294967296 AS addr
+      SELECT o_orderkey, ((o_orderkey % 4294967296) * 1327217885) % 4294967296 AS addr
       FROM orders
     )
     SELECT CAST(addr // 16777216 AS INT) AS oct1,
@@ -4988,7 +4988,11 @@ def scalar_ipv4_octets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dotted-quad rendering is string math. All codegen; the prefix
     keyspace is bounded (256..65536 groups) at any log volume."""
     o = rt(spark, sf_dir, "orders")
-    addr = (F.col("o_orderkey") * 2654435761) % F.lit(4294967296)
+    # 31-bit multiplier over the 32-bit-folded key (functions/
+    # hashing.py): a 32-bit constant would overflow int64 once
+    # o_orderkey exceeds ~3.47e9 (TPC-H sf ~580+) — DuckDB raises,
+    # Spark wraps silently.
+    addr = ((F.col("o_orderkey") % 4294967296) * 1327217885) % F.lit(4294967296)
     ip = o.select("o_orderkey", addr.alias("addr"))
     dq = F.concat_ws(
         ".",

@@ -29,6 +29,7 @@ from mapreduce_word2vec_spark.functions.text import (
     tokens_expr,
     whitespace_token_count,
 )
+from mapreduce_word2vec_spark.functions.hashing import KNUTH31, MASK32
 from mapreduce_word2vec_spark.plans.catalog import register
 from mapreduce_word2vec_spark.sources.readers import read_testdata
 
@@ -3237,10 +3238,12 @@ def select_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # exact; one division at the end.
 
 _BOOT_R = 20
-_BOOT_MIX_D = 2_654_435_761
+# 31-bit multiplier over a 32-bit-folded doc_id (functions/hashing.py)
+# so the replicate hash never overflows int64 at any doc_id magnitude.
+_BOOT_MIX_D = KNUTH31
 _BOOT_MIX_R = 40_503
 _BOOT_OFF = 12_345
-_BOOT_M = 4_294_967_296  # 2^32
+_BOOT_M = MASK32  # 2^32
 # floor(CDF_Poisson(1)(k) * 2^32) for k = 0..5; weights cap at 6.
 _BOOT_T = (1580030168, 3160060337, 3950075421, 4213413783, 4279248373, 4292415291)
 
@@ -3260,7 +3263,7 @@ def _boot_w_sql(u: str) -> str:
     ),
     reps AS (
       SELECT doc_id, n_words, CAST(r AS INT) AS replicate,
-             (doc_id * {_BOOT_MIX_D} + r * {_BOOT_MIX_R} + {_BOOT_OFF})
+             ((doc_id % {_BOOT_M}) * {_BOOT_MIX_D} + r * {_BOOT_MIX_R} + {_BOOT_OFF})
                % {_BOOT_M} AS u
       FROM toks CROSS JOIN (SELECT unnest(range(0, {_BOOT_R})) AS r)
     ),
@@ -3287,7 +3290,7 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("replicate").cast("int").alias("replicate"),
         (
             (
-                F.col("doc_id") * _BOOT_MIX_D
+                (F.col("doc_id") % _BOOT_M) * _BOOT_MIX_D
                 + F.col("replicate") * _BOOT_MIX_R
                 + _BOOT_OFF
             )
@@ -3471,14 +3474,17 @@ _SPAN_W = 3
 _SPAN_PCT = 15
 _SPAN_MIX = 1_000_003
 _SPAN_MIX2 = 40_503
-_SPAN_MUL = 2_654_435_761
-_SPAN_M = 4_294_967_296
+# 31-bit multiplier + 32-bit folds (functions/hashing.py): the old
+# 32-bit constant overflowed int64 at sf0.1 (doc_id*1e6-scale sums ×
+# 2654435761 > 2^63 — DuckDB raises, Spark wraps silently).
+_SPAN_MUL = KNUTH31
+_SPAN_M = MASK32
 
 
 def _span_masked_sql(i: str) -> str:
     return (
-        f"(((doc_id * {_SPAN_MIX} + ({i}) // {_SPAN_W} * {_SPAN_MIX2} + 7)"
-        f" * {_SPAN_MUL}) % {_SPAN_M}) >> 16"
+        f"((((doc_id % {_SPAN_M}) * {_SPAN_MIX} + ({i}) // {_SPAN_W}"
+        f" * {_SPAN_MIX2} + 7) % {_SPAN_M}) * {_SPAN_MUL}) % {_SPAN_M} >> 16"
     )
 
 
@@ -3522,9 +3528,12 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     def masked(i):
         h = (
             (
-                F.col("doc_id") * _SPAN_MIX
-                + F.floor(i / _SPAN_W).cast("long") * _SPAN_MIX2
-                + 7
+                (
+                    (F.col("doc_id") % _SPAN_M) * _SPAN_MIX
+                    + F.floor(i / _SPAN_W).cast("long") * _SPAN_MIX2
+                    + 7
+                )
+                % _SPAN_M
             )
             * _SPAN_MUL
         ) % _SPAN_M
@@ -3564,8 +3573,11 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 # both engines agree bit-for-bit.
 
 _FIM_MIX = 7_368_787
-_FIM_MUL = 2_654_435_761
-_FIM_M = 4_294_967_296
+# 31-bit multiplier over a 32-bit-folded doc_id (functions/hashing.py):
+# doc_id * 2654435761 overflows int64 once doc_id exceeds ~3.47e9 —
+# real at 100 TB corpus scale.
+_FIM_MUL = KNUTH31
+_FIM_M = MASK32
 
 
 @register(
@@ -3575,9 +3587,9 @@ _FIM_M = 4_294_967_296
     ne AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) >= 3),
     cuts AS (
       SELECT doc_id, ws, n,
-             1 + ((((doc_id * {_FIM_MUL} + 1 * {_FIM_MIX}) % {_FIM_M}) >> 16) % (n - 1))
+             1 + (((((doc_id % {_FIM_M}) * {_FIM_MUL} + 1 * {_FIM_MIX}) % {_FIM_M}) >> 16) % (n - 1))
                AS c1,
-             1 + ((((doc_id * {_FIM_MUL} + 2 * {_FIM_MIX}) % {_FIM_M}) >> 16) % (n - 1))
+             1 + (((((doc_id % {_FIM_M}) * {_FIM_MUL} + 2 * {_FIM_MIX}) % {_FIM_M}) >> 16) % (n - 1))
                AS c2
       FROM ne
     ),
@@ -3606,7 +3618,7 @@ def doc_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size("ws")
 
     def cut(salt):
-        h = (F.col("doc_id") * _FIM_MUL + salt * _FIM_MIX) % _FIM_M
+        h = ((F.col("doc_id") % _FIM_M) * _FIM_MUL + salt * _FIM_MIX) % _FIM_M
         return 1 + (F.shiftrightunsigned(h.cast("long"), 16) % (n - 1))
 
     c1, c2 = cut(1), cut(2)
