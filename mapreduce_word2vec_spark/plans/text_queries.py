@@ -2795,7 +2795,10 @@ def doc_boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # codegen'd projection over the corpus scan).
 
 _QCLS_BUCKETS = 1024
-_QCLS_MIX = 2654435761  # Knuth multiplicative constant
+# 31-bit Knuth constant (functions/hashing.py). The bucket operand is
+# < 1024 so even the 32-bit constant was safe here, but one constant
+# repo-wide keeps the overflow audit trivial.
+_QCLS_MIX = KNUTH31
 # weight(b) = ((b * MIX) % 2048) / 1024 - 1  ∈ [-1, 1), exactly
 # representable (power-of-two denominator) so sums are bit-identical
 # across engines; the keep decision thresholds the RAW mean at 0

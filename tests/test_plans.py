@@ -1092,3 +1092,25 @@ def test_vit_patches_is_exchange_free(spark):
     plan = _plan(spark, "multimodal_vit_patches")
     assert "Exchange" not in plan
     assert "Generate" in plan  # the bounded patch explode
+
+
+def test_no_int64_overflow_prone_hash_constants():
+    """Every multiplicative-hash site must follow the fold-then-31-bit
+    pattern of functions/hashing.py: multiplying a 32-bit-folded id by
+    the classic 32-bit Knuth constant (2654435761) crosses 2^63 once
+    the id exceeds ~3.47e9 — Spark wraps silently, DuckDB raises, and
+    the engines diverge (caught live by the sf0.1 full-catalog gate in
+    doc_span_corruption). Guard the whole source tree against the
+    constant coming back."""
+    from pathlib import Path
+
+    pkg = Path(catalog.__file__).resolve().parent.parent
+    offenders = [
+        f"{p.relative_to(pkg)}:{i}"
+        for p in pkg.rglob("*.py")
+        if p.name != "hashing.py"
+        for i, line in enumerate(p.read_text().splitlines(), 1)
+        if ("2654435761" in line or "2_654_435_761" in line)
+        and not line.lstrip().startswith("#")
+    ]
+    assert not offenders, offenders
