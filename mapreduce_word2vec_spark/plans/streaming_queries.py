@@ -18,6 +18,41 @@ from pyspark.sql import functions as F
 from mapreduce_word2vec_spark.plans.catalog import register
 from mapreduce_word2vec_spark.sources.readers import read_testdata
 
+# --- replay-source temp dirs -------------------------------------------
+# Every live-streaming query materializes a replay copy of its input
+# into a temp dir. A bare mkdtemp leaks one corpus copy per query per
+# run (a full-catalog gate sweep invokes ~10 live queries; repeated
+# sweeps accumulate until /tmp fills) — track them and reap at process
+# exit. Dirs stay alive for the whole session on purpose: memory-sink
+# tables and checkpoints may outlive the query function.
+_REPLAY_DIRS: list[str] = []
+
+
+def _replay_dir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    if not _REPLAY_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(d, ignore_errors=True) for d in _REPLAY_DIRS]
+        )
+    d = tempfile.mkdtemp(prefix=prefix)
+    _REPLAY_DIRS.append(d)
+    return d
+
+
+def _pin_mtimes(src: str) -> None:
+    """Pin deterministic, strictly increasing mtimes on the part files
+    of a replay source so the file-stream replays them in a stable
+    order (maxFilesPerTrigger batches are mtime-ordered)."""
+    import glob
+    import os
+
+    t0 = 1_700_000_000
+    for i, f in enumerate(sorted(glob.glob(os.path.join(src, "part-*")))):
+        os.utime(f, (t0 + i, t0 + i))
+
 
 @register(
     "stream_tumbling",
@@ -254,10 +289,13 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_resample_ffill",
-    oracle="""
-    WITH b AS (
+# Shared hourly-grid construction for the two resample queries (ffill
+# and interpolate): per-(user, hour) LAST observation, per-user span,
+# the dense grid exploded from the 2-column span, and the grid-to-
+# observation left join. One definition each side (the _DYN_GAP_CASE
+# discipline) so a fix to the dedup ordering or grid bounds can't
+# silently split the two queries' semantics.
+_HOURLY_GRID_CTES = """b AS (
       SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, ts, event_id, value
       FROM events
     ),
@@ -272,24 +310,16 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid AS (
       SELECT user_id, CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
       FROM span
-    )
-    SELECT g.user_id, g.h AS hour,
-           last_value(o.value IGNORE NULLS) OVER (
-             PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING
-           ) AS value_ffill
-    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
-    """,
-)
-def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series resample + forward fill: each user's `value` on a
-    regular hourly grid spanning their activity, carrying the last
-    observation forward across gaps (the hypertable/gap-fill operator
-    of time-series engines). Scale shape: the per-(user, hour) last
-    observation is ONE window pass; the grid explodes from a per-user
-    2-column span (never from raw events); fill is a second window on
-    the SAME user_id partitioning — Catalyst reuses the exchange, so
-    the whole query shuffles events once plus grid rows once,
-    regardless of how sparse the series is."""
+    )"""
+
+
+def _hourly_grid_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grid LEFT JOIN obs — the Spark twin of ``_HOURLY_GRID_CTES``.
+    Scale shape shared by both resample queries: the per-(user, hour)
+    last observation is ONE window pass; the grid explodes from a
+    per-user 2-column span (never from raw events); downstream fill
+    windows ride the SAME user_id partitioning so Catalyst reuses the
+    exchange."""
     from pyspark.sql import Window
 
     e = read_testdata(spark, sf_dir, "events")
@@ -311,44 +341,50 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     span = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = span.select(
         "user_id",
-        F.explode(
-            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
-        ).alias("h"),
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
     )
+    return grid.join(obs, ["user_id", "h"], "left")
+
+
+@register(
+    "events_resample_ffill",
+    oracle=f"""
+    WITH {_HOURLY_GRID_CTES}
+    SELECT g.user_id, g.h AS hour,
+           last_value(o.value IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.h ROWS UNBOUNDED PRECEDING
+           ) AS value_ffill
+    FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: each user's `value` on a
+    regular hourly grid spanning their activity, carrying the last
+    observation forward across gaps (the hypertable/gap-fill operator
+    of time-series engines). Scale shape: the per-(user, hour) last
+    observation is ONE window pass; the grid explodes from a per-user
+    2-column span (never from raw events); fill is a second window on
+    the SAME user_id partitioning — Catalyst reuses the exchange, so
+    the whole query shuffles events once plus grid rows once,
+    regardless of how sparse the series is."""
+    from pyspark.sql import Window
+
     w_fill = (
         Window.partitionBy("user_id")
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        grid.join(obs, ["user_id", "h"], "left")
-        .select(
-            "user_id",
-            F.col("h").alias("hour"),
-            F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
-        )
+    return _hourly_grid_obs(spark, sf_dir).select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_ffill"),
     )
 
 
 @register(
     "events_resample_interpolate",
-    oracle="""
-    WITH b AS (
-      SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, ts, event_id, value
-      FROM events
-    ),
-    obs AS (
-      SELECT user_id, h, value FROM (
-        SELECT *, row_number() OVER (PARTITION BY user_id, h
-                                     ORDER BY ts DESC, event_id DESC) AS rn
-        FROM b
-      ) WHERE rn = 1
-    ),
-    span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id),
-    grid AS (
-      SELECT user_id, CAST(unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS TIMESTAMP) AS h
-      FROM span
-    ),
+    oracle=f"""
+    WITH {_HOURLY_GRID_CTES},
     j AS (
       SELECT g.user_id, g.h, o.value,
              last_value(o.value IGNORE NULLS) OVER w_prev AS prev_v,
@@ -392,27 +428,6 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines compute identical doubles before the shared round."""
     from pyspark.sql import Window
 
-    e = read_testdata(spark, sf_dir, "events")
-    b = e.select(
-        "user_id",
-        F.date_trunc("hour", F.col("ts")).alias("h"),
-        "ts",
-        "event_id",
-        "value",
-    )
-    w_last = Window.partitionBy("user_id", "h").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    obs = (
-        b.withColumn("rn", F.row_number().over(w_last))
-        .where(F.col("rn") == 1)
-        .select("user_id", "h", "value")
-    )
-    span = b.groupBy("user_id").agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
-    grid = span.select(
-        "user_id",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
-    )
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("h")
@@ -425,7 +440,7 @@ def events_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs_h = F.when(F.col("value").isNotNull(), F.col("h"))
     j = (
-        grid.join(obs, ["user_id", "h"], "left")
+        _hourly_grid_obs(spark, sf_dir)
         .withColumn("prev_v", F.last("value", ignorenulls=True).over(w_prev))
         .withColumn("prev_h", F.last(obs_h, ignorenulls=True).over(w_prev))
         .withColumn("next_v", F.first("value", ignorenulls=True).over(w_next))
@@ -1218,7 +1233,7 @@ def stream_foreach_batch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_testdata(spark, sf_dir, "events").select("event_type", "value")
     src = os.path.join(
-        tempfile.mkdtemp(prefix="mw2v_fbm_"), "src_" + sf_dir.strip("/").replace("/", "_")
+        _replay_dir("mw2v_fbm_"), "src_" + sf_dir.strip("/").replace("/", "_")
     )
     ev.repartition(8).write.mode("overwrite").parquet(src)
 
@@ -1358,7 +1373,7 @@ def stream_tumbling_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_testdata(spark, sf_dir, "events").select("ts", "event_type", "value")
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_stl_")
+    base = _replay_dir("mw2v_stl_")
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
     agg = (
@@ -1424,7 +1439,7 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_testdata(spark, sf_dir, "events").select("ts", "user_id", "value")
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_ssl_")
+    base = _replay_dir("mw2v_ssl_")
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
     agg = (
@@ -1676,11 +1691,16 @@ _KM_H_US = 3_600 * 1_000_000
       FROM byhour
     )
     SELECT dur AS duration_hours, n_at_risk, n_failed, n_censored,
-           round(exp(sum(CASE WHEN n_failed > 0
-                              THEN ln(1.0 - n_failed * 1.0 / n_at_risk)
-                              ELSE 0.0 END)
-                     OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND CURRENT ROW)), 6) AS survival
+           round(CASE WHEN max(CASE WHEN n_failed >= n_at_risk THEN 1 ELSE 0 END)
+                        OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) = 1
+                      THEN 0.0
+                      ELSE exp(sum(CASE WHEN n_failed > 0 AND n_failed < n_at_risk
+                                        THEN ln(1.0 - n_failed * 1.0 / n_at_risk)
+                                        ELSE 0.0 END)
+                               OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW))
+                 END, 6) AS survival
     FROM risk
     """,
 )
@@ -1737,16 +1757,29 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_at_risk"),
     )
+    # A row where every remaining subject fails (n_failed == n_at_risk)
+    # zeroes the product-limit estimate exactly; ln(1-1) must never be
+    # evaluated — Spark F.log(0) returns NULL (the window sum would
+    # silently SKIP the factor) while DuckDB ln(0) raises, so both
+    # sides branch on a cumulative all-failed flag instead.
     log_term = F.when(
-        F.col("n_failed") > 0,
+        (F.col("n_failed") > 0) & (F.col("n_failed") < F.col("n_at_risk")),
         F.log(F.lit(1.0) - F.col("n_failed") / F.col("n_at_risk")),
     ).otherwise(F.lit(0.0))
+    all_failed_so_far = F.max(
+        F.when(F.col("n_failed") >= F.col("n_at_risk"), 1).otherwise(0)
+    ).over(w_cum)
     return risk.select(
         F.col("dur").cast("bigint").alias("duration_hours"),
         "n_at_risk",
         "n_failed",
         "n_censored",
-        F.round(F.exp(F.sum(log_term).over(w_cum)), 6).alias("survival"),
+        F.round(
+            F.when(all_failed_so_far == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum(log_term).over(w_cum))
+            ),
+            6,
+        ).alias("survival"),
     )
 
 
@@ -1784,7 +1817,7 @@ def stream_cep_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_testdata(spark, sf_dir, "events")
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_cep_")
+    base = _replay_dir("mw2v_cep_")
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
     stream = (
@@ -1850,7 +1883,7 @@ def stream_cep_bounded_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_testdata(spark, sf_dir, "events")
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_cepb_")
+    base = _replay_dir("mw2v_cepb_")
     src = os.path.join(base, "src")
     (
         ev.repartitionByRange(8, "ts")
@@ -1862,12 +1895,8 @@ def stream_cep_bounded_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     # write tasks finish in arbitrary order — pin replay order to the
     # range-partition order (part-00000 = lowest ts range) by stamping
     # strictly increasing mtimes on the sorted part files.
-    import glob as _glob
-    import time as _time
 
-    t0 = _time.time()
-    for i, f in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
-        os.utime(f, (t0 + i, t0 + i))
+    _pin_mtimes(src)
     stream = (
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "2")
@@ -1919,7 +1948,7 @@ def stream_sliding_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_testdata(spark, sf_dir, "events").select("ts", "event_type")
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_ssl2_")
+    base = _replay_dir("mw2v_ssl2_")
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
     agg = (
@@ -2091,7 +2120,13 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: F.greatest(F.lit(0.0), acc + x - _CUSUM_K_CENTS),
         ),
     )
-    folded = packed.select(days.alias("days"), cpos.alias("cpos"))
+    # Guard the no-purchases edge: F.sequence(1, 0) yields [1, 0]
+    # (Spark's default step is -1 when start > stop), which would emit
+    # two spurious rows where the oracle's unnest over an empty list
+    # emits none.
+    folded = packed.select(days.alias("days"), cpos.alias("cpos")).where(
+        F.size("days") > 0
+    )
     z = F.explode(F.arrays_zip("days", "cpos")).alias("z")
     return folded.select(z).select(
         F.date_format(F.col("z.days"), "yyyy-MM-dd").alias("d"),
@@ -2553,16 +2588,14 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every (click, purchase) pair must therefore equal the one-shot
     batch join exactly — matched-state streaming correctness, not
     just aggregation-state."""
-    import glob as _glob
+
     import os
-    import tempfile
-    import time as _time
 
     ev = read_testdata(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_ssj_")
+    base = _replay_dir("mw2v_ssj_")
     src = os.path.join(base, "src")
     (
         ev.where(F.col("event_type").isin("click", "purchase"))
@@ -2571,9 +2604,7 @@ def stream_stream_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src)
     )
-    t0 = _time.time()
-    for i, f in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
-        os.utime(f, (t0 + i, t0 + i))
+    _pin_mtimes(src)
     schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
 
     def side(kind: str, id_alias: str, ts_alias: str):
@@ -2641,10 +2672,8 @@ def stream_dedup_watermark_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark ≫ the 60 s retransmission gap guarantee every
     duplicate meets its original's still-live state: the sink must
     equal the duplicate-free base table EXACTLY."""
-    import glob as _glob
+
     import os
-    import tempfile
-    import time as _time
 
     from mapreduce_word2vec_spark.streaming.windows import stream_dedup
 
@@ -2655,7 +2684,7 @@ def stream_dedup_watermark_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", F.col("ts") + F.expr("INTERVAL 60 SECONDS")
     )
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_sdw_")
+    base = _replay_dir("mw2v_sdw_")
     src = os.path.join(base, "src")
     (
         ev.unionByName(dupes)
@@ -2664,9 +2693,7 @@ def stream_dedup_watermark_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .parquet(src)
     )
-    t0 = _time.time()
-    for i, f in enumerate(sorted(_glob.glob(os.path.join(src, "part-*")))):
-        os.utime(f, (t0 + i, t0 + i))
+    _pin_mtimes(src)
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, event_type string, value double"
@@ -2743,7 +2770,7 @@ def stream_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_testdata(spark, sf_dir, "events").select("event_id", "ts")
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_sld_")
+    base = _replay_dir("mw2v_sld_")
     src = os.path.join(base, "src")
     os.makedirs(src, exist_ok=True)
     t0 = _time.time()
@@ -2787,7 +2814,24 @@ def stream_late_drop_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DYN_GAP_MIN = {"click": 30, "view": 30, "purchase": 60, "signup": 120, "error": 5}
+# Single source of truth for the per-event-type session gap: the
+# oracle CASE and the Spark when-chain are both DERIVED from this
+# table (the CEP_CHAR/_CEP_CASE_SQL discipline) so an edit can't
+# silently desynchronize the two engines.
+_DYN_GAP_MIN = {"click": 30, "view": 30, "purchase": 60, "signup": 120}
+_DYN_GAP_DEFAULT_MIN = 5  # everything else (errors)
+_DYN_GAP_CASE_SQL = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{t}' THEN {m}" for t, m in _DYN_GAP_MIN.items())
+    + f" ELSE {_DYN_GAP_DEFAULT_MIN} END"
+)
+
+
+def _dyn_gap_col() -> F.Column:
+    gap = None
+    for t, m in _DYN_GAP_MIN.items():
+        gap = (F.when if gap is None else gap.when)(F.col("event_type") == t, m)
+    return gap.otherwise(_DYN_GAP_DEFAULT_MIN)
 
 
 @register(
@@ -2795,10 +2839,7 @@ _DYN_GAP_MIN = {"click": 30, "view": 30, "purchase": 60, "signup": 120, "error":
     oracle=f"""
     WITH e AS (
       SELECT user_id, ts, event_id,
-             CASE event_type
-               WHEN 'click' THEN 30 WHEN 'view' THEN 30
-               WHEN 'purchase' THEN 60 WHEN 'signup' THEN 120
-               ELSE 5 END * CAST(60000000 AS BIGINT) AS gap_us
+             {_DYN_GAP_CASE_SQL} * CAST(60000000 AS BIGINT) AS gap_us
       FROM events
     ),
     r AS (
@@ -2840,10 +2881,7 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Session END is max(ts+gap), not max(ts) — the contract that
     distinguishes the dynamic form. One user_id exchange either
     way."""
-    gap = F.when(F.col("event_type") == "click", 30)
-    for t, m in (("view", 30), ("purchase", 60), ("signup", 120)):
-        gap = gap.when(F.col("event_type") == t, m)
-    gap = gap.otherwise(5)
+    gap = _dyn_gap_col()
     ev = read_testdata(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type"
     )
@@ -2957,7 +2995,7 @@ def stream_observe_metrics_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts", "event_type", "value"
     )
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = tempfile.mkdtemp(prefix="mw2v_som_")
+    base = _replay_dir("mw2v_som_")
     src = os.path.join(base, "src")
     ev.repartition(8).write.mode("overwrite").parquet(src)
     # recentProgress is a ring buffer capped at
@@ -2978,7 +3016,10 @@ def stream_observe_metrics_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             .observe(
                 "ingest_metrics",
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum("value").alias("sum_value"),
+                # Coalesced at the source: a zero-row micro-batch
+                # observes sum_value = NULL, and the Python fold below
+                # would crash on 0 + None.
+                F.coalesce(F.sum("value"), F.lit(0.0)).alias("sum_value"),
                 F.count(F.when(F.col("event_type") == "error", 1)).alias(
                     "n_errors"
                 ),
@@ -3339,7 +3380,7 @@ def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = read_testdata(spark, sf_dir, "events").select("event_id", "user_id")
-    base = tempfile.mkdtemp(prefix="mw2v_ckptrec_")
+    base = _replay_dir("mw2v_ckptrec_")
     src = os.path.join(base, "src")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")

@@ -1,0 +1,104 @@
+"""Edge-case contracts for the streaming/events queries on CRAFTED
+corpora — cases the synthetic fixtures never produce but real data
+will (the round-5 review findings):
+
+* ``events_survival_km`` when every remaining subject fails — the
+  product-limit factor is exactly 0 and neither engine may evaluate
+  ln(0) (Spark F.log(0) is NULL and the window sum would silently
+  skip the factor; DuckDB ln(0) raises).
+* ``events_changepoint_cusum`` when the corpus has no purchases —
+  Spark's ``sequence(1, 0)`` yields ``[1, 0]`` (default step -1), so
+  an unguarded explode emits two spurious rows where the oracle's
+  unnest over an empty list emits none.
+
+Each test builds an sf-dir-shaped tmp corpus (crafted events.parquet,
+other tables symlinked from sf0.001) and runs the REGISTERED query
+against its REGISTERED oracle through the same compare harness the
+local gate uses, so the edge stays pinned at driver strictness.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from mapreduce_word2vec_spark.oracle import compare, duckdb_connection
+from mapreduce_word2vec_spark.plans import catalog
+from tests.conftest import SF_SMOKE
+
+_T0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _crafted_sf_dir(tmp_path, spark, rows):
+    """sf-dir with crafted events rows; every other table symlinks to
+    the smoke fixture so duckdb_connection can bind all views."""
+    d = tmp_path / "sf_edge"
+    d.mkdir()
+    for t in os.listdir(SF_SMOKE):
+        if t != "events.parquet":
+            os.symlink(os.path.join(SF_SMOKE, t), d / t)
+    # Single parquet FILE (not a Spark part-file directory): DuckDB's
+    # view binds the plain path, exactly like the real testdata.
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    df = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(df, schema=schema), d / "events.parquet")
+    return str(d)
+
+
+def _run(spark, sf_dir, name):
+    q = catalog.all_queries()[name]
+    res = compare(name, q.fn(spark, sf_dir), q.oracle, duckdb_connection(sf_dir))
+    assert res.match, res
+    return q.fn(spark, sf_dir)
+
+
+def test_survival_km_all_failed_edge(tmp_path, spark):
+    """Every user errors inside the 72h window → the last failure hour
+    consumes all remaining at-risk subjects; survival must be exactly
+    0.0 there and the oracle must not crash on ln(0)."""
+    rows = []
+    eid = 0
+    for u, err_hours in enumerate((1, 5, 5)):
+        rows.append((eid, _T0, u, "signup", 1.0, "{}"))
+        eid += 1
+        rows.append(
+            (eid, _T0 + datetime.timedelta(hours=err_hours, minutes=1), u,
+             "error", 1.0, "{}")
+        )
+        eid += 1
+    sf = _crafted_sf_dir(tmp_path, spark, rows)
+    out = _run(spark, sf, "events_survival_km").orderBy("duration_hours").collect()
+    assert out[-1]["n_failed"] == out[-1]["n_at_risk"]
+    assert out[-1]["survival"] == 0.0
+    # earlier rows keep the ordinary product-limit value
+    assert out[0]["survival"] == pytest.approx(2.0 / 3.0, abs=1e-6)
+
+
+def test_changepoint_cusum_no_purchases_edge(tmp_path, spark):
+    """No purchase rows → both engines must emit ZERO rows (the
+    sequence(1, 0) == [1, 0] trap)."""
+    rows = [
+        (0, _T0, 0, "click", 1.0, "{}"),
+        (1, _T0 + datetime.timedelta(hours=1), 1, "error", 2.0, "{}"),
+    ]
+    sf = _crafted_sf_dir(tmp_path, spark, rows)
+    out = _run(spark, sf, "events_changepoint_cusum")
+    assert out.count() == 0
