@@ -1716,12 +1716,12 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    SELECT s_suppkey, s_name, total_revenue
     FROM supplier JOIN revenue ON s_suppkey = supplier_no
     WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
     """,
@@ -1731,17 +1731,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue CTE aggregates the filtered fact once; the max is a
     window over that small per-supplier aggregate (one extra exchange
     of supplier-cardinality rows) instead of a second scan via scalar
-    subquery. Revenue rounded to 4 digits so the float max comparison
-    is stable across engines."""
-    from pyspark.sql import Window
+    subquery. Revenue is rounded to 4 digits BEFORE the max/equality
+    comparison (not just in the output projection) — the two engines
+    sum in different orders, and an unquantized float equality could
+    tie in one engine and miss by an ulp in the other, changing the
+    returned row set."""
 
     li = rt(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "total_revenue"
-        )
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("total_revenue")
     )
     top = rev.withColumn(
         "_mx", F.max("total_revenue").over(Window.partitionBy())
@@ -1749,7 +1751,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = rt(spark, sf_dir, "supplier")
     return (
         s.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
-        .select("s_suppkey", "s_name", F.round("total_revenue", 4).alias("total_revenue"))
+        .select("s_suppkey", "s_name", "total_revenue")
     )
 
 
@@ -1775,7 +1777,6 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     over ALL lineitems of the part (the correlated subquery has no
     brand filter), so the brand filter applies after the partkey
     broadcast-prune but the window runs before any quantity filter."""
-    from pyspark.sql import Window
 
     p = (
         rt(spark, sf_dir, "part")
@@ -2089,7 +2090,11 @@ def q12_priority_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold into one agg pass)."""
     li = rt(spark, sf_dir, "lineitem")
     o = rt(spark, sf_dir, "orders")
-    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    # Interval arithmetic, not date_add: F.date_add truncates the
+    # timestamp to DATE while the oracle's + INTERVAL keeps time-of-
+    # day — masked only because the frozen fixture is midnight-only
+    # (q4_order_priority already does this correctly).
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderpriority")
@@ -2136,7 +2141,6 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows on the same order partitioning — lineitem is read once,
     shuffles once on (orderkey, suppkey), and the windows reuse the
     orderkey exchange. The supplier name join broadcasts."""
-    from pyspark.sql import Window
 
     li = rt(spark, sf_dir, "lineitem")
     o = rt(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
@@ -2147,7 +2151,9 @@ def q21_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max(
                 F.when(
-                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"),
+                    1,
                 ).otherwise(0)
             ).alias("is_late")
         )
@@ -2199,7 +2205,6 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     table."""
     li = rt(spark, sf_dir, "lineitem")
     c = li.groupBy("l_returnflag", "l_linestatus").agg(F.count("*").alias("cnt"))
-    from pyspark.sql import Window
 
     w = Window.partitionBy("l_returnflag").orderBy(
         F.desc("cnt"), F.asc("l_linestatus")
@@ -2598,7 +2603,6 @@ def window_distinct_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     (set semantics), so no tie-break fragility. Scale note: the set
     state grows with cardinality; the 100 TB variant swaps in an HLL
     sketch column (agg_hll_sketch's path) at the same plan shape."""
-    from pyspark.sql import Window
 
     ev = rt(spark, sf_dir, "events")
     w = (
@@ -2709,7 +2713,6 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, not the orders table; at billions of customers the
     same scores come from an approx_percentile threshold broadcast
     (documented alternative), identical output schema."""
-    from pyspark.sql import Window
 
     o = rt(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("d_max"))
@@ -2826,7 +2829,6 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     poisons a mean window; the median shrugs). Exact percentile over
     a bounded row frame: per-row cost is the 7-element frame, state
     bounded by the frame, partitions keyed by user."""
-    from pyspark.sql import Window
 
     ev = rt(spark, sf_dir, "events")
     w = (
@@ -2907,7 +2909,6 @@ def orders_backlog_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     running sum. The per-day pre-aggregation bounds the ordered
     window's input to distinct dates (≤ a few thousand rows at any
     order volume) — the global cumsum never sees the fact table."""
-    from pyspark.sql import Window
 
     o = rt(spark, sf_dir, "orders")
     li = rt(spark, sf_dir, "lineitem")
@@ -2959,7 +2960,6 @@ def customer_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     island — the classic trick, no self-join). Distinct months first
     (bounded rows per customer), one rank window, two keyed
     aggregations; earliest start breaks ties deterministically."""
-    from pyspark.sql import Window
 
     o = rt(spark, sf_dir, "orders")
     months = o.select(
@@ -3013,7 +3013,6 @@ def customer_pareto_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     \"top 10% drive X%\" curve. The ntile runs over the customer-level
     aggregate (2-dp revenue + custkey tie-break ⇒ engine-exact);
     the final cumsum window sees only 10 rows."""
-    from pyspark.sql import Window
 
     o = rt(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
@@ -3056,7 +3055,6 @@ def orders_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly aggregate (map-side partial over the fact table), then a
     lag window over the bounded month table (hundreds of rows at any
     order volume; the global order-by never touches facts)."""
-    from pyspark.sql import Window
 
     o = rt(spark, sf_dir, "orders")
     m = (
@@ -3368,46 +3366,56 @@ def table_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint suite (the dbt-test /
     Deequ shape): key uniqueness, referential integrity (anti-join
     count), accepted values, range, and not-null — one row per check
-    with its violation count. Each check is a single aggregate or
-    anti-join; the FK check's anti-join broadcasts nothing by hint
-    (AQE sizes it), and every other check folds map-side. The suite
-    runs as ONE union job so a 100 TB nightly validation is one
-    cluster pass per fact table, not one per rule."""
+    with its violation count. ALL plain-aggregate rules over one table
+    fold into a SINGLE agg pass melted to rows via stack() — orders is
+    scanned once for its two rules, not once per rule — so a 100 TB
+    nightly validation costs one aggregate pass per fact table plus
+    the one join the referential-integrity rule inherently needs (its
+    orders side is a single pruned key column)."""
     o = rt(spark, sf_dir, "orders")
     li = rt(spark, sf_dir, "lineitem")
     c = rt(spark, sf_dir, "customer")
 
-    def one(name: str, agg_df: DataFrame) -> DataFrame:
-        return agg_df.select(
-            F.lit(name).alias("check_name"),
-            F.col("v").cast("bigint").alias("n_violations"),
-        )
+    def melt(agg_df: DataFrame, names: list[str]) -> DataFrame:
+        pairs = ", ".join(f"'{n}', `{n}`" for n in names)
+        return agg_df.selectExpr(
+            f"stack({len(names)}, {pairs}) AS (check_name, n_violations)"
+        ).select("check_name", F.col("n_violations").cast("bigint").alias("n_violations"))
 
+    o_rules = melt(
+        o.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("orders_pk_unique"),
+            F.sum(
+                F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+            ).alias("orders_status_accepted"),
+        ),
+        ["orders_pk_unique", "orders_status_accepted"],
+    )
     checks = [
-        one(
-            "orders_pk_unique",
-            o.agg((F.count("*") - F.countDistinct("o_orderkey")).alias("v")),
+        o_rules,
+        melt(
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("lineitem_fk_orders")),
+            ["lineitem_fk_orders"],
         ),
-        one(
-            "lineitem_fk_orders",
-            li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
-            .agg(F.count("*").alias("v")),
-        ),
-        one(
-            "orders_status_accepted",
-            o.agg(
-                F.sum(
-                    F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
-                ).alias("v")
+        melt(
+            li.agg(
+                F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias(
+                    "lineitem_qty_positive"
+                )
             ),
+            ["lineitem_qty_positive"],
         ),
-        one(
-            "lineitem_qty_positive",
-            li.agg(F.sum(F.when(F.col("l_quantity") <= 0, 1).otherwise(0)).alias("v")),
-        ),
-        one(
-            "customer_name_not_null",
-            c.agg(F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias("v")),
+        melt(
+            c.agg(
+                F.sum(F.when(F.col("c_name").isNull(), 1).otherwise(0)).alias(
+                    "customer_name_not_null"
+                )
+            ),
+            ["customer_name_not_null"],
         ),
     ]
     out = checks[0]
@@ -4309,7 +4317,6 @@ def agg_hll_union_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = per_type.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
-        F.sum(F.lit(0)).alias("_z"),
     )
     g_exact = ev.agg(F.count_distinct("user_id").cast("bigint").alias("exact_users"))
     per_rows = per_type.select(
@@ -4428,7 +4435,6 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-identical, and one partition-ordered exchange — the
     infinite-history recursive form would need sequential state.
     Total order (ts, event_id) pins ties."""
-    from pyspark.sql import Window
 
     ev = rt(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("ts", "event_id")
@@ -4569,7 +4575,6 @@ def events_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     sorts the sample); for full-data quantiles at 100 TB use
     approx_percentile (registered) instead of a global sort."""
     ev = rt(spark, sf_dir, "events")
-    from pyspark.sql import Window
 
     w = Window.orderBy("value", "event_id")
     t = ev.select("value", F.ntile(10).over(w).alias("bucket"))
@@ -4709,7 +4714,6 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentration without needing a global rank)."""
     o = rt(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
-    from pyspark.sql import Window
 
     rk = F.row_number().over(Window.orderBy("rev", "o_custkey"))
     n = F.count("*").over(Window.partitionBy()) * 1.0
@@ -4943,7 +4947,6 @@ def orders_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the bounded per-customer aggregate (ties custkey-pinned)."""
     o = rt(spark, sf_dir, "orders")
     c = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 6).alias("rev"))
-    from pyspark.sql import Window
 
     r = c.select(
         "rev", F.ntile(10).over(Window.orderBy("rev", "o_custkey")).alias("decile")
@@ -5078,7 +5081,6 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     before ranking; output is three rows."""
     li = rt(spark, sf_dir, "lineitem")
     p = li.groupBy("l_partkey").agg(F.round(F.sum("l_extendedprice"), 6).alias("rev"))
-    from pyspark.sql import Window
 
     wc = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
         Window.unboundedPreceding, 0
@@ -5154,7 +5156,6 @@ def orders_id_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-id ranges in the 'F'-status order ledger via the
     two-level binned scheme (bucket-partitioned lead + tiny
     cross-bucket stitch) — no global window over the key table."""
-    from pyspark.sql import Window
 
     keys = (
         rt(spark, sf_dir, "orders")
@@ -5227,7 +5228,6 @@ def layout_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compaction plan over the per-shipdate file manifest: greedy
     consecutive fill to ~1 MiB groups via a prefix-sum window on the
     metadata table, then per-group file counts/bytes/date spans."""
-    from pyspark.sql import Window
 
     manifest = (
         rt(spark, sf_dir, "lineitem")
@@ -5592,10 +5592,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 # file-keyed aggregation over a metadata-scale log.
 
 
-@register(
-    "table_log_replay",
-    oracle="""
-    WITH months AS (
+# Shared synthetic add/remove transaction log for table_log_replay and
+# table_vacuum_plan (live files + tombstones must partition the file
+# set — one definition keeps that complementarity unbreakable): v0
+# adds every month file, v1 removes all of 1996, v2 re-adds 1996 H1.
+_TXN_LOG_CTES = """months AS (
       SELECT strftime(l_shipdate, '%Y-%m') AS file_id,
              CAST(count(*) AS BIGINT) AS n_rows
       FROM lineitem GROUP BY 1
@@ -5616,14 +5617,13 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
              max_by(n_rows, version) AS n_rows,
              CAST(max(version) AS INT) AS at_version
       FROM log GROUP BY file_id
-    )
-    SELECT file_id, n_rows, at_version
-    FROM latest WHERE last_action = 'add'
-    """,
-)
-def table_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Replay an add/remove transaction log to the live-file snapshot
-    (last action per file wins)."""
+    )"""
+
+
+def _txn_log_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last action per file over the synthetic log — the Spark twin of
+    ``_TXN_LOG_CTES`` (one file-keyed aggregation over a
+    metadata-scale log)."""
     months = (
         rt(spark, sf_dir, "lineitem")
         .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("file_id"))
@@ -5640,14 +5640,27 @@ def table_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(2).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
     )
     log = v0.unionByName(v1).unionByName(v2)
-    latest = log.groupBy("file_id").agg(
+    return log.groupBy("file_id").agg(
         F.max_by("action", "version").alias("last_action"),
         F.max_by("n_rows", "version").alias("n_rows"),
         F.max("version").cast("int").alias("at_version"),
     )
-    return latest.where(F.col("last_action") == "add").select(
-        "file_id", "n_rows", "at_version"
-    )
+
+
+@register(
+    "table_log_replay",
+    oracle=f"""
+    WITH {_TXN_LOG_CTES}
+    SELECT file_id, n_rows, at_version
+    FROM latest WHERE last_action = 'add'
+    """,
+)
+def table_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay an add/remove transaction log to the live-file snapshot
+    (last action per file wins)."""
+    return _txn_log_latest(spark, sf_dir).where(
+        F.col("last_action") == "add"
+    ).select("file_id", "n_rows", "at_version")
 
 
 @register(
@@ -5938,30 +5951,9 @@ def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "table_vacuum_plan",
-    oracle="""
-    WITH months AS (
-      SELECT strftime(l_shipdate, '%Y-%m') AS file_id,
-             CAST(count(*) AS BIGINT) AS n_rows
-      FROM lineitem GROUP BY 1
-    ),
-    log AS (
-      SELECT 0 AS version, 'add' AS action, file_id, n_rows FROM months
-      UNION ALL
-      SELECT 1, 'remove', file_id, n_rows FROM months
-      WHERE file_id LIKE '1996-%'
-      UNION ALL
-      SELECT 2, 'add', file_id, n_rows FROM months
-      WHERE file_id IN ('1996-01', '1996-02', '1996-03',
-                        '1996-04', '1996-05', '1996-06')
-    ),
-    latest AS (
-      SELECT file_id,
-             max_by(action, version) AS last_action,
-             max_by(n_rows, version) AS n_rows,
-             CAST(max(version) AS INT) AS tombstoned_at
-      FROM log GROUP BY file_id
-    )
-    SELECT file_id, n_rows, tombstoned_at
+    oracle=f"""
+    WITH {_TXN_LOG_CTES}
+    SELECT file_id, n_rows, at_version AS tombstoned_at
     FROM latest WHERE last_action = 'remove'
     """,
 )
@@ -5970,29 +5962,12 @@ def table_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     action is a remove — the tombstones eligible for physical
     deletion once the retention window passes. Same one-aggregation
     replay over the metadata log."""
-    months = (
-        rt(spark, sf_dir, "lineitem")
-        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("file_id"))
-        .agg(F.count("*").cast("bigint").alias("n_rows"))
-    )
-    v0 = months.select(
-        F.lit(0).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
-    )
-    v1 = months.where(F.col("file_id").startswith("1996-")).select(
-        F.lit(1).alias("version"), F.lit("remove").alias("action"), "file_id", "n_rows"
-    )
-    h1 = ["1996-0%d" % i for i in range(1, 7)]
-    v2 = months.where(F.col("file_id").isin(h1)).select(
-        F.lit(2).alias("version"), F.lit("add").alias("action"), "file_id", "n_rows"
-    )
-    log = v0.unionByName(v1).unionByName(v2)
-    latest = log.groupBy("file_id").agg(
-        F.max_by("action", "version").alias("last_action"),
-        F.max_by("n_rows", "version").alias("n_rows"),
-        F.max("version").cast("int").alias("tombstoned_at"),
-    )
-    return latest.where(F.col("last_action") == "remove").select(
-        "file_id", "n_rows", "tombstoned_at"
+    return (
+        _txn_log_latest(spark, sf_dir)
+        .where(F.col("last_action") == "remove")
+        .select(
+            "file_id", "n_rows", F.col("at_version").alias("tombstoned_at")
+        )
     )
 
 
@@ -6442,11 +6417,13 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "customer_segment_migration",
     oracle="""
     WITH p1 AS (
-      SELECT o_custkey, ntile(3) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey) AS seg
+      SELECT o_custkey,
+             ntile(3) OVER (ORDER BY round(sum(o_totalprice), 2) DESC, o_custkey) AS seg
       FROM orders WHERE year(o_orderdate) < 1998 GROUP BY o_custkey
     ),
     p2 AS (
-      SELECT o_custkey, ntile(3) OVER (ORDER BY sum(o_totalprice) DESC, o_custkey) AS seg
+      SELECT o_custkey,
+             ntile(3) OVER (ORDER BY round(sum(o_totalprice), 2) DESC, o_custkey) AS seg
       FROM orders WHERE year(o_orderdate) >= 1998 GROUP BY o_custkey
     )
     SELECT coalesce(CAST(p1.seg AS VARCHAR), 'absent') AS seg_before,
@@ -6462,7 +6439,10 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     period-over-period movement view behind churn/upgrade dashboards,
     composing the RFM idiom with a full-outer self-reconciliation.
     Deterministic terciles ((sum desc, custkey) total order under
-    ntile). Scale shape: both period aggregates fold map-side on ONE
+    ntile; the revenue is rounded to 2 dp BEFORE the window so the
+    ordering can't flip on an ulp-level summation-order difference
+    between engines — the customer_rfm_segments quantization
+    discipline). Scale shape: both period aggregates fold map-side on ONE
     orders scan each, the ntile windows order the CUSTOMER table
     (approx-percentile threshold broadcast is the documented
     billions-of-customers path, as in customer_rfm_segments), and the
@@ -6473,7 +6453,7 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def seg(period):
         agg = period.groupBy("o_custkey").agg(
-            F.sum("o_totalprice").alias("rev")
+            F.round(F.sum("o_totalprice"), 2).alias("rev")
         )
         w = Window.orderBy(F.desc("rev"), "o_custkey")
         return agg.select("o_custkey", F.ntile(3).over(w).alias("seg"))
@@ -7019,7 +6999,7 @@ def orders_otif_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             F.datediff("last_ship", "o_orderdate").cast("bigint").alias("cycle_days"),
             (
-                (F.col("last_ship") <= F.date_add("o_orderdate", 30))
+                (F.col("last_ship") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
                 & (F.col("n_returned") == 0)
             ).alias("otif"),
         )
@@ -7209,7 +7189,6 @@ def join_asof_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-trimmed mean of extended price per return flag with
     decimal-exact middle-band accumulation."""
-    from pyspark.sql import Window
 
     li = rt(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
@@ -7285,7 +7264,6 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10%-winsorized mean of extended price per return flag: tail
     values clamped to the kept band's endpoints, decimal-exact sum."""
-    from pyspark.sql import Window
 
     li = rt(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
