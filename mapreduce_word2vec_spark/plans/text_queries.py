@@ -35,6 +35,47 @@ from mapreduce_word2vec_spark.sources.readers import read_testdata
 
 _SQL_TOKENS = r"""list_filter(regexp_split_to_array(lower(text), '\W+'), w -> regexp_matches(w, '^[a-z]+$'))"""
 _SQL_STOPSET = ", ".join(f"'{s}'" for s in STOPWORDS)
+_SQL_PUNCT = r"length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))"
+
+
+def _sql_strhash(operand: str) -> str:
+    """The 31-polynomial string hash folded over ``operand`` —
+    ``functions.text.string_hash_expr``'s SQL twin. ONE definition for
+    every oracle (the operands differ per query); a drifted copy would
+    silently desynchronize that query's oracle from the Spark kernel."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform(split({operand}, ''), c -> CAST(ascii(c) AS BIGINT))),"
+        f" (a, b) -> (a * 31 + b) % 1000000007)"
+    )
+
+
+def _sql_fingerprint(ws: str = "ws") -> str:
+    """Order-sensitive document fingerprint (poly-hash every token,
+    fold the hash list) — ``functions.text.fingerprint_expr``'s SQL
+    twin, shared by every dedup-by-fingerprint oracle."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT),"
+        f" list_transform({ws}, w -> {_sql_strhash('w')})),"
+        f" (a, b) -> (a * 31 + b) % 1000000007)"
+    )
+
+
+def _sql_quality(
+    n_words: str, n_stop: str, n_chars: str, n_punct: str, rounded: bool = True
+) -> str:
+    """The heuristic quality score (``functions.text.quality_score_expr``'s
+    SQL twin): 0.4·length + 0.3·(1−punct ratio) + 0.3·stopword term.
+    Shared by every quality-scoring oracle; operands are the caller's
+    column/expression names."""
+    core = (
+        f"0.4 * least(CAST({n_words} AS DOUBLE) / 20.0, 1.0)"
+        f" + 0.3 * (1.0 - (CASE WHEN {n_chars} > 0"
+        f" THEN CAST({n_punct} AS DOUBLE) / {n_chars} ELSE 1.0 END))"
+        f" + 0.3 * least((CASE WHEN {n_words} > 0"
+        f" THEN CAST({n_stop} AS DOUBLE) / {n_words} ELSE 0.0 END) * 4.0, 1.0)"
+    )
+    return f"round({core}, 6)" if rounded else core
 
 
 @register(
@@ -129,11 +170,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     )
     SELECT doc_id,
-           round(
-             0.4 * least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
-             + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
-             + 0.3 * least((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0),
-           6) AS quality
+           {_sql_quality("n_words", "n_stop", "n_chars", "n_punct")} AS quality
     FROM m
     """,
 )
@@ -184,11 +221,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
     h AS (
       SELECT doc_id,
-             list_transform(ws, w ->
-               list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                              list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
-                 (a, b) -> (a * 31 + b) % 1000000007)) AS hs
+             list_transform(ws, w -> {_sql_strhash('w')}) AS hs
       FROM t
     )
     SELECT doc_id,
@@ -562,23 +595,13 @@ def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), scored AS (
       SELECT doc_id, lang, ws,
-             round(
-               0.4 * least(CAST(len(ws) AS DOUBLE) / 20.0, 1.0)
-               + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
-               + 0.3 * least((CASE WHEN len(ws) > 0
-                              THEN CAST(len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS DOUBLE) / len(ws)
-                              ELSE 0.0 END) * 4.0, 1.0),
-             6) AS quality
+             {_sql_quality("len(ws)",
+                           f"len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET})))",
+                           "n_chars", "n_punct")} AS quality
       FROM t
     ), fp AS (
       SELECT doc_id, lang, quality,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(ws, w ->
-                 list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                                list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
-                   (a, b) -> (a * 31 + b) % 1000000007))),
-               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+             {_sql_fingerprint("ws")} AS fingerprint
       FROM scored WHERE quality >= 0.5
     ), dedup AS (
       SELECT *, row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
@@ -916,11 +939,7 @@ _TOKEN_BUDGET = 10_000
       FROM t
     ), q AS (
       SELECT doc_id, n_tokens,
-             round(
-               0.4 * least(CAST(n_tokens AS DOUBLE) / 20.0, 1.0)
-               + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
-               + 0.3 * least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 4.0, 1.0),
-             6) AS quality
+             {_sql_quality("n_tokens", "n_stop", "n_chars", "n_punct")} AS quality
       FROM m
     ), c AS (
       SELECT doc_id, n_tokens, quality,
@@ -1074,24 +1093,16 @@ def doc_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
       SELECT doc_id, source, lang, len(ws) AS n_tokens,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(ws, w ->
-                 list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                                list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
-                   (a, b) -> (a * 31 + b) % 1000000007))),
-               (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+             {_sql_fingerprint("ws")} AS fingerprint
       FROM t
     ),
     q AS (
       SELECT doc_id,
-             0.4 * least(CAST(len(ws) AS DOUBLE) / 20.0, 1.0)
-             + 0.3 * (1.0 - (CASE WHEN length(text) > 0
-                 THEN CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)
-                 ELSE 1.0 END))
-             + 0.3 * least((CASE WHEN len(ws) > 0
-                 THEN CAST(len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET}))) AS DOUBLE) / len(ws)
-                 ELSE 0.0 END) * 4.0, 1.0) AS quality
+             {_sql_quality("len(ws)",
+                           f"len(ws) - len(list_filter(ws, w -> w NOT IN ({_SQL_STOPSET})))",
+                           "length(text)",
+                           _SQL_PUNCT,
+                           rounded=False)} AS quality
       FROM t
     )
     SELECT h.source,
@@ -1296,7 +1307,18 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         / n_raw,
     ).otherwise(F.lit(0.0))
     stop_lit = F.array(*[F.lit(s) for s in _GOPHER_STOP])
-    n_stop = F.size(F.filter(stop_lit, lambda s: F.array_contains(ws, s)))
+    # LET-BIND the token array (doc_winnowing discipline): a bare `ws`
+    # inside the stop-list lambda re-tokenizes the document once per
+    # stop word — 9 redundant full-text regex passes per row.
+    n_stop = F.get(
+        F.transform(
+            F.array(ws),
+            lambda ws_b: F.size(
+                F.filter(stop_lit, lambda s: F.array_contains(ws_b, s))
+            ),
+        ),
+        0,
+    )
     base = docs.select(
         "doc_id",
         n_words.cast("bigint").alias("n_words"),
@@ -1331,11 +1353,7 @@ def doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 1024
 _DSIR_TARGET = ("src0", "src3")
 _DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in _DSIR_TARGET)
-_SQL_STRHASH = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-    " list_transform(split(word, ''), c -> CAST(ascii(c) AS BIGINT))),"
-    " (a, b) -> (a * 31 + b) % 1000000007)"
-)
+_SQL_STRHASH = _sql_strhash("word")
 
 
 @register(
@@ -1506,11 +1524,7 @@ _SOURCE_CAP = 10
       FROM t
     ), q AS (
       SELECT doc_id, source,
-             round(
-               0.4 * least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
-               + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
-               + 0.3 * least((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0),
-             6) AS quality
+             {_sql_quality("n_words", "n_stop", "n_chars", "n_punct")} AS quality
       FROM m
     )
     SELECT doc_id, source, quality, CAST(rank_in_source AS BIGINT) AS rank_in_source
@@ -1574,11 +1588,19 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the float path only at the final ln/divide. Entirely
     row-local higher-order functions — zero exchanges at any scale."""
     docs = read_testdata(spark, sf_dir, "documents")
-    chars = F.split(F.col("text"), "")
     n = F.length("text")
-    counts = F.transform(
-        F.array_distinct(chars),
-        lambda c: F.size(F.filter(chars, lambda x: x == c)),
+    # LET-BIND the split char array (doc_winnowing discipline): a bare
+    # `chars` reference inside the per-distinct-char count lambda
+    # re-splits the text once per distinct character — O(d·n) per doc.
+    counts = F.get(
+        F.transform(
+            F.array(F.split(F.col("text"), "")),
+            lambda chars: F.transform(
+                F.array_distinct(chars),
+                lambda c: F.size(F.filter(chars, lambda x: x == c)),
+            ),
+        ),
+        0,
     )
     sum_clnc = F.aggregate(
         counts,
@@ -1588,7 +1610,7 @@ def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     entropy = F.when(n > 0, F.log(n.cast("double")) - sum_clnc / n)
     return docs.select(
         "doc_id",
-        F.size(F.array_distinct(chars)).cast("bigint").alias("n_distinct_chars"),
+        F.size(counts).cast("bigint").alias("n_distinct_chars"),
         F.round(entropy, 6).alias("char_entropy"),
     )
 
@@ -1682,13 +1704,7 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     h AS (
       SELECT doc_id, lang, CAST(len(ws) AS BIGINT) AS n_tokens,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(ws, w ->
-                 list_reduce(
-                   list_prepend(CAST(0 AS BIGINT),
-                                list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),
-                   (a, b) -> (a * 31 + b) % 1000000007))),
-               (a, b) -> (a * 31 + b) % 1000000007) AS fp
+             {_sql_fingerprint("ws")} AS fp
       FROM g
     ),
     surv AS (
@@ -1736,7 +1752,17 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     ) / n_raw
     stop_lit = F.array(*[F.lit(s) for s in _GOPHER_STOP])
-    n_stop = F.size(F.filter(stop_lit, lambda s: F.array_contains(ws, s)))
+    # LET-BOUND token array in the stop-list lambda (see
+    # doc_gopher_filter): a bare `ws` there re-tokenizes per stop word.
+    n_stop = F.get(
+        F.transform(
+            F.array(ws),
+            lambda ws_b: F.size(
+                F.filter(stop_lit, lambda s: F.array_contains(ws_b, s))
+            ),
+        ),
+        0,
+    )
     keep = (
         n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
         & (n_words > 0)
@@ -2373,11 +2399,7 @@ def w2v_subsample_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_HASH_G = (
-    "list_reduce(list_prepend(CAST(0 AS BIGINT),"
-    " list_transform(split(g, ''), c -> CAST(ascii(c) AS BIGINT))),"
-    " (a, b) -> (a * 31 + b) % 1000000007)"
-)
+_WINNOW_HASH_G = _sql_strhash("g")
 
 
 @register(
@@ -2567,10 +2589,8 @@ def doc_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH u AS (
       SELECT doc_id, n_chars,
-             (list_reduce(list_prepend(CAST(0 AS BIGINT),
-                list_transform(split('wrs|' || CAST(doc_id AS VARCHAR), ''),
-                               c -> CAST(ascii(c) AS BIGINT))),
-                (a, b) -> (a * 31 + b) % 1000000007) + 1.0) / 1000000008.0 AS unif
+             ({_sql_strhash("'wrs|' || CAST(doc_id AS VARCHAR)")} + 1.0)
+               / 1000000008.0 AS unif
       FROM documents
     ),
     k AS (
@@ -2804,9 +2824,7 @@ _QCLS_MIX = KNUTH31
 # across engines; the keep decision thresholds the RAW mean at 0
 # (exact), never the post-sigmoid float.
 _SQL_QCLS_W = (
-    f"(((list_reduce(list_prepend(CAST(0 AS BIGINT),"
-    f" list_transform(split(w, ''), c -> CAST(ascii(c) AS BIGINT))),"
-    f" (a, b) -> (a * 31 + b) % 1000000007)"
+    f"((({_sql_strhash('w')}"
     f" % {_QCLS_BUCKETS}) * {_QCLS_MIX}) % 2048) / 1024.0 - 1.0"
 )
 
@@ -2865,8 +2883,9 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The classic MapReduce-scale LM estimation job (Brants et al. 2007
 # trained 5-grams on 2T tokens this way): absolute discounting with
 # continuation counts. Everything is counts + two key-partitioned
-# joins on word keys; the continuation tables are vocabulary-sized
-# (broadcastable at any corpus scale).
+# joins on word keys; the continuation tables are VOCABULARY-sized,
+# so they join unhinted (AQE broadcasts while small, shuffles at web
+# scale) — never force-broadcast.
 
 _KN_D = 0.75
 _KN_TOPN = 100
@@ -2920,11 +2939,12 @@ def corpus_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     fwd = c.groupBy("w1").agg(F.sum("c").alias("c1"), F.count("*").alias("nf"))
     bwd = c.groupBy("w2").agg(F.count("*").alias("nb"))
     t = c.agg(F.count("*").alias("t"))
-    j = (
-        c.join(F.broadcast(fwd), "w1")
-        .join(F.broadcast(bwd), "w2")
-        .crossJoin(F.broadcast(t))
-    )
+    # fwd/bwd are VOCABULARY-sized — no broadcast hint (the
+    # doc_pmi_collocations rule): AQE broadcasts while they fit and
+    # falls back to a key-shuffled join at web scale, where a forced
+    # broadcast would OOM the driver. Only the 1-row total broadcasts
+    # unconditionally.
+    j = c.join(fwd, "w1").join(bwd, "w2").crossJoin(F.broadcast(t))
     p_kn = (F.col("c") - F.lit(_KN_D)) / F.col("c1") + (
         F.lit(_KN_D) * F.col("nf") / F.col("c1")
     ) * (F.col("nb") * F.lit(1.0) / F.col("t"))
@@ -3021,9 +3041,11 @@ def tokenizer_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document zlib compression ratio + keep verdict
-    (0.25 ≤ ratio ≤ 0.95). Row-local pandas kernel over Arrow
-    batches; zero exchange — the 100 TB plan is scan → score.
+    """Per-document zlib compressibility CONTRACT (exact byte length +
+    worst-case-bound and losslessness booleans; the impl-defined
+    ratio/keep verdict is not emitted — see below). Row-local pandas
+    kernel over Arrow batches; zero exchange — the 100 TB plan is
+    scan → score.
 
     Upgraded rows-only → contract oracle (the r3 sketch-contract
     pattern): the compressed SIZE is zlib-implementation-defined, so
@@ -3048,8 +3070,6 @@ def doc_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             nb = enc.map(len)
             comp = enc.map(lambda b: zlib.compress(b, 6))
             nc = comp.map(len)
-            ratio = (nc / nb.where(nb > 0)).round(6)
-            keep = ratio.between(0.25, 0.95).fillna(False)  # noqa: F841 — kernel-internal verdict
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -3124,15 +3144,23 @@ def doc_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_testdata(spark, sf_dir, "documents").where(F.length("text") >= 3)
-    lt = F.lower(F.col("text"))
+
+    # LET-BIND lower(text) as a lambda variable (the doc_winnowing
+    # single-element-array discipline): interpreted lambdas get no
+    # CSE and CollapseProject can inline plain projections, so a bare
+    # lower() reference inside the position lambda would re-lowercase
+    # the document at every trigram position — O(len²) per doc.
+    def trigrams(lt):
+        return F.transform(
+            F.sequence(F.lit(1), F.length(lt) - 2),
+            lambda i: F.substr(lt, i, F.lit(3)),
+        )
+
     tg = docs.select(
         "doc_id",
         "lang",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length(lt) - 2),
-                lambda i: F.substr(lt, i, F.lit(3)),
-            )
+            F.get(F.transform(F.array(F.lower(F.col("text"))), trigrams), 0)
         ).alias("t"),
     )
     counts = tg.groupBy("lang", "t").agg(F.count("*").alias("c"))
@@ -3183,11 +3211,7 @@ def doc_lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t
     ), q AS (
       SELECT doc_id, source,
-             round(
-               0.4 * least(CAST(n_words AS DOUBLE) / 20.0, 1.0)
-               + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 1.0 END))
-               + 0.3 * least((CASE WHEN n_words > 0 THEN CAST(n_stop AS DOUBLE) / n_words ELSE 0.0 END) * 4.0, 1.0),
-             6) AS quality
+             {_sql_quality("n_words", "n_stop", "n_chars", "n_punct")} AS quality
       FROM m
     ), r AS (
       SELECT doc_id, source, quality,
@@ -3699,14 +3723,19 @@ def doc_filter_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s = F.aggregate(F.transform(ws, weight), F.lit(0.0), lambda a, x: a + x)
     pass_cls = F.when(n > 0, s >= 0.0).otherwise(F.lit(False))
-    # char entropy: counts per distinct char via HOFs on the sorted
-    # char array (same formulation as doc_char_entropy)
-    chars = F.split(lt, "")
-    n_chars = F.size(chars)
-    distinct_chars = F.array_distinct(chars)
-    probs = F.transform(
-        distinct_chars,
-        lambda ch: F.size(F.filter(chars, lambda c: c == ch)) / n_chars,
+    # char entropy: counts per distinct char via HOFs, with the split
+    # char array LET-BOUND (doc_char_entropy's fix — a bare reference
+    # inside the per-distinct-char lambda re-splits per character).
+    probs = F.get(
+        F.transform(
+            F.array(F.split(lt, "")),
+            lambda chars: F.transform(
+                F.array_distinct(chars),
+                lambda ch: F.size(F.filter(chars, lambda c: c == ch))
+                / F.size(chars),
+            ),
+        ),
+        0,
     )
     entropy = -F.aggregate(
         probs, F.lit(0.0), lambda a, p: a + p * F.log2(p)
@@ -3887,13 +3916,20 @@ def doc_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("phrase"),
         F.count("*").alias("plen"),
     )
-    members = seg2.join(phrases, ["doc_id", "phrase_id"])
+    # `members` feeds BOTH the word-stats aggregate and the scoring
+    # join; without materialization Catalyst re-expands the
+    # tokenize→posexplode→cumsum-window→phrase-agg subtree into each
+    # consumer (~4 corpus text passes in one plan — the
+    # pipeline_pretrain_mix lesson). Persist the joined members once
+    # and reuse it for scoring instead of rebuilding seg2⋈phrases.
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
+    members = tracked_persist(seg2.join(phrases, ["doc_id", "phrase_id"]))
     wstats = members.groupBy("w").agg(
         F.count("*").alias("freq"), F.sum("plen").alias("deg")
     )
     scored = (
-        seg2.join(phrases, ["doc_id", "phrase_id"])
-        .join(F.broadcast(wstats), "w")
+        members.join(F.broadcast(wstats), "w")
         .groupBy("doc_id", "phrase_id", "phrase")
         .agg(F.sum(F.col("deg") * 1.0 / F.col("freq")).alias("score"))
     )
@@ -4499,7 +4535,7 @@ def tokenizer_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS (
       SELECT doc_id, source,
-             (((list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(split(source, ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007) % {_SAMPLE_HASH_M})
+             ((({_sql_strhash('source')} % {_SAMPLE_HASH_M})
                 * {_SAMPLE_HASH_A}) % {_SAMPLE_HASH_M} >> 16) % 100 AS bucket
       FROM documents
     )
