@@ -20,6 +20,11 @@ from mapreduce_word2vec_spark.operators.dedup import (
     SIMHASH_BITS,
 )
 from mapreduce_word2vec_spark.plans.catalog import register
+
+# The split-hash formula is OWNED by text_queries (split_train_val_test
+# drives the Spark side from the same constants); interpolating it here
+# keeps this oracle in lockstep if the sampling constants are retuned.
+from mapreduce_word2vec_spark.plans.text_queries import _SAMPLE_BUCKET_SQL
 from mapreduce_word2vec_spark.sources.readers import read_testdata
 
 _SQL_TOKENS = r"""list_filter(regexp_split_to_array(lower(text), '\W+'), w -> regexp_matches(w, '^[a-z]+$'))"""
@@ -33,6 +38,30 @@ _SQL_SHINGLES = (
     "list_distinct(list_transform(range(1, len(ws) - 1), "
     "i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))"
 )
+
+# The exact-Jaccard >= 0.6 near-dup edge list over 3-token shingles —
+# the ONE definition every graph/cluster oracle composes (pagerank,
+# k-core, LPA, triangles, BFS, clusters, survivors, split-leakage's
+# pairs are the same derivation); a threshold or shingle change edits
+# exactly one place.
+_SQL_EDGES = f"""edges AS (
+      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
+      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      )
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
+    )"""
+
+# Banded-LSH band lists derived from the operator constants so a
+# re-tune updates every oracle with the Spark plans.
+_SQL_MINHASH_BAND_VALUES = ", ".join(f"({b})" for b in range(MINHASH_BANDS))
+_SQL_SIMHASH_BAND_VALUES = ", ".join(f"({b})" for b in range(SIMHASH_BITS // 8))
 
 
 @register(
@@ -108,7 +137,7 @@ _N_HASH = len(MINHASH_COEFFS)
     bands AS (
       SELECT doc_id, sig, band,
              sig[band * {_ROWS_PER_BAND} + 1 : band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}] AS key
-      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+      FROM sig CROSS JOIN (VALUES {_SQL_MINHASH_BAND_VALUES}) AS t(band)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -141,9 +170,16 @@ def _simhash_sql() -> str:
         f"THEN {1 << j} ELSE 0 END)"
         for j in range(SIMHASH_BITS)
     )
+    # len(ws) > 0 mirrors the Spark operator, which explodes tokens and
+    # therefore drops zero-token documents before signature aggregation;
+    # without the filter the oracle's list_sum([]) is NULL, every bit
+    # term folds to 0, and token-less docs band-match each other at
+    # sh = 0 — pairs the plan never produces (latent on non-Latin or
+    # all-punctuation corpora; the fixtures have none).
     return f"""
     toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
-    hsh AS (SELECT doc_id, list_transform(ws, w -> {strhash}) AS hh FROM toks),
+    hsh AS (SELECT doc_id, list_transform(ws, w -> {strhash}) AS hh
+            FROM toks WHERE len(ws) > 0),
     sim AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS sh FROM hsh)
     """
 
@@ -154,7 +190,7 @@ def _simhash_sql() -> str:
     WITH {_simhash_sql()},
     bands AS (
       SELECT doc_id, sh, band, (sh >> (band * 8)) & 255 AS key
-      FROM sim CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+      FROM sim CROSS JOIN (VALUES {_SQL_SIMHASH_BAND_VALUES}) AS t(band)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
@@ -269,22 +305,8 @@ def dedup_mllib_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Recursive-CTE connected components over the Jaccard >= 0.6 edge
 # list — shared by dedup_clusters and the cluster-size histogram.
-_CLUSTERS_CTE = """
-    WITH RECURSIVE edges AS (
-      WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                                               w -> regexp_matches(w, '^[a-z]+$')) AS ws FROM documents),
-      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS shingle FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id_a, id_b FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
-    ),
+_CLUSTERS_CTE = f"""
+    WITH RECURSIVE {_SQL_EDGES},
     sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
     reach(s, d) AS (
       SELECT s, d FROM sym
@@ -318,32 +340,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_survivors",
-    oracle="""
-    WITH RECURSIVE edges AS (
-      WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                                               w -> regexp_matches(w, '^[a-z]+$')) AS ws FROM documents),
-      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS shingle FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id_a, id_b FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
-    ),
-    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
-    reach(s, d) AS (
-      SELECT s, d FROM sym
-      UNION
-      SELECT r.s, e.d FROM reach r JOIN sym e ON r.d = e.s
-    ),
-    comp AS (SELECT s AS node, least(s, min(d)) AS component FROM reach GROUP BY s)
-    SELECT doc_id, lang, source FROM documents
-    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
-    """,
+    oracle=_CLUSTERS_CTE
+    + """SELECT doc_id, lang, source FROM documents
+    WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)""",
 )
 def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The operational output of near-dup removal: the corpus AFTER
@@ -414,8 +413,16 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction pass (emails, phone-shaped numbers → typed
-    placeholders) with per-document redaction counts — the corpus
-    cleaning step before training. Pure JVM regex, shuffle-free."""
+    placeholders) with per-document RAW-MATCH counts — the corpus
+    cleaning step before training. Pure JVM regex, shuffle-free.
+
+    n_emails/n_phones count pattern matches in the ORIGINAL text, not
+    replacements performed: redaction is sequential (email first), so
+    a phone-shaped string inside an email local part is consumed by
+    <EMAIL> yet still counts toward n_phones. Both engines agree (the
+    oracle counts the same way); consumers wanting
+    replacements-performed should diff placeholder occurrences in
+    `redacted` instead."""
     docs = read_testdata(spark, sf_dir, "documents")
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     phone = r"\d{3}[-.]\d{3,4}[-.]\d{4}"
@@ -484,19 +491,7 @@ def _pagerank_sql() -> str:
     CTEs — pr0 … pr5 — computing the same recurrence as
     operators.graph.pagerank."""
     edges = f"""
-    edges AS (
-      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
-      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id_a, id_b FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
-    ),
+    {_SQL_EDGES},
     sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
     deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
     n AS (SELECT count(*) AS n FROM deg),
@@ -505,7 +500,13 @@ def _pagerank_sql() -> str:
         f""",
     pr{k} AS (
       SELECT node,
-             (1.0 - {_PR_DAMPING}) / (SELECT n FROM n) + {_PR_DAMPING} * in_sum AS rank
+             -- teleport base in DOUBLE: a bare (1.0 - 0.85) is DECIMAL
+             -- in DuckDB (exact 0.15 -> double 0.1499999...944) while
+             -- the operator computes the Python double 1.0 - 0.85 =
+             -- 0.15000000000000002; the 2-ulp gap compounds over the
+             -- iterations and can flip a round(.,6) boundary.
+             (CAST(1.0 AS DOUBLE) - CAST({_PR_DAMPING} AS DOUBLE)) / (SELECT n FROM n)
+               + {_PR_DAMPING} * in_sum AS rank
       FROM (SELECT sym.d AS node, sum(pr.rank / deg.deg) AS in_sum
             FROM sym JOIN deg ON sym.s = deg.s
                      JOIN pr{k - 1} pr ON sym.s = pr.node
@@ -541,19 +542,7 @@ def _kcore_sql() -> str:
     symmetrized edges; each round keeps nodes of degree ≥ k and
     induces the subgraph on them."""
     edges = f"""
-    edges AS (
-      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
-      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id_a, id_b FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
-    ),
+    {_SQL_EDGES},
     g0 AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges)"""
     rounds = "".join(
         f""",
@@ -598,19 +587,7 @@ def _lpa_sql() -> str:
     chained CTEs (lp0 … lp3) — the same fixed-iteration contract as
     :func:`_pagerank_sql`."""
     edges = f"""
-    edges AS (
-      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
-      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id_a, id_b FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
-    ),
+    {_SQL_EDGES},
     sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
     lp0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)"""
     iters = "".join(
@@ -759,19 +736,7 @@ def _triangles_sql() -> str:
     """Triangle count oracle over the same exact-Jaccard edge CTE as
     PageRank/components."""
     edges = f"""
-    edges AS (
-      WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
-      sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id_a, id_b FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
-    ),
+    {_SQL_EDGES},
     tri AS (
       SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
       FROM edges e1 JOIN edges e2 ON e1.id_b = e2.id_a
@@ -842,7 +807,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       SELECT doc_id, sig, band,
              sig[band * {_ROWS_PER_BAND} + 1 : band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}] AS key
-      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+      FROM sig CROSS JOIN (VALUES {_SQL_MINHASH_BAND_VALUES}) AS t(band)
     ),
     lsh AS (
       SELECT id_a, id_b FROM (
@@ -883,9 +848,14 @@ def dedup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
+    from mapreduce_word2vec_spark.runtime import tracked_persist
+
     docs = read_testdata(spark, sf_dir, "documents")
-    exact = ngram_jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b")
-    lsh = minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    # Each pair table feeds TWO consumers (its own count + the hit
+    # join); persist so the shingle self-join and the banded bucket
+    # expansion run once, not twice (the dedup_lsh_param_sweep lesson).
+    exact = tracked_persist(ngram_jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b"))
+    lsh = tracked_persist(minhash_lsh_pairs(docs, threshold=0.5).select("id_a", "id_b"))
     hit = exact.join(lsh, ["id_a", "id_b"])
     return (
         exact.agg(F.count("*").alias("n_exact"))
@@ -945,11 +915,17 @@ def doc_contamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents")
     bench = F.array(*[F.lit(p) for p in _CONTAM_PHRASES])
-    gs = F.array_distinct(ngrams_expr(tokens_expr("text"), 3))
-    base = docs.select(
+    # Two-step projection (the shingles_expr lesson): referencing the
+    # tokenize+3-gram expression twice in one projection re-runs the
+    # whole interpreted pipeline per reference (~6 tokenizations/row).
+    grams = docs.select(
         "doc_id",
-        F.size(gs).cast("bigint").alias("n_grams"),
-        F.size(F.array_intersect(gs, bench)).cast("bigint").alias("n_hits"),
+        F.array_distinct(ngrams_expr(tokens_expr("text"), 3)).alias("gs"),
+    )
+    base = grams.select(
+        "doc_id",
+        F.size("gs").cast("bigint").alias("n_grams"),
+        F.size(F.array_intersect(F.col("gs"), bench)).cast("bigint").alias("n_hits"),
     )
     frac = F.when(
         F.col("n_grams") > 0, F.col("n_hits").cast("double") / F.col("n_grams")
@@ -1058,8 +1034,8 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     splits AS (
       SELECT doc_id,
-             CASE WHEN ((((doc_id % 4294967296) * 40503) % 4294967296 >> 16) % 100) < 80 THEN 'train'
-                  WHEN ((((doc_id % 4294967296) * 40503) % 4294967296 >> 16) % 100) < 90 THEN 'val'
+             CASE WHEN {_SAMPLE_BUCKET_SQL} < 80 THEN 'train'
+                  WHEN {_SAMPLE_BUCKET_SQL} < 90 THEN 'val'
                   ELSE 'test' END AS split
       FROM documents
     )
@@ -1468,11 +1444,17 @@ def dedup_prefix_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.functions.text import tokens_expr
 
     docs = read_testdata(spark, sf_dir, "documents")
-    ws = tokens_expr("text")
-    p = docs.select(
+    # Two-step projection: filtering on a fresh tokens_expr AFTER
+    # projecting text away makes the analyzer re-add text and run the
+    # regex tokenizer a second time per document — and after the md5
+    # work instead of before it.
+    toks = docs.select("doc_id", tokens_expr("text").alias("ws")).where(
+        F.size("ws") > 0
+    )
+    p = toks.select(
         "doc_id",
-        F.md5(F.array_join(F.slice(ws, 1, _PREFIX_W), " ")).alias("prefix_md5"),
-    ).where(F.size(ws) > 0)
+        F.md5(F.array_join(F.slice("ws", 1, _PREFIX_W), " ")).alias("prefix_md5"),
+    )
     return (
         p.groupBy("prefix_md5")
         .agg(
@@ -1502,11 +1484,11 @@ _BOUNDARY_K = 12  # fixture-tuned: long enough to be selective, short
     oracle=f"""
     WITH p AS (
       SELECT doc_id AS id_b, left(text, {_BOUNDARY_K}) AS key
-      FROM documents WHERE strlen(text) >= {_BOUNDARY_K}
+      FROM documents WHERE length(text) >= {_BOUNDARY_K}
     ),
     s AS (
       SELECT doc_id AS id_a, right(text, {_BOUNDARY_K}) AS key
-      FROM documents WHERE strlen(text) >= {_BOUNDARY_K}
+      FROM documents WHERE length(text) >= {_BOUNDARY_K}
     )
     SELECT DISTINCT id_a, id_b, key
     FROM s JOIN p USING (key) WHERE id_a <> id_b
@@ -1787,7 +1769,7 @@ _EDIT_HEAD = 160
     bands AS (
       SELECT doc_id, band,
              sig[band * {_ROWS_PER_BAND} + 1 : band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}] AS key
-      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+      FROM sig CROSS JOIN (VALUES {_SQL_MINHASH_BAND_VALUES}) AS t(band)
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1935,22 +1917,8 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_bfs_contamination",
-    oracle="""
-    WITH RECURSIVE edges AS (
-      WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\\W+'),
-                                               w -> regexp_matches(w, '^[a-z]+$')) AS ws FROM documents),
-      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 1),
-                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))) AS shingle FROM toks),
-      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-      shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-      )
-      SELECT id_a, id_b FROM shared
-      JOIN sizes sa ON id_a = sa.doc_id JOIN sizes sb ON id_b = sb.doc_id
-      WHERE shared * 1.0 / (sa.n_sh + sb.n_sh - shared) >= 0.6
-    ),
+    oracle=f"""
+    WITH RECURSIVE {_SQL_EDGES},
     sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
     bfs(node, hops) AS (
       SELECT doc_id AS node, 0 AS hops FROM documents WHERE doc_id % 50 = 0
@@ -1993,7 +1961,7 @@ def graph_bfs_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (
       SELECT doc_id, band,
              sig[band * {_ROWS_PER_BAND} + 1 : band * {_ROWS_PER_BAND} + {_ROWS_PER_BAND}] AS key
-      FROM sig CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(band)
+      FROM sig CROSS JOIN (VALUES {_SQL_MINHASH_BAND_VALUES}) AS t(band)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
