@@ -252,6 +252,15 @@ def knn_bruteforce_numpy(
     import numpy as np
 
     q_rows = queries.select(id_col, vec_col).collect()
+    if not q_rows:
+        # An empty query set must yield an empty result, not an
+        # AxisError from np.linalg.norm over a (0,)-shaped array —
+        # knn_bruteforce_blas_parity's empty-set contract ((0, true,
+        # true)) depends on this degenerate case returning cleanly.
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double"
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
     q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -356,4 +365,37 @@ def recall_contract(exact: DataFrame, approx: DataFrame, min_recall: float) -> D
             | (F.col("n_found") / F.col("n_exact") >= min_recall)
         ).alias("recall_ok"),
         (F.col("n_false") == 0).alias("precision_ok"),
+    )
+
+
+def label_centroids(
+    corpus: DataFrame, id_out: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector as ``(id_out, ce: array<double>)`` — the
+    coarse-quantizer centroid table every IVF/k-means query builds
+    (posexplode → per-dimension avg → pack in dimension order).
+
+    Components are ROUNDED to 6 dp, and the rounding is load-bearing:
+    ``F.avg`` is an order-dependent parallel float aggregation (DuckDB
+    parallelizes its avg too), so UNROUNDED centroids feeding
+    unquantized argmin/rank decisions are a latent cross-engine gate
+    flake — a near-tie between two centroid cosines can resolve
+    differently per partitioning. Quantizing both sides to the shared
+    6-dp grid (the oracle's ``_SQL_CENTROID`` rounds identically)
+    makes every downstream decision identical whenever the averages
+    agree to < 5e-7, which summation-order noise always satisfies.
+    Scale shape: one (label, pos) partial-aggregated exchange; the
+    output is |labels| rows — always broadcastable."""
+    pos = corpus.select(
+        "label", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+    )
+    return (
+        pos.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("mv"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
+        .select(
+            F.col("label").alias(id_out),
+            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
+        )
     )

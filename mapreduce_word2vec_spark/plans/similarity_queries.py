@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
+from mapreduce_word2vec_spark.operators.similarity import label_centroids
 from mapreduce_word2vec_spark.plans.catalog import register
 from mapreduce_word2vec_spark.sources.readers import read_testdata
 
@@ -137,14 +139,19 @@ def knn_bruteforce_blas_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Coalesce the folds so an empty query set yields (0, true, true)
     # matching the oracle's literals instead of NULL booleans (a
     # one-sided row makes max_diff NULL too — n_one_sided flags it).
+    # n_queries counts the ELIGIBLE query set like the oracle does —
+    # counting distinct query_id over the joined top-k rows would drop
+    # a query with zero candidates (single-vector corpus: the lone
+    # query has only itself, both top-5s are empty) and mismatch.
     row = j.agg(
-        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
         F.coalesce(
             F.sum(F.when(F.col("cb").isNull() | F.col("ce").isNull(), 1)), F.lit(0)
         ).alias("n_one_sided"),
         F.coalesce(F.max(F.abs(F.col("cb") - F.col("ce"))), F.lit(0.0)).alias(
             "max_diff"
         ),
+    ).crossJoin(
+        F.broadcast(queries_df.agg(F.count("*").cast("bigint").alias("n_queries")))
     )
     return row.select(
         "n_queries",
@@ -207,12 +214,16 @@ def brp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recall_contract(exact, brp, min_recall=0.85)
 
 
+# Components rounded to 6 dp in lockstep with the Spark
+# label_centroids helper: avg is an order-dependent parallel float
+# aggregation in BOTH engines, so unrounded centroids feeding
+# unquantized argmin/rank decisions are a latent cross-engine flake.
 _SQL_CENTROID = """
     cent AS (
       SELECT label,
              list(avg_v ORDER BY i) AS ce
       FROM (
-        SELECT label, i, avg(v) AS avg_v
+        SELECT label, i, round(avg(v), 6) AS avg_v
         FROM (
           SELECT label,
                  unnest(range(1, len(embedding) + 1)) AS i,
@@ -270,20 +281,7 @@ def knn_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = read_testdata(spark, sf_dir, "embeddings")
 
-    # centroids: element-wise mean per label (posexplode → avg → pack)
-    pos = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
-    )
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
-        .select(
-            F.col("label").alias("probe_label"),
-            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
-        )
-    )
+    cent = label_centroids(emb, id_out="probe_label")
 
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -375,9 +373,17 @@ def knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_kmeans_iter",
     oracle="""
-    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    WITH idx AS (
+      -- dimensionality derived from the data, not hard-coded: a
+      -- literal bound would silently truncate (embedding[i] beyond
+      -- the list is NULL and avg skips it) if the fixture dimension
+      -- ever changed.
+      SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i
+    ),
     seeds AS (
-      SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+      -- rounded like _SQL_CENTROID / label_centroids (see the
+      -- centroid-determinism note there)
+      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mv
       FROM embeddings CROSS JOIN idx
       GROUP BY label, i
     ),
@@ -416,20 +422,7 @@ def emb_kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
-        .select(
-            F.col("label").alias("cid"),
-            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
-        )
-    )
+    cent = label_centroids(emb, id_out="cid")
     sqd = F.aggregate(
         F.zip_with(
             F.col("embedding").cast("array<double>"),
@@ -582,15 +575,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qe")
     )
     ce = F.col("embedding").cast("array<double>")
-    dot = F.aggregate(
-        F.zip_with(ce, F.col("qe"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
-    )
-    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
     cos = (
         emb.crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(dot / (norm(F.col("qe")) * norm(ce)), 6).alias("cos"),
+            F.round(
+                dot_expr(ce, F.col("qe"))
+                / (norm_expr(F.col("qe")) * norm_expr(ce)),
+                6,
+            ).alias("cos"),
         )
         .orderBy(F.desc("cos"), "doc_id")
         .limit(_RRF_TOPN)
@@ -612,10 +605,15 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(1.0 / (_RRF_K + F.col("vec_rank")), F.lit(0.0))
         ).alias("rrf"),
     )
+    # Round BEFORE the top-10 cut: the oracle's ORDER BY rrf binds to
+    # its rounded SELECT alias (DuckDB alias resolution), and distinct
+    # rank pairs exist whose rrf sums differ by < 5e-7 — ordering the
+    # unrounded sum here could select a different 10-row set at the
+    # boundary.
     return (
-        fused.orderBy(F.desc("rrf"), "doc_id")
+        fused.withColumn("rrf", F.round("rrf", 6))
+        .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
-        .withColumn("rrf", F.round("rrf", 6))
     )
 
 
@@ -623,27 +621,28 @@ _PQ_SUBSPACES = 8   # 64-dim -> 8 sub-vectors of 8 dims
 _PQ_SUBDIM = 8
 _PQ_CODEBOOK = 4    # centroids per subspace (seed vectors vec_id < 4)
 
-
-@register(
-    "emb_pq_quantize",
-    oracle=f"""
-    WITH ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
+# Shared PQ oracle pipeline — sub-vector slices, per-subspace codebook,
+# squared distances, argmin codes — interpolated by emb_pq_quantize,
+# knn_pq_adc and knn_ivf_pq so the coding scheme has ONE SQL definition.
+_SQL_PQ_CODE = f"""ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
     sub AS (
       SELECT e.vec_id, ss.s,
              list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS v
       FROM embeddings e CROSS JOIN ss
     ),
-    cent AS (
+    -- pqcb, not cent: knn_ivf_pq composes this fragment NEXT TO
+    -- _SQL_CENTROID, whose CTE is already named cent
+    pqcb AS (
       SELECT e.vec_id AS cid, ss.s,
              list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS cv
       FROM embeddings e CROSS JOIN ss WHERE e.vec_id < {_PQ_CODEBOOK}
     ),
     d AS (
-      SELECT sub.vec_id, sub.s, cent.cid,
+      SELECT sub.vec_id, sub.s, pqcb.cid,
              list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
-               i -> (CAST(sub.v[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE))
-                  * (CAST(sub.v[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS sqd
-      FROM sub JOIN cent ON sub.s = cent.s
+               i -> (CAST(sub.v[i] AS DOUBLE) - CAST(pqcb.cv[i] AS DOUBLE))
+                  * (CAST(sub.v[i] AS DOUBLE) - CAST(pqcb.cv[i] AS DOUBLE)))) AS sqd
+      FROM sub JOIN pqcb ON sub.s = pqcb.s
     ),
     code AS (
       SELECT vec_id, s, cid FROM (
@@ -651,7 +650,61 @@ _PQ_CODEBOOK = 4    # centroids per subspace (seed vectors vec_id < 4)
                row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, cid) AS rn
         FROM d
       ) WHERE rn = 1
+    )"""
+
+
+def _pq_distances(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, s, cid, sqd) — squared distance of every vector's
+    sub-vector to every per-subspace codebook entry, the shared core
+    of emb_pq_quantize / knn_pq_adc / knn_ivf_pq (``_SQL_PQ_CODE``'s
+    Spark twin). Codebook is (subspaces × entries) rows, BROADCAST;
+    sub-vector extraction is a narrow slice."""
+    from pyspark.sql import functions as F
+
+    dbl = F.col("embedding").cast("array<double>")
+    ss = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("s"))
+    sub = emb.crossJoin(F.broadcast(ss)).select(
+        "vec_id", "s", F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
     )
+    cb = (
+        emb.where(F.col("vec_id") < _PQ_CODEBOOK)
+        .crossJoin(F.broadcast(ss))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "s",
+            F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("cv"),
+        )
+    )
+    sqd = F.aggregate(
+        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        sub.join(F.broadcast(cb), "s")
+        .withColumn("sqd", sqd)
+        .select("vec_id", "s", "cid", "sqd")
+    )
+
+
+def _pq_codes(d: DataFrame) -> DataFrame:
+    """Per-(vector, subspace) argmin codebook entry over
+    :func:`_pq_distances` output (deterministic (sqd, cid) tie-break)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("sqd"), F.asc("cid"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "s", "cid")
+    )
+
+
+@register(
+    "emb_pq_quantize",
+    oracle=f"""
+    WITH {_SQL_PQ_CODE}
     SELECT vec_id,
            array_to_string(list_transform(list(cid ORDER BY s),
                                           x -> CAST(x AS VARCHAR)), ',') AS codes_csv
@@ -670,35 +723,8 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus × 8 fanout. Training real codebooks = `emb_kmeans_iter`
     per subspace; distances against coded vectors are then table
     lookups instead of float dot products."""
-    from pyspark.sql import Window
-
     emb = read_testdata(spark, sf_dir, "embeddings")
-    dbl = F.col("embedding").cast("array<double>")
-    ss = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("s"))
-    sub = emb.crossJoin(F.broadcast(ss)).select(
-        "vec_id", "s", F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
-    )
-    cent = (
-        emb.where(F.col("vec_id") < _PQ_CODEBOOK)
-        .crossJoin(F.broadcast(ss))
-        .select(
-            F.col("vec_id").alias("cid"),
-            "s",
-            F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("cv"),
-        )
-    )
-    sqd = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("sqd"), F.asc("cid"))
-    code = (
-        sub.join(F.broadcast(cent), "s")
-        .withColumn("sqd", sqd)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-    )
+    code = _pq_codes(_pq_distances(spark, emb))
     return (
         code.groupBy("vec_id")
         .agg(F.array_sort(F.collect_list(F.struct("s", "cid"))).alias("sc"))
@@ -714,31 +740,7 @@ def emb_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "knn_pq_adc",
     oracle=f"""
-    WITH ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
-    sub AS (
-      SELECT e.vec_id, ss.s,
-             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS v
-      FROM embeddings e CROSS JOIN ss
-    ),
-    cent AS (
-      SELECT e.vec_id AS cid, ss.s,
-             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS cv
-      FROM embeddings e CROSS JOIN ss WHERE e.vec_id < {_PQ_CODEBOOK}
-    ),
-    d AS (
-      SELECT sub.vec_id, sub.s, cent.cid,
-             list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
-               i -> (CAST(sub.v[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE))
-                  * (CAST(sub.v[i] AS DOUBLE) - CAST(cent.cv[i] AS DOUBLE)))) AS sqd
-      FROM sub JOIN cent ON sub.s = cent.s
-    ),
-    code AS (
-      SELECT vec_id, s, cid FROM (
-        SELECT vec_id, s, cid,
-               row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, cid) AS rn
-        FROM d
-      ) WHERE rn = 1
-    ),
+    WITH {_SQL_PQ_CODE},
     lut AS (
       SELECT d.vec_id AS query_id, d.s, d.cid, d.sqd
       FROM d WHERE d.vec_id < 3
@@ -772,32 +774,8 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    dbl = F.col("embedding").cast("array<double>")
-    ss = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("s"))
-    sub = emb.crossJoin(F.broadcast(ss)).select(
-        "vec_id", "s", F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
-    )
-    cent = (
-        emb.where(F.col("vec_id") < _PQ_CODEBOOK)
-        .crossJoin(F.broadcast(ss))
-        .select(
-            F.col("vec_id").alias("cid"),
-            "s",
-            F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("cv"),
-        )
-    )
-    sqd = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    d = sub.join(F.broadcast(cent), "s").withColumn("sqd", sqd)
-    w_code = Window.partitionBy("vec_id", "s").orderBy(F.asc("sqd"), F.asc("cid"))
-    code = (
-        d.withColumn("rn", F.row_number().over(w_code))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "s", "cid")
-    )
+    d = _pq_distances(spark, emb)
+    code = _pq_codes(d)
     lut = d.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "s", "cid", "sqd"
     )
@@ -834,31 +812,7 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q CROSS JOIN cent
       ) WHERE rn = 1
     ),
-    ss AS (SELECT unnest(range(0, {_PQ_SUBSPACES})) AS s),
-    sub AS (
-      SELECT e.vec_id, ss.s,
-             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS v
-      FROM embeddings e CROSS JOIN ss
-    ),
-    cb AS (
-      SELECT e.vec_id AS cid, ss.s,
-             list_slice(e.embedding, ss.s * {_PQ_SUBDIM} + 1, (ss.s + 1) * {_PQ_SUBDIM}) AS cv
-      FROM embeddings e CROSS JOIN ss WHERE e.vec_id < {_PQ_CODEBOOK}
-    ),
-    d AS (
-      SELECT sub.vec_id, sub.s, cb.cid,
-             list_sum(list_transform(range(1, {_PQ_SUBDIM} + 1),
-               i -> (CAST(sub.v[i] AS DOUBLE) - CAST(cb.cv[i] AS DOUBLE))
-                  * (CAST(sub.v[i] AS DOUBLE) - CAST(cb.cv[i] AS DOUBLE)))) AS sqd
-      FROM sub JOIN cb ON sub.s = cb.s
-    ),
-    code AS (
-      SELECT vec_id, s, cid FROM (
-        SELECT vec_id, s, cid,
-               row_number() OVER (PARTITION BY vec_id, s ORDER BY sqd, cid) AS rn
-        FROM d
-      ) WHERE rn = 1
-    ),
+    {_SQL_PQ_CODE},
     lut AS (SELECT vec_id AS query_id, s, cid, sqd FROM d WHERE vec_id < 3),
     cand AS (
       SELECT qc.query_id, e.vec_id AS neighbor_id
@@ -899,17 +853,7 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = F.col("embedding").cast("array<double>")
 
     # --- IVF probe (as in knn_ivf_probe, queries vec_id < 3) ---
-    pos = emb.select("label", F.posexplode(dbl).alias("pos", "v"))
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
-        .select(
-            F.col("label").alias("probe_label"),
-            F.transform("pv", lambda x: x.getField("mv")).alias("ce"),
-        )
-    )
+    cent = label_centroids(emb, id_out="probe_label")
     q = emb.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -925,37 +869,18 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # --- PQ codes + query LUT (as in knn_pq_adc) ---
-    ss = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("s"))
-    sub = emb.crossJoin(F.broadcast(ss)).select(
-        "vec_id", "s", F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("v")
-    )
-    cb = (
-        emb.where(F.col("vec_id") < _PQ_CODEBOOK)
-        .crossJoin(F.broadcast(ss))
-        .select(
-            F.col("vec_id").alias("cid"),
-            "s",
-            F.slice(dbl, F.col("s") * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("cv"),
-        )
-    )
-    sqd = F.aggregate(
-        F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    d = sub.join(F.broadcast(cb), "s").withColumn("sqd", sqd)
-    w_code = Window.partitionBy("vec_id", "s").orderBy(F.asc("sqd"), F.asc("cid"))
-    code = (
-        d.withColumn("rn", F.row_number().over(w_code))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "s", "cid")
-    )
+    d = _pq_distances(spark, emb)
+    code = _pq_codes(d)
     lut = d.where(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "s", "cid", "sqd"
     )
 
     # --- candidates from the probed inverted list, ADC-scored ---
-    cand = probed.join(
+    # probed is |queries| rows but derived through a window over a
+    # crossJoin (unknown planner stats) — broadcast it like the
+    # knn_ivf_probe/knn_nprobe_sweep siblings so the corpus is never
+    # shuffled for the probe.
+    cand = F.broadcast(probed).join(
         emb.select("vec_id", "label"),
         probed.probe_label == F.col("label"),
     ).where(F.col("vec_id") != F.col("query_id")).select(
@@ -1032,13 +957,9 @@ def knn_matryoshka_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = base.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("cv"))
 
-    def dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-        )
-
-    def nrm(a):
-        return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    # shared sequential folds (functions.vectors) — one definition of
+    # the determinism-critical dot/norm shape repo-wide
+    dot, nrm = dot_expr, norm_expr
 
     qh, ch = F.slice(F.col("qv"), 1, 16), F.slice(F.col("cv"), 1, 16)
     s1 = (
@@ -1225,20 +1146,7 @@ def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
-        .select(
-            F.col("label").alias("clabel"),
-            F.transform("pv", lambda s: s["mv"]).alias("ce"),
-        )
-    )
+    cent = label_centroids(emb, id_out="clabel")
     v = emb.select(
         "vec_id",
         F.col("label").alias("native"),
@@ -1298,17 +1206,7 @@ def emb_residual_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.functions.vectors import dot_expr
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
-        .select("label", F.transform("pv", lambda s: s["mv"]).alias("ce"))
-    )
+    cent = label_centroids(emb)
     v = emb.select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("qe")
     )
@@ -1397,16 +1295,7 @@ def knn_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(F.col("vec_id").alias("neighbor_id"), subvecs("embedding").alias("ds"))
 
     def cos(qi, dj):
-        dot = F.aggregate(
-            F.zip_with(qi, dj, lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
-        )
-        nq = F.sqrt(
-            F.aggregate(F.transform(qi, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        )
-        nd = F.sqrt(
-            F.aggregate(F.transform(dj, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
-        )
-        return dot / (nq * nd)
+        return dot_expr(qi, dj) / (norm_expr(qi) * norm_expr(dj))
 
     maxsim = F.aggregate(
         F.col("qs"),
@@ -1547,7 +1436,7 @@ def knn_binary_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hrn", F.row_number().over(hw))
         .where(F.col("hrn") <= 20)
     )
-    from mapreduce_word2vec_spark.operators.similarity import dot_expr, norm_expr
+    from mapreduce_word2vec_spark.functions.vectors import dot_expr, norm_expr
 
     cos = dot_expr("qv", "cv") / (norm_expr("qv") * norm_expr("cv"))
     rw = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -1638,20 +1527,7 @@ def knn_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.runtime import tracked_persist
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
-        .select(
-            F.col("label").alias("probe_label"),
-            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
-        )
-    )
+    cent = label_centroids(emb, id_out="probe_label")
     q = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
