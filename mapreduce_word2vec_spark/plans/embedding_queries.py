@@ -148,14 +148,22 @@ def w2v_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents").select(F.col("text").alias("value"))
     sentences = sentences_df(docs)
-    model = train_word2vec(sentences, EngineConfig(layer_size=32))
-    top_word = (
+    top_row = (
         sentences.select(F.explode("tokens").alias("w"))
         .groupBy("w")
         .count()
         .orderBy(F.desc("count"), "w")
-        .first()["w"]
+        .first()
     )
+    if top_row is None:
+        # No valid tokens anywhere: there is no query word and no
+        # trainable corpus — return empty like an oracle over an empty
+        # token set would, instead of crashing on None["w"].
+        return spark.createDataFrame(
+            [], "query_word string, word string, similarity double"
+        )
+    top_word = top_row["w"]
+    model = train_word2vec(sentences, EngineConfig(layer_size=32))
     return model.findSynonyms(top_word, 5).select(
         F.lit(top_word).alias("query_word"),
         "word",
@@ -595,8 +603,9 @@ def _psi_bucket_sql(v: str) -> str:
     """,
 )
 def emb_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PSI drift per embedding dimension (first {8} dims) between the
-    low- and high-id corpus halves, fixed breakpoints, ε-smoothed."""
+    """PSI drift per embedding dimension (the first _PSI_DIMS = 8 dims)
+    between the low- and high-id corpus halves, fixed breakpoints,
+    ε-smoothed."""
     emb = read_testdata(spark, sf_dir, "embeddings")
     half_pt = emb.agg(
         F.floor((F.max("vec_id") + 1) / 2).cast("bigint").alias("h")
@@ -688,6 +697,11 @@ def _moment_partials(df: DataFrame, mu=None, w=None) -> "list[float]":
         .agg(F.sum("v").alias("s"))
         .collect()
     )
+    if not reduced:
+        # Empty table: no partials were ever emitted. Surface it as a
+        # defined empty stats vector (n = 0) rather than a bare
+        # max()-of-empty ValueError — callers must branch on n == 0.
+        return np.zeros(1)
     out = np.zeros(max(r["i"] for r in reduced) + 1)
     for r in reduced:
         out[r["i"]] = r["s"]
@@ -716,6 +730,15 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     stats = _moment_partials(emb)
     n = stats[0]
+    schema = (
+        "n bigint, n_dims bigint, mean_ok boolean, diag_ok boolean, "
+        "offdiag_ok boolean"
+    )
+    if n == 0:
+        # Empty corpus: the whitening contract is vacuous — match the
+        # oracle's (0, 0, TRUE, TRUE, TRUE) instead of crashing on
+        # empty-array reductions.
+        return spark.createDataFrame([(0, 0, True, True, True)], schema)
     # len(stats) = 1 + d + d² → d is the positive root of d² + d = len-1
     d = int(round(((4 * (len(stats) - 1) + 1) ** 0.5 - 1) / 2))
     mu = stats[1 : 1 + d] / n
@@ -737,8 +760,7 @@ def emb_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bool(np.abs(off).max() < 1e-6),
             )
         ],
-        "n bigint, n_dims bigint, mean_ok boolean, diag_ok boolean, "
-        "offdiag_ok boolean",
+        schema,
     )
 
 
@@ -813,7 +835,10 @@ def emb_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_pca_explained_variance",
     oracle="""
-    WITH idx AS (SELECT unnest(range(0, 64)) AS pos),
+    WITH idx AS (
+      -- dimensionality from the data (empty corpus -> zero rows)
+      SELECT unnest(range(0, (SELECT coalesce(max(len(embedding)), 0) FROM embeddings))) AS pos
+    ),
     tr AS (
       SELECT round(sum(v), 4) AS trace FROM (
         SELECT var_pop(CAST(embedding[pos + 1] AS DOUBLE)) AS v
@@ -844,33 +869,28 @@ def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_testdata(spark, sf_dir, "embeddings")
     stats = _moment_partials(emb)
     n = stats[0]
+    schema = "pos int, trace double, ratio_ok boolean, order_ok boolean, sum_ok boolean"
+    if n == 0:
+        # Empty corpus: the derived-dims oracle emits zero rows too.
+        return spark.createDataFrame([], schema)
     d = int(round(((4 * (len(stats) - 1) + 1) ** 0.5 - 1) / 2))
     mu = stats[1 : 1 + d] / n
     cov = stats[1 + d :].reshape(d, d) / n - np.outer(mu, mu)
     vals = np.linalg.eigh(cov)[0][::-1]  # descending
     trace = float(np.trace(cov))
     ratios = vals / trace
+    sum_ok = bool(abs(float(vals.sum()) - trace) <= 1e-9 * abs(trace))
     rows = [
         (
             int(k),
-            float(vals[k]),
-            float(ratios[k]),
+            round(trace, 4),
             bool(-1e-12 <= ratios[k] <= 1.0 + 1e-12),
             bool(k == 0 or vals[k] <= vals[k - 1] + 1e-12),
+            sum_ok,
         )
         for k in range(d)
     ]
-    sum_ok = bool(abs(float(vals.sum()) - trace) <= 1e-9 * abs(trace))
-    df = spark.createDataFrame(
-        rows, "pos int, eig double, ratio double, ratio_ok boolean, order_ok boolean"
-    )
-    return df.select(
-        "pos",
-        F.lit(round(trace, 4)).alias("trace"),
-        "ratio_ok",
-        "order_ok",
-        F.lit(sum_ok).alias("sum_ok"),
-    )
+    return spark.createDataFrame(rows, schema)
 
 
 # --- clustering purity evaluation ------------------------------------------
@@ -886,9 +906,16 @@ def emb_pca_explained_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_cluster_purity",
     oracle="""
-    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    WITH idx AS (
+      -- dimensionality from the data (the emb_kmeans_iter rule): a
+      -- hard-coded bound silently truncates stats if the fixture
+      -- dimension ever changes
+      SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i
+    ),
     seeds AS (
-      SELECT label, i, avg(CAST(embedding[i] AS DOUBLE)) AS mv
+      -- rounded like _SQL_CENTROID/label_centroids: unrounded avg
+      -- centroids feeding an argmin are a latent cross-engine flake
+      SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mv
       FROM embeddings CROSS JOIN idx
       GROUP BY label, i
     ),
@@ -927,21 +954,10 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     member counts, and the majority fraction."""
     from pyspark.sql import Window
 
+    from mapreduce_word2vec_spark.operators.similarity import label_centroids
+
     emb = read_testdata(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
-    )
-    cent = (
-        pos.groupBy("label", "pos")
-        .agg(F.avg("v").alias("mv"))
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
-        .select(
-            F.col("label").alias("cid"),
-            F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
-        )
-    )
+    cent = label_centroids(emb, id_out="cid")
     sqd = F.aggregate(
         F.zip_with(
             F.col("embedding").cast("array<double>"),
@@ -995,7 +1011,10 @@ def emb_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "emb_ood_mahalanobis",
     oracle="""
-    WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+    WITH idx AS (
+      -- dimensionality from the data (the emb_kmeans_iter rule)
+      SELECT unnest(range(1, (SELECT max(len(embedding)) FROM embeddings) + 1)) AS i
+    ),
     stats AS (
       SELECT label, i,
              avg(CAST(embedding[i] AS DOUBLE)) AS mu,
@@ -1112,14 +1131,23 @@ def w2v_synonyms_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_testdata(spark, sf_dir, "documents").select(F.col("text").alias("value"))
     sentences = sentences_df(docs)
-    model = train_word2vec(sentences, EngineConfig(layer_size=32))
-    top_word = (
+    top_row = (
         sentences.select(F.explode("tokens").alias("w"))
         .groupBy("w")
         .count()
         .orderBy(F.desc("count"), "w")
-        .first()["w"]
+        .first()
     )
+    if top_row is None:
+        # No valid tokens: the oracle's top CTE is empty and yields
+        # zero rows — match it instead of crashing on None["w"].
+        return spark.createDataFrame(
+            [],
+            "query_word string, n_synonyms bigint, no_self boolean, "
+            "all_in_vocab boolean, sims_bounded boolean, topk_consistent boolean",
+        )
+    top_word = top_row["w"]
+    model = train_word2vec(sentences, EngineConfig(layer_size=32))
     syn = model.findSynonyms(top_word, 5).select(
         "word", F.col("similarity").cast("double").alias("sim")
     )
@@ -1280,13 +1308,21 @@ def doc_embedding_knn_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn_bruteforce(emb, emb.where(F.col("doc_id") < 5), k=3, id_col="doc_id")
 
     per_query = out.groupBy("query_id").agg(F.count("*").alias("nk"))
+    # n_queries counts the ELIGIBLE query documents like the oracle —
+    # deriving it from the kNN output would undercount when a query
+    # has zero candidates (single-eligible-document corpus).
     k_ok = per_query.crossJoin(
         F.broadcast(sentences.agg((F.count("*") - 1).alias("max_k")))
     ).agg(
         F.coalesce(
             F.min(F.col("nk") == F.least(F.lit(3), F.col("max_k"))), F.lit(True)
         ).alias("k_ok"),
-        F.count("*").cast("bigint").alias("n_queries"),
+    ).crossJoin(
+        F.broadcast(
+            sentences.where(F.col("doc_id") < 5).agg(
+                F.count("*").cast("bigint").alias("n_queries")
+            )
+        )
     )
     invalid = (
         out.select(F.col("neighbor_id").alias("doc_id"))
