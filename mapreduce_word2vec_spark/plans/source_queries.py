@@ -218,7 +218,10 @@ def source_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     line = F.concat_ws(
         ",",
         key,
-        F.regexp_replace(F.col("s_name"), "[,\n]", " "),
+        # \r would split one record into two at read time (univocity
+        # treats lone \r as a terminator) and a quote would open an
+        # unterminated quoted field swallowing following lines
+        F.regexp_replace(F.col("s_name"), "[,\n\r\"]", " "),
         F.col("s_nationkey").cast("string"),
         F.col("s_acctbal").cast("string"),
     )
@@ -501,6 +504,10 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.format("xml")
         .option("rowTag", "supplier")
+        # default ignoreSurroundingSpaces=true would trim names on
+        # read-back, silently breaking the lossless-round-trip claim
+        # for values with leading/trailing whitespace
+        .option("ignoreSurroundingSpaces", "false")
         .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
         .load(path)
     )
@@ -622,8 +629,6 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = the same closed form over the whole range: streaming
     accumulation across batches must equal the one-shot evaluation
     (sf_dir unused: the source IS the data)."""
-    import os
-    import tempfile
 
     from mapreduce_word2vec_spark.sources.python_datasource import (
         register_sensor_source,
@@ -718,9 +723,6 @@ def source_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaf (asserted in tests/test_plans.py). At 100 TB nested pruning
     is the difference between reading a 5% column and the whole
     struct blob."""
-    import os
-    import tempfile
-
     nation = read_testdata(spark, sf_dir, "nation")
     nested = nation.select(
         "n_nationkey",
@@ -733,8 +735,7 @@ def source_nested_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stats"),
         ).alias("payload"),
     )
-    base = tempfile.mkdtemp(prefix="mw2v_nest_")
-    path = os.path.join(base, "nation_nested")
+    path = _roundtrip_dir("nation_nested", sf_dir)
     nested.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)
     return back.select(
@@ -758,11 +759,8 @@ def source_compression_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     read each back, verify row count + key checksum survive every
     codec. (Sizes differ per codec and are env-dependent, so the
     oracle checks content, not bytes.)"""
-    import os
-    import tempfile
-
     nation = read_testdata(spark, sf_dir, "nation")
-    base = tempfile.mkdtemp(prefix="mw2v_codec_")
+    base = _roundtrip_dir("codec", sf_dir)
     outs = []
     for codec in ("gzip", "snappy", "zstd"):
         path = os.path.join(base, codec)
@@ -851,7 +849,6 @@ def source_insert_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFra
     genuinely exercised. The conf is set per-write via the DataFrameWriter
     option, not session-wide, so concurrent writers keep their own
     semantics."""
-    import os
 
     docs = read_testdata(spark, sf_dir, "documents").select(
         "lang", "doc_id", "n_chars"
@@ -898,7 +895,6 @@ def source_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the wrong file) hash-mismatches. The column is populated at
     scan time from the split, not stored — zero storage cost, and
     selecting it does not widen the parquet read schema."""
-    import os
 
     docs = read_testdata(spark, sf_dir, "documents").select(
         "doc_id", "n_chars"
@@ -1041,9 +1037,7 @@ def source_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "\n",
             ).alias("value"),
-            F.count("*").alias("n_docs"),
         )
-        .select("s", "value")
         .write.partitionBy("s")
         .mode("overwrite")
         .text(path)
@@ -1052,8 +1046,11 @@ def source_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         path, wholetext=True
     )
     # the text writer terminates the (single) row with one newline —
-    # strip it so char totals compare against the document lengths
-    content = F.regexp_replace("value", "\n$", "")
+    # strip it so char totals compare against the document lengths.
+    # \z, not $: Java's default-mode $ also matches before a FINAL
+    # line terminator, so "...\n\n" (empty last doc) would lose two
+    # newlines and undercount chars/docs by one.
+    content = F.regexp_replace("value", "\\n\\z", "")
     rows = back.where(F.length("value") > 0).select(content.alias("content"))
     return rows.agg(
         F.count("*").cast("bigint").alias("n_files"),
