@@ -44,9 +44,12 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# coalesce+greatest make the empty payload an all-zero histogram like
+# the kernel's `total = len(payload) or 1` (DuckDB split('', '') is
+# [''] with ascii 0, which would otherwise count one phantom NUL byte)
 _HIST_TERMS = ", ".join(
-    f"round(list_sum(list_transform(cs, c -> CASE WHEN c % {N_HIST_BINS} = {i} "
-    f"THEN 1.0 ELSE 0.0 END)) / len(cs), 6)"
+    f"round(coalesce(list_sum(list_transform(cs, c -> CASE WHEN c % {N_HIST_BINS} = {i} "
+    f"THEN 1.0 ELSE 0.0 END)), 0.0) / greatest(len(cs), 1), 6)"
     for i in range(N_HIST_BINS)
 )
 
@@ -55,7 +58,9 @@ _HIST_TERMS = ", ".join(
     "multimodal_decode",
     oracle=f"""
     WITH c AS (
-      SELECT doc_id, list_transform(split(text, ''), ch -> ascii(ch)) AS cs
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN []::BIGINT[]
+                  ELSE list_transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) END AS cs
       FROM documents
     ),
     f AS (
@@ -92,11 +97,10 @@ _FRAME_HASH = (
     "(a, b) -> (a * 31 + b) % 1000000007)"
 )
 
-
-@register(
-    "multimodal_frames",
-    oracle=f"""
-    WITH p AS (
+# 4-frame slicing of the synthetic "video" payload — ONE definition
+# shared by multimodal_frames and multimodal_scene_cuts (a drifted
+# copy is how scene_cuts' empty-frame handling diverged).
+_SQL_FRAME_CHUNKS = """p AS (
       SELECT doc_id, text,
              greatest(1, length(text) // 4) AS step
       FROM documents
@@ -108,7 +112,14 @@ _FRAME_HASH = (
       SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
              substring(text, CAST(frame_idx * step + 1 AS INT), CAST(step AS INT)) AS chunk
       FROM f
-    )
+    )"""
+
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+    WITH {_SQL_FRAME_CHUNKS}
     SELECT doc_id, frame_idx,
            {_FRAME_HASH} AS frame_hash,
            CAST(length(chunk) AS BIGINT) AS frame_bytes
@@ -204,7 +215,11 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_dedup_phash",
     oracle=f"""
     WITH c AS (
-      SELECT doc_id, list_transform(split(text, ''), ch -> ascii(ch)) AS cs
+      -- empty text must hash to 0 like the kernel (split('','') is
+      -- [''] with ascii 0, which would set bit 0 via 1*16 > 1)
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN []::BIGINT[]
+                  ELSE list_transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT)) END AS cs
       FROM documents
     ),
     sig AS (
@@ -320,7 +335,7 @@ def multimodal_shard_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     h AS (SELECT doc_id, sha256(text) AS content_hash FROM ingested)
     SELECT content_hash,
            CAST(count(*) AS BIGINT) AS n_docs,
-           array_to_string(list_transform(list_sort(list(doc_id)),
+           array_to_string(list_transform((list_sort(list(doc_id)))[1:20],
                                           x -> CAST(x AS VARCHAR)), ',') AS doc_ids_csv
     FROM h GROUP BY content_hash HAVING count(*) >= 2
     """,
@@ -343,14 +358,29 @@ def multimodal_payload_hash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     reingested = docs.where(F.col("doc_id") % 7 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
+    from pyspark.sql import Window
+
     media = attach_media_expr(docs.unionByName(reingested))
     h = media.select(
         "doc_id", F.sha2(F.col("payload"), 256).alias("content_hash")
     )
+    # Cap the posting list at 20 via a pre-aggregation window rank
+    # (the doc_inverted_index / multimodal_dedup_phash pattern): real
+    # media crawls are full of byte-identical boilerplate payloads,
+    # and an uncapped collect_list is the classic skewed-group OOM.
+    ranked = h.select(
+        "doc_id",
+        "content_hash",
+        F.count("*").over(Window.partitionBy("content_hash")).alias("n_all"),
+        F.row_number()
+        .over(Window.partitionBy("content_hash").orderBy("doc_id"))
+        .alias("rn"),
+    )
     return (
-        h.groupBy("content_hash")
+        ranked.where(F.col("rn") <= 20)
+        .groupBy("content_hash")
         .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("n_all").cast("bigint").alias("n_docs"),
             F.array_join(
                 F.transform(
                     F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
@@ -454,22 +484,16 @@ _SCENE_CUT_DELTA = 2.0
 @register(
     "multimodal_scene_cuts",
     oracle=f"""
-    WITH p AS (
-      SELECT doc_id, text, greatest(1, length(text) // 4) AS step
-      FROM documents
-    ),
-    f AS (SELECT doc_id, text, step, unnest(range(0, 4)) AS frame_idx FROM p),
-    c AS (
-      SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-             list_transform(split(substring(text, CAST(frame_idx * step + 1 AS INT),
-                                            CAST(step AS INT)), ''),
-                            ch -> ascii(ch)) AS cs
-      FROM f
-    ),
+    WITH {_SQL_FRAME_CHUNKS},
     lum AS (
+      -- filter on the CHUNK length like the Spark side: split('','')
+      -- is [''] (len 1, ascii 0), so len(cs) > 0 never excluded the
+      -- empty padding frames of a sub-4-char document and the oracle
+      -- reported spurious luma-0 rows and phantom scene cuts
       SELECT doc_id, frame_idx,
-             CAST(list_sum(cs) AS DOUBLE) / len(cs) AS luma
-      FROM c WHERE len(cs) > 0
+             CAST(list_sum(list_transform(split(chunk, ''), ch -> ascii(ch))) AS DOUBLE)
+               / length(chunk) AS luma
+      FROM c WHERE length(chunk) > 0
     ),
     d AS (
       SELECT doc_id, frame_idx, luma,
@@ -726,7 +750,14 @@ def multimodal_vit_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nx = F.floor(F.col("width") / _VIT_P).cast("int")
     ny = F.floor(F.col("height") / _VIT_P).cast("int")
-    g = m.select("doc_id", "width", nx.alias("nx"), ny.alias("ny"))
+    # drop too-small images BEFORE the explode: F.sequence(0, -1)
+    # yields the DESCENDING [0, -1] (Spark's default step flips sign),
+    # which would emit two bogus patch rows where the oracle's
+    # range(0, 0) emits none (unreachable at the current 64px metadata
+    # floor, but a _VIT_P bump must not silently change that).
+    g = m.select("doc_id", "width", nx.alias("nx"), ny.alias("ny")).where(
+        (F.col("nx") > 0) & (F.col("ny") > 0)
+    )
     i = F.col("i")
     return g.select(
         "doc_id",

@@ -102,3 +102,53 @@ def test_changepoint_cusum_no_purchases_edge(tmp_path, spark):
     sf = _crafted_sf_dir(tmp_path, spark, rows)
     out = _run(spark, sf, "events_changepoint_cusum")
     assert out.count() == 0
+
+
+def _crafted_docs_dir(tmp_path, rows):
+    """sf-dir with crafted documents rows (the events twin above)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf_docs_edge"
+    d.mkdir()
+    for t in os.listdir(SF_SMOKE):
+        if t != "documents.parquet":
+            os.symlink(os.path.join(SF_SMOKE, t), d / t)
+    df = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int32()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(df, schema=schema), d / "documents.parquet")
+    return str(d)
+
+
+def test_multimodal_degenerate_payloads(tmp_path, spark):
+    """Empty and sub-4-char payloads — the review-confirmed class
+    where DuckDB's split('', '') == [''] (a phantom NUL byte) diverged
+    from the Python kernels: the decode histogram must be all-zero for
+    an empty payload, the pHash must be 0, and scene cuts must not
+    fire on empty padding frames."""
+    rows = [
+        (0, "", "en", "src0", 0),
+        (1, "ab", "en", "src0", 2),
+        (2, "abc", "en", "src0", 3),
+        (3, "abc", "en", "src0", 3),
+        (4, "a decent length document body for contrast here", "en", "src0", 48),
+    ]
+    sf = _crafted_docs_dir(tmp_path, rows)
+    for name in (
+        "multimodal_decode",
+        "multimodal_dedup_phash",
+        "multimodal_scene_cuts",
+        "multimodal_frames",
+    ):
+        _run(spark, sf, name)
