@@ -439,25 +439,25 @@ def mllib_minhash_pairs(
         .select(F.col("id"), F.array_distinct(ngrams_expr(F.col("_ws"), 3)).alias("sh"))
         .where(F.size("sh") > 0)
     )
+    # vocabSize is a +1 SENTINEL above the declared budget: fit keeps
+    # the top-vocabSize shingles, so len(vocabulary) > BUDGET proves
+    # actual truncation while a corpus with exactly BUDGET distinct
+    # shingles still passes (len == BUDGET <= BUDGET). Truncation would
+    # silently break vector-Jaccard ≡ set-Jaccard; the driver-side
+    # len() check costs nothing, unlike a distinct-count corpus scan.
     cv = CountVectorizer(
         inputCol="sh",
         outputCol="features",
         binary=True,
-        vocabSize=MLLIB_MINHASH_VOCAB,
+        vocabSize=MLLIB_MINHASH_VOCAB + 1,
     )
     model = cv.fit(sh)
-    # A vocabulary AT the cap may have been truncated (fit keeps the
-    # top-vocabSize shingles and len() can't distinguish "exactly full"
-    # from "clipped"), which would silently break vector-Jaccard ≡
-    # set-Jaccard. len(vocabulary) is a driver-side list fit already
-    # collected — this guard costs nothing, unlike a distinct-count
-    # scan of the corpus.
-    if len(model.vocabulary) >= MLLIB_MINHASH_VOCAB:
+    if len(model.vocabulary) > MLLIB_MINHASH_VOCAB:
         raise RuntimeError(
-            f"CountVectorizer vocabulary hit its {MLLIB_MINHASH_VOCAB} cap; "
-            "rare shingles may have been dropped and vector Jaccard no "
-            "longer equals set Jaccard — use the fixed-constant "
-            "minhash_lsh_pairs path at this corpus size"
+            f"more than {MLLIB_MINHASH_VOCAB} distinct shingles; rare ones "
+            "would be dropped and vector Jaccard would no longer equal set "
+            "Jaccard — use the fixed-constant minhash_lsh_pairs path at "
+            "this corpus size"
         )
     feats = model.transform(sh)
     mh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42)

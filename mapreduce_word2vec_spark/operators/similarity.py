@@ -181,10 +181,21 @@ def euclidean_pairs_blocked(
     )
 
 
+_KNN_SCHEMA = "query_id long, neighbor_id long, cos double"
+
+
 def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k by (cos DESC, neighbor_id ASC). UNDEFINED cosines (NULL
+    from a zero-norm vector's 0/0) are excluded — without the filter
+    they'd pad the top-k whenever a query has fewer than k scoreable
+    candidates, and the numpy path's NaN twin would sort FIRST under
+    Spark's desc ordering (NaN > any double) instead of last."""
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= k).drop("rn")
+        scored.where(F.col("cos").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
     )
 
 
@@ -258,12 +269,19 @@ def knn_bruteforce_numpy(
         # knn_bruteforce_blas_parity's empty-set contract ((0, true,
         # true)) depends on this degenerate case returning cleanly.
         spark = corpus.sparkSession
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double"
-        )
+        return spark.createDataFrame([], _KNN_SCHEMA)
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    # Zero-norm queries have no defined cosine to anything — drop them
+    # up front (matching _topk's NULL-cos exclusion on the expression
+    # path) instead of letting 0/0 NaNs poison the GEMM.
+    q_nrm = np.linalg.norm(q_mat, axis=1, keepdims=True)
+    keep_q = q_nrm[:, 0] > 0
+    q_ids, q_mat, q_nrm = q_ids[keep_q], q_mat[keep_q], q_nrm[keep_q]
+    if len(q_ids) == 0:
+        spark = corpus.sparkSession
+        return spark.createDataFrame([], _KNN_SCHEMA)
+    q_norm = q_mat / q_nrm
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -271,7 +289,11 @@ def knn_bruteforce_numpy(
                 continue
             c_ids = pdf[id_col].to_numpy(dtype=np.int64)
             c_mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_nrm = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            keep_c = c_nrm[:, 0] > 0  # undefined cosine -> excluded
+            if not keep_c.any():
+                continue
+            c_ids, c_mat = c_ids[keep_c], c_mat[keep_c] / c_nrm[keep_c]
             sims = c_mat @ q_norm.T  # (batch, Q)
             for qi in range(len(q_ids)):
                 col = sims[:, qi]
@@ -299,7 +321,7 @@ def knn_bruteforce_numpy(
                 )
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(
-        score_batches, schema="query_id long, neighbor_id long, cos double"
+        score_batches, schema=_KNN_SCHEMA
     )
     return _topk(candidates, k)
 
@@ -369,7 +391,10 @@ def recall_contract(exact: DataFrame, approx: DataFrame, min_recall: float) -> D
 
 
 def label_centroids(
-    corpus: DataFrame, id_out: str = "label", vec_col: str = "embedding"
+    corpus: DataFrame,
+    id_out: str = "label",
+    vec_col: str = "embedding",
+    label_col: str = "label",
 ) -> DataFrame:
     """Per-label mean vector as ``(id_out, ce: array<double>)`` — the
     coarse-quantizer centroid table every IVF/k-means query builds
@@ -382,20 +407,27 @@ def label_centroids(
     flake — a near-tie between two centroid cosines can resolve
     differently per partitioning. Quantizing both sides to the shared
     6-dp grid (the oracle's ``_SQL_CENTROID`` rounds identically)
-    makes every downstream decision identical whenever the averages
-    agree to < 5e-7, which summation-order noise always satisfies.
+    narrows the disagreement window from "any ulp-level near-tie"
+    to "average within noise of a half-grid point" — roughly a 1e-10
+    relative measure instead of a certainty whenever ties occur. (Not
+    a full closure: the two engines' rounding algorithms also differ
+    at exact boundaries — Spark rounds the shortest decimal repr
+    HALF_UP, DuckDB multiplies and rounds the binary double — but
+    both residual classes need the true average to sit within ~1e-15
+    of a 5e-7 grid boundary.)
     Scale shape: one (label, pos) partial-aggregated exchange; the
     output is |labels| rows — always broadcastable."""
     pos = corpus.select(
-        "label", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
     )
     return (
-        pos.groupBy("label", "pos")
+        pos.groupBy("_lbl", "pos")
         .agg(F.round(F.avg("v"), 6).alias("mv"))
-        .groupBy("label")
+        .groupBy("_lbl")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "mv"))).alias("pv"))
         .select(
-            F.col("label").alias(id_out),
+            F.col("_lbl").alias(id_out),
             F.transform("pv", lambda s: s.getField("mv")).alias("ce"),
         )
     )

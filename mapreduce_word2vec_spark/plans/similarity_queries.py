@@ -38,7 +38,7 @@ _SQL_NORM_C = "sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x 
          r AS (
            SELECT query_id, neighbor_id, cos,
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
-           FROM s
+           FROM s WHERE cos IS NOT NULL
          )
     SELECT query_id, neighbor_id, round(cos, 6) AS cos FROM r WHERE rn <= 5
     """,
