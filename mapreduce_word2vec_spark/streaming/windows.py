@@ -99,14 +99,21 @@ def session_counts_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 def session_counts_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Stream sessionization with Spark's native session_window
-    (merging windows + watermark state eviction)."""
+    (merging windows + watermark state eviction).
+
+    ``session_window.end`` is GAP-EXTENDED (last event ts + gap); the
+    gap is subtracted back so ``session_end`` means "last event time"
+    exactly like :func:`session_counts_batch` — the two forms share a
+    schema and must agree value-for-value."""
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 6).alias("sum_value"))
         .select(
             "user_id",
             F.date_trunc("second", F.col("w.start")).alias("session_start"),
-            F.date_trunc("second", F.col("w.end")).alias("session_end"),
+            F.date_trunc(
+                "second", F.col("w.end") - F.expr(f"INTERVAL {gap}")
+            ).alias("session_end"),
             "n_events",
             "sum_value",
         )
@@ -220,16 +227,20 @@ def stateful_keep_last(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        if state.exists:
-            best_ts, best_id, best_val = state.get
-        else:
-            best_ts, best_id, best_val = -1, -1, 0.0
+        # best=None, NOT a (-1, -1) sentinel: a pre-epoch timestamp
+        # (negative micros — zeroed/corrupt CDC artifacts) would never
+        # beat the sentinel and the operator would emit a fabricated
+        # (-1, -1, 0.0) row while dropping the real event.
+        best = tuple(state.get) if state.exists else None
         for pdf in batches:
             for ts, eid, val in zip(pdf["ts"], pdf["event_id"], pdf["value"]):
                 tsm = int(ts.value // 1_000)  # pandas ns -> micros
-                if (tsm, int(eid)) > (best_ts, best_id):
-                    best_ts, best_id, best_val = tsm, int(eid), float(val)
-        state.update((best_ts, best_id, best_val))
+                if best is None or (tsm, int(eid)) > (best[0], best[1]):
+                    best = (tsm, int(eid), float(val))
+        if best is None:  # unreachable under NoTimeout; defensive
+            return
+        best_ts, best_id, best_val = best
+        state.update(best)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
@@ -267,7 +278,6 @@ def stateful_running_counts_tws(events: DataFrame) -> DataFrame:
         raise ImportError(
             "transformWithStateInPandas needs the python protobuf package"
         ) from e
-    import pandas as pd  # noqa: F811
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -304,7 +314,6 @@ _CEP_STATE_SCHEMA = "us array<long>, eid array<long>, ch array<string>"
 CEP_PATTERN = "v[^e]*?c[^e]*?p"  # view → click → purchase, no error between
 CEP_OTHER = "e"  # the "anything else" symbol the pattern excludes
 CEP_CHAR = {"view": "v", "click": "c", "signup": "s", "purchase": "p"}
-_CEP_CHAR = CEP_CHAR  # backwards-compat alias
 
 
 def stateful_cep_counts(events: DataFrame) -> DataFrame:
@@ -330,7 +339,7 @@ def stateful_cep_counts(events: DataFrame) -> DataFrame:
             for ts, e, t in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
                 us.append(int(ts.value // 1_000))
                 eid.append(int(e))
-                ch.append(_CEP_CHAR.get(t, "e"))
+                ch.append(CEP_CHAR.get(t, CEP_OTHER))
         state.update((us, eid, ch))
         order = sorted(range(len(us)), key=lambda i: (us[i], eid[i]))
         seq = "".join(ch[i] for i in order)
@@ -401,12 +410,15 @@ def stateful_cep_counts_bounded(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, batches: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        n_folded, dfa, cnt, us, eid, ch = (
-            (state.get[0], state.get[1], state.get[2],
-             list(state.get[3]), list(state.get[4]), list(state.get[5]))
-            if state.exists
-            else (0, 0, 0, [], [], [])
-        )
+        # Bind state.get ONCE: the property re-materializes the full
+        # state tuple (including the three symbol arrays) on every
+        # access — six reads per key per batch is wasted hot-path work.
+        if state.exists:
+            g = state.get
+            n_folded, dfa, cnt = g[0], g[1], g[2]
+            us, eid, ch = list(g[3]), list(g[4]), list(g[5])
+        else:
+            n_folded, dfa, cnt, us, eid, ch = 0, 0, 0, [], [], []
         for pdf in batches:
             for ts, e, t in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
                 us.append(int(ts.value // 1_000))

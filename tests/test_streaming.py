@@ -70,15 +70,14 @@ def test_stream_session_window_equals_batch_sessionization(spark, events_dir):
     schema = batch.schema
     stream = spark.readStream.schema(schema).parquet(events_dir)
     got = _run_stream(spark, session_counts_stream(stream, "30 minutes"), "t_session")
-    stream_keys = _rows(
-        got.select("user_id", "session_start", "n_events", "sum_value")
+    # FULL-row comparison including session_end: the stream form
+    # subtracts the gap back out of session_window.end so both forms
+    # mean "last event time" (a gap-extended end silently diverged
+    # here before and only a column-dropping comparison hid it).
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_value"]
+    assert _rows(got.select(*cols)) == _rows(
+        session_counts_batch(batch, 30).select(*cols)
     )
-    batch_keys = _rows(
-        session_counts_batch(batch, 30).select(
-            "user_id", "session_start", "n_events", "sum_value"
-        )
-    )
-    assert stream_keys == batch_keys
 
 
 def test_watermark_drops_late_data(spark):
