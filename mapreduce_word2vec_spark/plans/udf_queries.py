@@ -45,7 +45,15 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _zscore(pdf: pd.DataFrame) -> pd.DataFrame:  # GROUPED_MAP
     mu = pdf["c_acctbal"].mean()
     sd = pdf["c_acctbal"].std(ddof=1)  # ddof=1 == SQL stddev_samp
-    pdf["bal_z"] = ((pdf["c_acctbal"] - mu) / sd).round(6)
+    # Degenerate segments must yield NULL like the oracle: a
+    # single-customer group has sd = NaN (stddev_samp over one row is
+    # NULL in SQL) and an all-equal group has sd = 0 (SQL division by
+    # zero is NULL) — pandas would emit NaN/inf, which the driver
+    # canonicalizer hashes differently from NULL.
+    if not pd.notna(sd) or sd == 0:
+        pdf["bal_z"] = None
+    else:
+        pdf["bal_z"] = ((pdf["c_acctbal"] - mu) / sd).round(6)
     return pdf[["c_custkey", "c_mktsegment", "bal_z"]]
 
 
