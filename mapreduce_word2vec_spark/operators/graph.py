@@ -28,6 +28,27 @@ from mapreduce_word2vec_spark.runtime import (
 )
 
 
+def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Persisted symmetric (s, d) edge list — the shared first step of
+    every iterative operator here. NULL endpoints are dropped: they
+    carry no graph meaning, and a NULL node silently bypasses every
+    equi-/anti-join downstream (NULL never equals NULL), e.g.
+    re-emitting itself at every BFS level. Persisted because the edge
+    list joins into EVERY iteration; without it each round re-evaluates
+    the whole upstream pair-generation subtree (for near-dup edges:
+    tokenize + shingle self-join — measured as one full re-scan per
+    iteration in the physical plan)."""
+    return tracked_persist(
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(
+            edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -37,15 +58,7 @@ def connected_components(
 ) -> DataFrame:
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable (undirected)."""
-    # The edge list joins into EVERY iteration; without a persist each
-    # round re-evaluates the whole upstream pair-generation subtree
-    # (for near-dup edges: tokenize + shingle self-join — measured as
-    # one full re-scan per iteration in the physical plan).
-    sym = tracked_persist(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-    )
+    sym = _symmetrize(edges, src, dst)
     labels = (
         sym.select(F.col("s").alias("node"))
         .distinct()
@@ -107,11 +120,7 @@ def label_propagation(
     running pair, not the sorted neighbor-label list). All three
     hash-partition on node id; lineage is cut with ``localCheckpoint``
     so the plan stays O(1) in the iteration count."""
-    sym = tracked_persist(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-    )
+    sym = _symmetrize(edges, src, dst)
     labels = sym.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
@@ -153,11 +162,7 @@ def kcore(
     node id. The edge list shrinks monotonically, so later rounds cost
     less, and each round's filtered edges are persisted while the next
     round's survivor set is derived from them (then released)."""
-    cur = tracked_persist(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-    )
+    cur = _symmetrize(edges, src, dst)
     for _ in range(rounds):
         deg = cur.groupBy("s").agg(F.count("*").alias("deg"))
         keep = deg.where(F.col("deg") >= k).select("s")
@@ -199,11 +204,7 @@ def pagerank(
     # Persisted for the same reason as in connected_components: the
     # edge list and degree table feed every iteration; without the
     # persist each round re-runs the full upstream pair generation.
-    sym = tracked_persist(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-    )
+    sym = _symmetrize(edges, src, dst)
     deg = tracked_persist(sym.groupBy("s").agg(F.count("*").alias("deg")))
     # Degree folded INTO the persisted edge list: every iteration joins
     # the rank vector onto ONE table instead of re-joining sym⋈deg —
@@ -250,30 +251,39 @@ def bfs_hops(
     per level, O(diameter) rounds like connected_components).
 
     Isolated seeds are included at hops 0. The distance bound is the
-    scale contract: each level touches only the NEW frontier (visited
-    nodes drop out via the anti-join on the accumulated distance
-    table), so total work is O(edges within the ball), not O(V·E)."""
-    sym = tracked_persist(
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
-        .distinct()
-    )
-    dist = tracked_persist(
+    scale contract: each level's JOIN touches only the new frontier's
+    edges; the visited check anti-joins against the LAST TWO levels
+    only (sufficient on an undirected graph — a neighbor of a
+    hop-``h`` node is at hop ≥ h-1, so older levels are unreachable),
+    keeping the per-level anti-join bounded by the frontier
+    neighborhood instead of re-scanning the whole accumulated ball.
+    Each level is persisted exactly once (levels accumulate in a list
+    and union at return — persisting a running union would cache every
+    level O(max_hops) times)."""
+    sym = _symmetrize(edges, src, dst)
+    level0 = tracked_persist(
         seeds.select(F.col(seed_col).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0).cast("bigint"))
     )
-    frontier = dist.select("node")
+    levels = [level0]
+    prev_nodes = level0.select("node").where(F.lit(False))  # empty frame
+    frontier = level0.select("node")
     for h in range(1, max_hops + 1):
         nxt = tracked_persist(
             frontier.join(sym, frontier.node == sym.s)
             .select(F.col("d").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(frontier, "node", "left_anti")
+            .join(prev_nodes, "node", "left_anti")
             .withColumn("hops", F.lit(h).cast("bigint"))
         )
         if nxt.limit(1).count() == 0:
+            nxt.unpersist(blocking=False)  # empty level: nothing to keep
             break
-        dist = tracked_persist(dist.unionByName(nxt))
-        frontier = nxt.select("node")
-    return dist
+        levels.append(nxt)
+        prev_nodes, frontier = frontier, nxt.select("node")
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
