@@ -69,12 +69,25 @@ class SensorReader(DataSourceReader):
 
 def register_sensor_source(spark) -> None:
     """Idempotent registration (re-registering the same name is fine —
-    latest registration wins per the DataSource API contract)."""
+    latest registration wins per the DataSource API contract).
+
+    The module is registered with cloudpickle for BY-VALUE pickling:
+    the streaming source runner is a separate Python process that does
+    NOT see sparkContext-shipped py-files at planning time, so a
+    by-reference pickle (the default for importable modules) raises
+    ModuleNotFoundError whenever the driver's cwd isn't the repo root.
+    By-value serialization makes the connector location-independent."""
+    # PySpark serializes with its VENDORED cloudpickle — registering
+    # the standalone cloudpickle package would be a no-op here.
+    from pyspark import cloudpickle
+
+    import mapreduce_word2vec_spark.sources.python_datasource as _self
+
+    cloudpickle.register_pickle_by_value(_self)
     spark.dataSource.register(SensorDataSource)
 
 
 N_STREAM_BLOCKS = 4
-STREAM_READINGS_PER_BLOCK = 250
 
 
 class SensorSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -89,6 +102,11 @@ class SensorSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options):
         self.n_sensors = int(options.get("sensors", 8))
+        # Honor the SAME 'readings' option as the batch reader (the
+        # stream silently pinned 1000 before): fixed 4 blocks, the
+        # last block absorbs the remainder.
+        self.n_readings = int(options.get("readings", 1000))
+        self.per_block = max(1, self.n_readings // N_STREAM_BLOCKS)
 
     def initialOffset(self):
         return {"block": 0}
@@ -113,9 +131,14 @@ class SensorSimpleStreamReader(SimpleDataSourceStreamReader):
         # prefetcher requires an iterator (it calls next() to probe
         # emptiness) that is ALSO picklable for partition planning —
         # a list_iterator is both; a generator pickles not at all.
-        base = block * STREAM_READINGS_PER_BLOCK
+        base = block * self.per_block
+        end = (
+            self.n_readings
+            if block == N_STREAM_BLOCKS - 1
+            else min(base + self.per_block, self.n_readings)
+        )
         return [
-            (s, base + i, sensor_temp(s, base + i))
+            (s, r, sensor_temp(s, r))
             for s in range(self.n_sensors)
-            for i in range(STREAM_READINGS_PER_BLOCK)
+            for r in range(base, end)
         ]

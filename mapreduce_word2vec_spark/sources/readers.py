@@ -62,9 +62,11 @@ def read_csv(
     reader = spark.read.options(header=header, **options)
     if schema is not None:
         reader = reader.schema(schema)
-    else:
-        # Schema inference is a convenience for interactive use only —
-        # it costs an extra full scan; production callers pass a schema.
+    elif "inferSchema" not in options:
+        # Schema inference is a convenience DEFAULT for interactive use
+        # (it costs an extra full scan; production callers pass a
+        # schema) — a caller's explicit inferSchema=False (all-string
+        # columns, e.g. to keep leading zeros) must not be overridden.
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
 
@@ -95,6 +97,11 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TESTDATA_TABLES}")
     if table == "events":
+        # DELIBERATELY session-sticky (no restore): DataFrames are
+        # lazy, so the conf must still hold when the plan EXECUTES —
+        # a set-and-restore around the read definition would corrupt
+        # later runs. Side effect: any other TIMESTAMP(NANOS) parquet
+        # read in the same session also decodes as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         if isinstance(df.schema["ts"].dataType, T.LongType):

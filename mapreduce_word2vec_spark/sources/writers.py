@@ -25,7 +25,10 @@ def write_parquet(
     writer.parquet(path)
 
 
-def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = False) -> None:
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = True) -> None:
+    # header default aligned with read_csv: default-arguments
+    # write->read round-trips through this module must not eat the
+    # first record as column names.
     df.write.mode(mode).option("header", header).csv(path)
 
 
