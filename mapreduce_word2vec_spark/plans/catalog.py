@@ -48,108 +48,82 @@ _QUERY_MODULES = (
 
 _loaded = False
 
-# The driver's CORRECTNESS check covers only the FIRST 50 registrations
-# (CORRECTNESS_r01.json is exactly the first 50 in catalog order), so
-# registration order is verification budget. Rounds 1–4 verified 181
-# distinct queries green (r4 window: 50/50). This round-5 window
-# executes the rotation plan recorded below in round 4: all 50 r4-green
-# names yield their slot; the window is (a) the first 47 entries of the
-# never-driver-tested backlog in the planned order below — the round-4
-# catalog additions — and (b) three green sentinels across families
-# (per the round-4 verdict, sentinels cut to ≤5 while the backlog is
-# this deep). Everything not listed keeps its original registration
-# order behind these; queries verified in an earlier round stay
-# registered (and pytest-gated) but yield their slot.
+# The driver's CORRECTNESS check covers only the FIRST 50
+# registrations, so registration order is verification budget. Rounds
+# 1-5 verified 228 distinct queries driver-green (r5 window: 50/50).
+# This round-6 window executes the rotation plan recorded in round 5:
+# every r5-green name yields its slot; the window is (a) the six
+# round-5 contract queries (the r5 headline work, never driver-
+# tested), (b) the next 41 never-driver-tested oracle-backed names in
+# the planned order, and (c) three green sentinels across families.
+# Queries verified in an earlier round stay registered (and pytest-
+# gated) but yield their slot.
 _PRIORITY = (
-    # --- round-4 additions, never driver-tested (47) ---
-    "graph_label_propagation",
-    "agg_filter_clause",
-    "scalar_datetime_tz",
-    "knn_range_search",
-    "source_parquet_bloom",
-    "udf_iterator_pandas",
-    "knn_binary_quantized",
-    "agg_hll_intersection",
-    "graph_kcore",
-    "dedup_incremental_ingest",
-    "events_attribution_linear",
-    "merge_three_way",
-    "dedup_lsh_param_sweep",
-    "sql_scalar_udf",
-    "sql_pipe_syntax",
-    "emb_random_projection",
-    "events_top_paths",
-    "customer_segment_migration",
-    "stream_stream_join_live",
-    "doc_cross_split_perplexity",
-    "stream_dedup_watermark_live",
-    "stream_late_drop_live",
-    "udtf_polymorphic",
-    # multimodal_aspect_filter takes sql_session_variable's slot (SQL
-    # surface keeps two reps, multimodal otherwise had none); the
-    # variable row moves to the round-6 front of the backlog.
-    "multimodal_aspect_filter",
-    "source_insert_overwrite_dynamic",
-    "stream_session_dynamic_gap",
-    "emb_pca_explained_variance",
-    "source_file_metadata",
-    "sample_dsir_apply",
-    "doc_ngram_coverage_curve",
-    "events_error_budget_burn",
-    "stream_observe_metrics_live",
-    "dedup_edit_distance",
-    "graph_adamic_adar",
-    "doc_readability",
-    "doc_badwords_filter",
-    "source_parquet_rowgroup_stats",
-    "select_curriculum_order",
-    "join_asof_tolerance",
-    "knn_nprobe_sweep",
-    "events_attribution_position",
-    "sample_horvitz_thompson",
-    "graph_bfs_contamination",
-    "ml_naive_bayes_lang",
-    "udf_window_grouped_agg",
-    "emb_cluster_purity",
-    "udtf_table_argument",
+    # --- round-5 contract queries, never driver-tested (6) ---
+    "brp_lsh_recall",
+    "dedup_mllib_minhash_recall",
+    "knn_bruteforce_blas_parity",
+    "w2v_synonyms_contract",
+    "ref_pipeline_contract",
+    "doc_embedding_knn_contract",
+    # --- next never-driver-tested oracle-backed names, planned order (41) ---
+    "sql_session_variable",
+    "doc_cdc_chunking",
+    "dedup_minhash_candidates",
+    "graph_walk_pairs",
+    "sql_scripting_loop",
+    "sql_execute_immediate",
+    "events_did_estimate",
+    "tokenizer_bpe_contract",
+    "events_interval_coalesce",
+    "split_group_aware",
+    "events_ab_srm_check",
+    "stream_checkpoint_recovery",
+    "events_cohort_retention_matrix",
+    "orders_otif_fulfillment",
+    "events_peak_concurrency",
+    "emb_ood_mahalanobis",
+    "events_error_pchart",
+    "stats_chi2_independence",
+    "graph_degree_powerlaw",
+    "source_text_wholetext",
+    "join_asof_strict",
+    "agg_trimmed_mean",
+    "events_user_entropy",
+    "graph_assortativity",
+    "agg_winsorized_mean",
+    "orders_forecast_backtest",
+    "events_alert_hysteresis",
+    "doc_pareto_frontier",
+    "orders_trend_forecast",
+    "scalar_surrogate_uuid",
+    "emb_whitening",
+    "dedup_boundary_overlap",
+    "stream_cep_bounded_live",
+    "doc_compression_ratio",
+    "w2v_vocabulary",
+    "source_csv_multiline",
+    "sample_weighted_reservoir",
+    "orders_lorenz_curve",
+    "corpus_kl_divergence",
+    "doc_url_blocklist_filter",
+    "scalar_ipv4_octets",
     # --- green sentinels (regression tripwires across families) ---
     "doc_wordcount",
     "dedup_exact",
     "source_csv_roundtrip",
 )
 
-# Round-6 rotation plan: once CORRECTNESS_r05 lands green, swap the
-# verified names out and promote the next 45–47 never-driver-tested
-# oracle-backed names (~189 remain after r5), continuing in the order
-# below (the r5 window consumed the list through udtf_table_argument,
-# plus multimodal_aspect_filter in sql_session_variable's slot).
-# Round-5 additions lead (never driver-tested, registered this round):
-# brp_lsh_recall, dedup_mllib_minhash_recall, knn_bruteforce_blas_parity,
-# w2v_synonyms_contract, ref_pipeline_contract, doc_embedding_knn_contract,
-# then sql_session_variable, doc_cdc_chunking,
-# dedup_minhash_candidates, graph_walk_pairs, sql_scripting_loop,
-# sql_execute_immediate, events_did_estimate, tokenizer_bpe_contract,
-# events_interval_coalesce, split_group_aware, events_ab_srm_check,
-# stream_checkpoint_recovery, events_cohort_retention_matrix,
-# orders_otif_fulfillment, events_peak_concurrency,
-# emb_ood_mahalanobis, events_error_pchart, stats_chi2_independence,
-# graph_degree_powerlaw, source_text_wholetext, join_asof_strict,
-# agg_trimmed_mean, events_user_entropy, graph_assortativity,
-# agg_winsorized_mean, orders_forecast_backtest,
-# events_alert_hysteresis, multimodal_aspect_filter), then
-# doc_pareto_frontier, orders_trend_forecast, scalar_surrogate_uuid,
-# emb_whitening, dedup_boundary_overlap, stream_cep_bounded_live,
-# doc_compression_ratio, w2v_vocabulary,
-# source_csv_multiline, sample_weighted_reservoir,
-# orders_lorenz_curve, corpus_kl_divergence,
-# doc_url_blocklist_filter, scalar_ipv4_octets,
+# Round-7 rotation plan: once CORRECTNESS_r06 lands green, swap the
+# verified names out and promote the next 47 never-driver-tested
+# names (156 remain after r6; 149 oracle-backed + 7 rows-only),
+# continuing in this order (recomputed this round from the catalog
+# minus every CORRECTNESS_r01-r05 key):
 # events_log_histogram, orders_abc_classification,
-# doc_boilerplate_fraction, scalar_base64_hex,
-# dedup_url_canonical, dedup_paragraphs, doc_quality_classifier,
-# corpus_kneser_ney_bigram, tokenizer_bpe_train (rows-only),
-# tokenizer_bpe_fertility (rows-only),
-# events_cep_pattern, doc_lang_id_trigram,
-# select_quality_quantile, events_window_funnel,
+# doc_boilerplate_fraction, scalar_base64_hex, dedup_url_canonical,
+# dedup_paragraphs, doc_quality_classifier, corpus_kneser_ney_bigram,
+# tokenizer_bpe_train, tokenizer_bpe_fertility, events_cep_pattern,
+# doc_lang_id_trigram, select_quality_quantile, events_window_funnel,
 # events_survival_km, orders_id_gaps, sample_poisson_bootstrap,
 # emb_ivf_balance, layout_compaction_plan, multimodal_scene_cuts,
 # scd2_asof_read, corpus_burstiness, join_asof_nearest,
@@ -158,31 +132,29 @@ _PRIORITY = (
 # events_bot_detection, doc_chat_template, doc_span_corruption,
 # graph_link_prediction, doc_fim_transform, agg_weighted_median,
 # multimodal_tar_index, table_log_replay, events_changepoint_cusum,
-# scalar_bround, doc_filter_ensemble,
-# incr_variance_merge, emb_drift_psi, agg_higher_moments,
-# events_daily_peaks, events_rate_limit_audit, orders_benford,
+# scalar_bround, doc_filter_ensemble, incr_variance_merge,
+# emb_drift_psi, agg_higher_moments, events_daily_peaks,
+# events_rate_limit_audit, orders_benford,
 # source_compression_roundtrip, events_rolling_features,
 # orders_seasonal_decompose, w2v_cooccurrence,
 # multimodal_vad_segments, dedup_prefix_hash, table_vacuum_plan,
 # agg_bool_aggregates, agg_wilson_ci, doc_keyphrase_rake,
 # events_session_abandonment, orders_dormancy_winback,
-# events_timeout_alerts, multimodal_vit_patches,
-# layout_zorder, layout_epoch_shuffle, knn_ivf_recall, scalar_variant,
-# scalar_regex, scalar_try_functions, source_python_datasource,
-# join_lateral_topn, table_stats_profile, table_quality_checks,
-# agg_approx_percentile, agg_decimal_exact, ml_feature_hash_buckets,
-# source_bucketed_join, join_anti_customers, set_except_nonempty,
+# events_timeout_alerts, multimodal_vit_patches, layout_zorder,
+# layout_epoch_shuffle, knn_ivf_recall, scalar_variant, scalar_regex,
+# scalar_try_functions, source_python_datasource, join_lateral_topn,
+# table_stats_profile, table_quality_checks, agg_approx_percentile,
+# agg_decimal_exact, ml_feature_hash_buckets, source_bucketed_join,
+# join_anti_customers, set_except_nonempty,
 # events_resample_interpolate, udf_cogrouped_map, source_json_nested,
-# source_csv_dialect, emb_hard_negatives — then e.g.:
-# doc_top_terms_per_source,
+# source_csv_dialect, emb_hard_negatives, doc_top_terms_per_source,
 # corpus_report, doc_bigram_logprob, doc_unigram_logprob,
 # doc_perplexity_bucket, sample_source_cap, sample_mixture_epochs,
 # doc_pmi_collocations, corpus_zipf_slope, doc_keywords_topk,
 # doc_length_histogram, corpus_vocab_stats, agg_approx_topk_words,
 # fuzzy_name_pairs, unpivot_lineitem, subquery_scalar,
-# skew_salted_agg, skew_salted_join, q7/q8/q12/q13/q15/q17/q21/q22,
-# merge_scd2, merge_delete_apply, diff_snapshots, agg_mode,
-# join_range, window_distinct_cumulative,
+# skew_salted_agg, skew_salted_join, merge_scd2, merge_delete_apply,
+# diff_snapshots, agg_mode, window_distinct_cumulative,
 # window_moving_median, basket_part_lift, customer_rfm_segments,
 # orders_cohort_ltv, supplier_concentration_hhi, orders_backlog_curve,
 # customer_order_streaks, customer_pareto_deciles, orders_mom_growth,
@@ -193,10 +165,15 @@ _PRIORITY = (
 # events_session_funnel, events_gap_distribution, events_json_key_agg,
 # events_disorder, events_markov_transitions, events_error_bursts,
 # events_time_to_convert, multimodal_audio_windows, multimodal_resize,
-# multimodal_shard_layout.
+# multimodal_shard_layout, q7_volume_shipping, q8_market_share,
+# q13_customer_distribution, q15_top_supplier, q17_small_qty_revenue,
+# q22_prospect_customers, agg_mad, q12_priority_delay,
+# q21_late_suppliers, ref_pipeline_documents, w2v_synonyms,
+# doc_embedding_knn, emb_pairwise_cos_histogram, knn_bruteforce_blas,
+# brp_lsh_pairs, dedup_mllib_minhash, events_ohlc_bars,
+# events_time_weighted_avg, events_heatmap_dow_hour, multimodal_frames
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
-
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:

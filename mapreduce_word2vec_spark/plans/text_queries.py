@@ -540,12 +540,14 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sample_stratified")
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sample: ``sampleBy(lang)`` with per-language
-    fractions (downsample the majority language — corpus rebalancing).
-    Bernoulli sampling is seed-deterministic but partition-layout-
-    dependent → rows-only check + property tests on stratum rates."""
+    """DEPRECATED (unregistered round 6): ``sampleBy(lang)`` stratified
+    sample. Bernoulli sampling is seed-deterministic but partition-
+    layout-dependent, so it could never be value-checked against an
+    oracle; superseded in round 2 by ``sample_stratified_hash`` (the
+    deterministic, engine-independent variant below). Kept as a plain
+    helper for the stratum-rate property test
+    (tests/test_graph_and_misc.py)."""
     docs = read_testdata(spark, sf_dir, "documents")
     fractions = {"en": 0.2, "es": 0.5, "fr": 0.5, "de": 0.5, "zh": 1.0}
     return docs.sampleBy("lang", fractions, seed=42).select("doc_id", "lang", "source")

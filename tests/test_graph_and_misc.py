@@ -239,10 +239,10 @@ def test_stratified_sample_rates_and_determinism(spark):
     """sampleBy: per-stratum rates near the requested fractions, same
     seed → identical sample, and the deterministic hash-mod variants
     agree with a Python recomputation."""
-    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.plans.text_queries import sample_stratified
     from tests.conftest import SF_ORACLE
 
-    q = catalog.all_queries()["sample_stratified"].fn
+    q = sample_stratified
     s1 = q(spark, SF_ORACLE).collect()
     s2 = q(spark, SF_ORACLE).collect()
     assert sorted(r["doc_id"] for r in s1) == sorted(r["doc_id"] for r in s2)
@@ -308,11 +308,11 @@ def test_operator_caches_released_between_catalog_queries(spark):
 
 def test_correctness_window_covers_all_families():
     """The driver hash-checks only the FIRST 50 registered queries, so
-    catalog order is verification budget: the round-5 window must be
+    catalog order is verification budget: the round-6 window must be
     exactly the priority list, every entry oracle-backed, composed of
-    never-driver-tested names (rounds 1–4 banked 181 distinct green
-    rows elsewhere) plus three known-green sentinels (≤5 per the
-    round-4 verdict while the backlog is deep), and at least one
+    never-driver-tested names (rounds 1–5 banked 228 distinct green
+    rows elsewhere) plus three known-green sentinels (≤3 per the
+    round-5 verdict while the backlog is deep), and at least one
     member per §2.B family."""
     from mapreduce_word2vec_spark.plans import catalog
 
@@ -322,28 +322,32 @@ def test_correctness_window_covers_all_families():
     assert names[:50] == list(catalog._PRIORITY)
     missing_oracle = [n for n in names[:50] if qs[n].oracle is None]
     assert not missing_oracle, missing_oracle
-    # Green sentinels (r1–r4 verified) stay in as regression tripwires;
+    # Green sentinels (r1–r5 verified) stay in as regression tripwires;
     # every family keeps a representative inside the window.
     for probe in (
         # sentinels, driver-green in an earlier round
         "doc_wordcount", "dedup_exact", "source_csv_roundtrip",
+        # the six round-5 contract queries lead the window
+        "brp_lsh_recall", "dedup_mllib_minhash_recall",
+        "knn_bruteforce_blas_parity", "w2v_synonyms_contract",
+        "ref_pipeline_contract", "doc_embedding_knn_contract",
         # family representatives among the never-driver-tested names
-        "agg_filter_clause", "scalar_datetime_tz",              # relational
-        "agg_hll_intersection",                                 # sketch aggs
-        "join_asof_tolerance", "merge_three_way",               # joins/merge
-        "doc_cross_split_perplexity", "doc_readability",        # text
-        "knn_range_search", "knn_binary_quantized",             # similarity
-        "stream_stream_join_live", "stream_late_drop_live",     # streaming
-        "events_attribution_linear",                            # events
-        "emb_random_projection", "emb_cluster_purity",          # embedding
-        "udf_iterator_pandas", "udtf_polymorphic",              # UDF surface
-        "source_parquet_bloom", "source_file_metadata",         # sources
-        "ml_naive_bayes_lang",                                  # ML-in-SQL
-        "multimodal_aspect_filter",                             # multimodal
-        "graph_label_propagation", "graph_kcore",               # graph
-        "dedup_lsh_param_sweep", "dedup_incremental_ingest",    # dedup
-        "sample_dsir_apply", "select_curriculum_order",         # selection
-        "sql_scalar_udf", "sql_pipe_syntax",                    # SQL surface
+        "agg_trimmed_mean", "stats_chi2_independence",          # relational
+        "orders_otif_fulfillment", "orders_lorenz_curve",       # business KPIs
+        "join_asof_strict",                                     # joins
+        "doc_cdc_chunking", "doc_compression_ratio",            # text
+        "tokenizer_bpe_contract",                               # tokenizer
+        "stream_checkpoint_recovery", "stream_cep_bounded_live",# streaming
+        "events_interval_coalesce", "events_user_entropy",      # events
+        "emb_ood_mahalanobis", "emb_whitening",                 # embedding
+        "source_text_wholetext", "source_csv_multiline",        # sources
+        "graph_walk_pairs", "graph_assortativity",              # graph
+        "dedup_minhash_candidates", "dedup_boundary_overlap",   # dedup
+        "split_group_aware", "sample_weighted_reservoir",       # sampling
+        "sql_session_variable", "sql_scripting_loop",           # SQL surface
+        "scalar_surrogate_uuid", "scalar_ipv4_octets",          # scalar fns
+        "w2v_vocabulary",                                       # word2vec
+        "corpus_kl_divergence",                                 # corpus stats
     ):
         assert probe in names[:50], probe
 
