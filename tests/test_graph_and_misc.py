@@ -346,6 +346,11 @@ def test_correctness_window_covers_all_families():
         "split_group_aware", "sample_weighted_reservoir",       # sampling
         "sql_session_variable", "sql_scripting_loop",           # SQL surface
         "scalar_surrogate_uuid", "scalar_ipv4_octets",          # scalar fns
+        "udf_cogrouped_map",                                    # UDF surface
+        "multimodal_scene_cuts",                                # multimodal
+        "ml_feature_hash_buckets",                              # ML-in-SQL
+        "select_quality_quantile",                              # selection
+        "merge_scd2",                                           # merge/upsert
         "w2v_vocabulary",                                       # word2vec
         "corpus_kl_divergence",                                 # corpus stats
     ):

@@ -339,14 +339,17 @@ def test_compact_and_percentile_rollup_single_exchange(spark):
 def test_driver_window_spans_all_families(spark):
     """The driver's CORRECTNESS check covers only the FIRST 50
     registrations — registration order is verification budget. Every
-    query family must keep >= 1 representative inside the round-5
-    window (exact composition asserted in
-    test_correctness_window_covers_all_families)."""
+    query family with names still awaiting a driver-green row must
+    keep >= 1 representative inside the window (exact composition
+    asserted in test_correctness_window_covers_all_families). udtf_
+    is exempt as of round 6: all three of its names are driver-green and a
+    window slot would cost a never-tested name a 4th sentinel (the
+    round-5 verdict caps sentinels at 3)."""
     names = list(catalog.all_queries())[:50]
     for prefix in ("dedup_", "knn_", "stream_", "udf_", "multimodal_",
                    "source_", "emb_", "events_", "join_", "agg_",
                    "doc_", "scalar_", "ml_", "graph_", "sql_",
-                   "sample_", "select_", "merge_", "udtf_"):
+                   "sample_", "select_", "merge_"):
         assert any(n.startswith(prefix) for n in names), prefix
     assert "doc_wordcount" in names  # green sentinel, regression tripwire
 
