@@ -31,6 +31,8 @@ from pyspark.sql import types as T
 from mapreduce_word2vec_spark.sources.readers import TESTDATA_TABLES
 
 ROUND_DIGITS = 6
+SIG_DIGITS = 14
+_SIG_CUTOFF = 1e7  # round(x, 6) needs >13 significant digits beyond here
 
 _NON_SCALAR_SPARK = (T.ArrayType, T.MapType, T.StructType)
 
@@ -72,6 +74,16 @@ def _canon_value(v):
         f = float(v)
         if math.isnan(f):
             return "NaN"
+        # Above driver scale, fixed-decimal rounding outruns float64:
+        # at |x| ~ 1e10 (sf1 revenue sums) round(x, 6) asks for ~17
+        # significant digits, so valid summation-order ULP differences
+        # between Spark and DuckDB flag as mismatches (caught by the
+        # round-6 sf1 probe on q1/q5). Large magnitudes canonicalize
+        # to 14 significant digits instead — still ~1e-14 relative,
+        # far below any semantic bug. Below the threshold the canon is
+        # bit-for-bit the driver's round-6 behavior.
+        if abs(f) >= _SIG_CUTOFF:
+            return ("f", float(f"{f:.{SIG_DIGITS}g}"))
         return ("f", round(f, ROUND_DIGITS))
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))

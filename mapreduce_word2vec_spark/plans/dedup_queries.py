@@ -43,8 +43,13 @@ _SQL_SHINGLES = (
 # the ONE definition every graph/cluster oracle composes (pagerank,
 # k-core, LPA, triangles, BFS, clusters, survivors, split-leakage's
 # pairs are the same derivation); a threshold or shingle change edits
-# exactly one place.
-_SQL_EDGES = f"""edges AS (
+# exactly one place. MATERIALIZED is load-bearing at scale: DuckDB
+# inlines plain CTEs per reference, so the unrolled iterative oracles
+# (pagerank's pr0..pr5, k-core's rounds, LPA) would re-run the
+# quadratic shared-shingle join once per iteration — measured 23.5 s
+# -> 2.2 s at sf0.1, and the difference between a finished gate and
+# an 80 GB temp-spill abort at the sf1 probe.
+_SQL_EDGES = f"""edges AS MATERIALIZED (
       WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS ws FROM documents),
       sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle FROM toks),
       sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -307,7 +312,7 @@ def dedup_mllib_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 # list — shared by dedup_clusters and the cluster-size histogram.
 _CLUSTERS_CTE = f"""
     WITH RECURSIVE {_SQL_EDGES},
-    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    sym AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
     reach(s, d) AS (
       SELECT s, d FROM sym
       UNION
@@ -492,7 +497,7 @@ def _pagerank_sql() -> str:
     operators.graph.pagerank."""
     edges = f"""
     {_SQL_EDGES},
-    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    sym AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
     deg AS (SELECT s, count(*) AS deg FROM sym GROUP BY s),
     n AS (SELECT count(*) AS n FROM deg),
     pr0 AS (SELECT s AS node, 1.0 / (SELECT n FROM n) AS rank FROM deg)"""
@@ -543,7 +548,7 @@ def _kcore_sql() -> str:
     induces the subgraph on them."""
     edges = f"""
     {_SQL_EDGES},
-    g0 AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges)"""
+    g0 AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges)"""
     rounds = "".join(
         f""",
     k{r} AS (SELECT s FROM g{r} GROUP BY s HAVING count(*) >= {_KCORE_K}),
@@ -588,7 +593,7 @@ def _lpa_sql() -> str:
     :func:`_pagerank_sql`."""
     edges = f"""
     {_SQL_EDGES},
-    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    sym AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
     lp0 AS (SELECT DISTINCT s AS node, s AS label FROM sym)"""
     iters = "".join(
         f""",
@@ -1919,7 +1924,7 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "graph_bfs_contamination",
     oracle=f"""
     WITH RECURSIVE {_SQL_EDGES},
-    sym AS (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
+    sym AS MATERIALIZED (SELECT id_a AS s, id_b AS d FROM edges UNION SELECT id_b, id_a FROM edges),
     bfs(node, hops) AS (
       SELECT doc_id AS node, 0 AS hops FROM documents WHERE doc_id % 50 = 0
       UNION ALL

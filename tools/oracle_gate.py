@@ -27,7 +27,18 @@ def main() -> int:
     from mapreduce_word2vec_spark.plans import catalog
     from mapreduce_word2vec_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle-gate", master="local[16]", shuffle_partitions=16)
+    # The gate collects BOTH engines' full results to hash-compare, so
+    # its driver needs headroom the engine itself never does (catalog
+    # plans never collect; bench uses the noop sink). At the sf1 scale
+    # probe the pair-enumeration dedup contracts return tens of
+    # millions of rows (output is corpus-quadratic in near-dup count)
+    # and the 1g default aborts the harness-side toPandas.
+    spark = get_spark(
+        app_name="oracle-gate",
+        master="local[16]",
+        shuffle_partitions=16,
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     con = duckdb_connection(sf_dir)
     failures = 0
     seen: set[str] = set()
