@@ -116,7 +116,7 @@ _PRIORITY = (
 
 # Round-7 rotation plan: once CORRECTNESS_r06 lands green, swap the
 # verified names out and promote the next 47 never-driver-tested
-# names (156 remain after r6; 149 oracle-backed + 7 rows-only),
+# names (156 remain after r6; 148 oracle-backed + 8 rows-only),
 # continuing in this order (recomputed this round from the catalog
 # minus every CORRECTNESS_r01-r05 key). The five events_ names lead:
 # they yielded their r6 slots to the family representatives the
