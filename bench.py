@@ -98,10 +98,14 @@ def main() -> None:
     )
     qs = catalog.queries()
 
-    # Warm-up outside the timed region: JVM/codegen warm-up and the
-    # one-time parquet footer reads otherwise land entirely on the
-    # first timed query.
-    qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm-up outside the timed region: one FULL untimed pass over the
+    # headline set (round-7 hygiene, VERDICT r6 next-round #4 — a
+    # q1-only warm-up left JVM/codegen warm-up, parquet footer reads,
+    # and Python-worker spin-up for the pandas-UDF queries landing on
+    # the first TIMED round, which is visibly the slow one in every
+    # committed samples row and what kept run_spread_ratio > 1.3).
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # Per-query MEDIAN of >=3 interleaved rounds: single-shot totals
     # proved incomparable across rounds (measured ±45% wall-clock drift
@@ -123,24 +127,31 @@ def main() -> None:
             round(sum(s[name][i] for name in HEADLINE), 3) for i in range(n_runs)
         ]
 
-    # Noise guard (round-6 hygiene): when the interleaved round totals
-    # spread more than 1.3x, the medians are contaminated by a
-    # background-load spike (r5 committed a 45.3 s record whose quiet
-    # twin measured 39.0 s). Re-run the whole suite ONCE and keep the
-    # quieter attempt; the parsed record carries the spread ratio and
-    # whether a retry happened, so a still-noisy record is explicitly
-    # annotated rather than silently trusted.
+    # Noise guard (round-6 hygiene, widened round 7): when the
+    # interleaved round totals spread more than 1.3x, the medians are
+    # contaminated by a background-load spike (r5 committed a 45.3 s
+    # record whose quiet twin measured 39.0 s; r6's single retry still
+    # committed a 1.38-spread record because both attempts were noisy).
+    # Re-run the whole suite up to TWICE and keep the quietest-spread
+    # attempt (median total breaks ties); the parsed record carries the
+    # spread ratio and the retry count, so a record from a machine that
+    # never went quiet is explicitly annotated rather than silently
+    # trusted.
     samples = sample_rounds()
     run_totals = totals_of(samples)
     spread_ratio = round(max(run_totals) / min(run_totals), 3)
-    noise_retried = False
-    if spread_ratio > 1.3 and n_runs > 1:
-        noise_retried = True
+    noise_retries = 0
+    while spread_ratio > 1.3 and n_runs > 1 and noise_retries < 2:
+        noise_retries += 1
         retry = sample_rounds()
         retry_totals = totals_of(retry)
-        if statistics.median(retry_totals) < statistics.median(run_totals):
-            samples, run_totals = retry, retry_totals
-        spread_ratio = round(max(run_totals) / min(run_totals), 3)
+        retry_spread = round(max(retry_totals) / min(retry_totals), 3)
+        if retry_spread < spread_ratio or (
+            retry_spread == spread_ratio
+            and statistics.median(retry_totals) < statistics.median(run_totals)
+        ):
+            samples, run_totals, spread_ratio = retry, retry_totals, retry_spread
+    noise_retried = noise_retries > 0
 
     times = {
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
@@ -174,6 +185,7 @@ def main() -> None:
                 "run_totals": run_totals,
                 "run_spread_ratio": spread_ratio,
                 "noise_retried": noise_retried,
+                "noise_retries": noise_retries,
                 "samples": {n: [round(t, 3) for t in ts] for n, ts in samples.items()},
             },
             indent=1,
@@ -192,6 +204,7 @@ def main() -> None:
                 "aggregation": "median",
                 "run_spread_ratio": spread_ratio,
                 "noise_retried": noise_retried,
+                "noise_retries": noise_retries,
                 "detail": "BENCH_DETAIL.json",
             }
         ),

@@ -40,7 +40,19 @@ ROUND_DIGITS = 6
 # values equal under a finer canon stay equal here, so green evidence
 # recorded at 14 digits remains valid.
 SIG_DIGITS = 12
-_SIG_CUTOFF = 1e7  # round(x, 6) needs >13 significant digits beyond here
+# Cutoff where the canon switches from the driver's fixed round(x, 6)
+# to significant-digit rounding. Round-7 raised this 1e7 -> 1e9
+# (ADVICE r6): below 1e9, round(x, 6) needs at most 15 significant
+# digits, which float64 represents exactly, so the driver's own
+# round(,6) is well-defined there and the local gate must be exactly
+# as strict — a cutoff at 1e7 made the local canon COARSER than the
+# driver's in the 1e7-1e9 window where driver-scale sf0.01 sums (q1
+# ~2.7e8) actually live. At |x| >= 1e9 round(x, 6) demands >= 16
+# significant digits — beyond float64 — so fixed-decimal rounding
+# stops being meaningful and the sig-digit canon takes over.
+# tests/test_oracle_canon.py pins the detection floor on both sides
+# of this boundary with injected known-wrong perturbations.
+_SIG_CUTOFF = 1e9
 
 _NON_SCALAR_SPARK = (T.ArrayType, T.MapType, T.StructType)
 
@@ -87,9 +99,12 @@ def _canon_value(v):
         # significant digits, so valid summation-order ULP differences
         # between Spark and DuckDB flag as mismatches (caught by the
         # round-6 sf1 probe on q1/q5). Large magnitudes canonicalize
-        # to 14 significant digits instead — still ~1e-14 relative,
-        # far below any semantic bug. Below the threshold the canon is
-        # bit-for-bit the driver's round-6 behavior.
+        # to SIG_DIGITS (12) significant digits instead — ~1e-12
+        # relative, far below any semantic bug ever seen (those were
+        # 1e-2+ or type-level) while keeping ~25x margin over the
+        # ~4e-14 relative summation-order noise the sf10 probe
+        # measured. Below the threshold the canon is bit-for-bit the
+        # driver's round(x, 6).
         if abs(f) >= _SIG_CUTOFF:
             return ("f", float(f"{f:.{SIG_DIGITS}g}"))
         return ("f", round(f, ROUND_DIGITS))

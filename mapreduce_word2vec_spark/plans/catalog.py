@@ -29,6 +29,7 @@ class Query:
     fn: QueryFn
     oracle: str | None
     doc: str
+    module: str = ""  # defining plans module (family, for coverage tests)
 
 
 _REGISTRY: dict[str, Query] = {}
@@ -50,96 +51,81 @@ _loaded = False
 
 # The driver's CORRECTNESS check covers only the FIRST 50
 # registrations, so registration order is verification budget. Rounds
-# 1-5 verified 228 distinct queries driver-green (r5 window: 50/50).
-# This round-6 window executes the rotation plan recorded in round 5:
-# every r5-green name yields its slot; the window is (a) the six
-# round-5 contract queries (the r5 headline work, never driver-
-# tested), (b) the next 41 never-driver-tested oracle-backed names in
-# the planned order, and (c) three green sentinels across families.
+# 1-6 verified 275 distinct queries driver-green (r6 window: 50/50,
+# fourth consecutive all-green window). This round-7 window executes
+# the rotation plan recorded in round 6: every r6-green name yields
+# its slot; the window is the next 47 never-driver-tested names in
+# the planned order (45 oracle-backed + the 2 rows-only tokenizer
+# names, whose value semantics are pinned by the driver-green
+# ``tokenizer_bpe_contract`` twin) plus three green sentinels,
+# rotated this round onto different families (relational, similarity,
+# streaming) so sentinel coverage itself sweeps the catalog.
 # Queries verified in an earlier round stay registered (and pytest-
 # gated) but yield their slot.
 _PRIORITY = (
-    # --- round-5 contract queries, never driver-tested (6) ---
-    "brp_lsh_recall",
-    "dedup_mllib_minhash_recall",
-    "knn_bruteforce_blas_parity",
-    "w2v_synonyms_contract",
-    "ref_pipeline_contract",
-    "doc_embedding_knn_contract",
-    # --- next never-driver-tested oracle-backed names, planned order (41) ---
-    "sql_session_variable",
-    "doc_cdc_chunking",
-    "dedup_minhash_candidates",
-    "graph_walk_pairs",
-    "sql_scripting_loop",
-    "sql_execute_immediate",
-    "udf_cogrouped_map",
-    "tokenizer_bpe_contract",
-    "events_interval_coalesce",
-    "split_group_aware",
-    "multimodal_scene_cuts",
-    "stream_checkpoint_recovery",
-    "ml_feature_hash_buckets",
-    "orders_otif_fulfillment",
-    "select_quality_quantile",
-    "emb_ood_mahalanobis",
-    "merge_scd2",
-    "stats_chi2_independence",
-    "graph_degree_powerlaw",
-    "source_text_wholetext",
-    "join_asof_strict",
-    "agg_trimmed_mean",
-    "events_user_entropy",
-    "graph_assortativity",
-    "agg_winsorized_mean",
-    "orders_forecast_backtest",
-    "events_alert_hysteresis",
-    "doc_pareto_frontier",
-    "orders_trend_forecast",
-    "scalar_surrogate_uuid",
-    "emb_whitening",
-    "dedup_boundary_overlap",
-    "stream_cep_bounded_live",
-    "doc_compression_ratio",
-    "w2v_vocabulary",
-    "source_csv_multiline",
-    "sample_weighted_reservoir",
-    "orders_lorenz_curve",
-    "corpus_kl_divergence",
-    "doc_url_blocklist_filter",
-    "scalar_ipv4_octets",
-    # --- green sentinels (regression tripwires across families) ---
-    "doc_wordcount",
-    "dedup_exact",
-    "source_csv_roundtrip",
+    # --- next never-driver-tested names, planned order (47) ---
+    "events_did_estimate",
+    "events_ab_srm_check",
+    "events_cohort_retention_matrix",
+    "events_peak_concurrency",
+    "events_error_pchart",
+    "events_log_histogram",
+    "orders_abc_classification",
+    "doc_boilerplate_fraction",
+    "scalar_base64_hex",
+    "dedup_url_canonical",
+    "dedup_paragraphs",
+    "doc_quality_classifier",
+    "corpus_kneser_ney_bigram",
+    "tokenizer_bpe_train",
+    "tokenizer_bpe_fertility",
+    "events_cep_pattern",
+    "doc_lang_id_trigram",
+    "events_window_funnel",
+    "events_survival_km",
+    "orders_id_gaps",
+    "sample_poisson_bootstrap",
+    "emb_ivf_balance",
+    "layout_compaction_plan",
+    "scd2_asof_read",
+    "corpus_burstiness",
+    "join_asof_nearest",
+    "emb_residual_energy",
+    "sample_stratified_neyman",
+    "stream_cep_live",
+    "stream_sliding_live",
+    "sample_class_balanced",
+    "source_nested_pruning",
+    "events_bot_detection",
+    "doc_chat_template",
+    "doc_span_corruption",
+    "graph_link_prediction",
+    "doc_fim_transform",
+    "agg_weighted_median",
+    "multimodal_tar_index",
+    "table_log_replay",
+    "events_changepoint_cusum",
+    "scalar_bround",
+    "doc_filter_ensemble",
+    "incr_variance_merge",
+    "emb_drift_psi",
+    "agg_higher_moments",
+    "events_daily_peaks",
+    # --- green sentinels (regression tripwires, rotated each round so
+    # sentinel coverage itself sweeps families: r6 used doc_wordcount/
+    # dedup_exact/source_csv_roundtrip) ---
+    "q1_pricing_summary",
+    "knn_bruteforce",
+    "stream_tumbling",
 )
 
-# Round-7 rotation plan: once CORRECTNESS_r06 lands green, swap the
+# Round-8 rotation plan: once CORRECTNESS_r07 lands green, swap the
 # verified names out and promote the next 47 never-driver-tested
-# names (156 remain after r6; 148 oracle-backed + 8 rows-only),
-# continuing in this order (recomputed this round from the catalog
-# minus every CORRECTNESS_r01-r05 key). The five events_ names lead:
-# they yielded their r6 slots to the family representatives the
-# window-coverage contract requires (udf_/multimodal_/ml_/select_/
-# merge_ had no driver-green rows; events_ had eight slots):
-# events_did_estimate, events_ab_srm_check,
-# events_cohort_retention_matrix, events_peak_concurrency,
-# events_error_pchart,
-# events_log_histogram, orders_abc_classification,
-# doc_boilerplate_fraction, scalar_base64_hex, dedup_url_canonical,
-# dedup_paragraphs, doc_quality_classifier, corpus_kneser_ney_bigram,
-# tokenizer_bpe_train, tokenizer_bpe_fertility, events_cep_pattern,
-# doc_lang_id_trigram, events_window_funnel,
-# events_survival_km, orders_id_gaps, sample_poisson_bootstrap,
-# emb_ivf_balance, layout_compaction_plan,
-# scd2_asof_read, corpus_burstiness, join_asof_nearest,
-# emb_residual_energy, sample_stratified_neyman, stream_cep_live,
-# stream_sliding_live, sample_class_balanced, source_nested_pruning,
-# events_bot_detection, doc_chat_template, doc_span_corruption,
-# graph_link_prediction, doc_fim_transform, agg_weighted_median,
-# multimodal_tar_index, table_log_replay, events_changepoint_cusum,
-# scalar_bround, doc_filter_ensemble, incr_variance_merge,
-# emb_drift_psi, agg_higher_moments, events_daily_peaks,
+# names (109 remain after r7: 103 oracle-backed + 6 rows-only, each
+# rows-only name pinned by a driver-green value-checked contract
+# twin), continuing in this order (verified this round to be exactly
+# the catalog minus every CORRECTNESS_r01-r06 key minus the r7
+# window):
 # events_rate_limit_audit, orders_benford,
 # source_compression_roundtrip, events_rolling_features,
 # orders_seasonal_decompose, w2v_cooccurrence,
@@ -212,7 +198,9 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 
         wrapped.__name__ = fn.__name__
         wrapped.__doc__ = fn.__doc__
-        _REGISTRY[name] = Query(name, wrapped, oracle, (fn.__doc__ or "").strip())
+        _REGISTRY[name] = Query(
+            name, wrapped, oracle, (fn.__doc__ or "").strip(), fn.__module__
+        )
         return fn
 
     return deco

@@ -14,6 +14,40 @@ SF_ORACLE = "/root/testdata/sf0.01"
 REFERENCE_INPUT = "/root/reference/src/main/resources/input"
 
 
+def driver_records() -> dict[str, list[dict]]:
+    """Every per-name record from the committed CORRECTNESS_r*.json
+    files — the driver's own verification history. Window-composition
+    tests derive 'driver-tested' / 'driver-green' from these instead
+    of hardcoding name lists (ADVICE r6: a hardcoded exemption rots
+    silently when the catalog grows)."""
+    import json
+
+    out: dict[str, list[dict]] = {}
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for name, rec in json.loads(p.read_text()).items():
+            out.setdefault(name, []).append(rec)
+    return out
+
+
+def driver_tested() -> set[str]:
+    """Names the driver has ever run (green or not)."""
+    return set(driver_records())
+
+
+def driver_green() -> set[str]:
+    """Names with at least one fully value-green driver record
+    (rows + schema + hash all matched, no error)."""
+    return {
+        name
+        for name, recs in driver_records().items()
+        if any(
+            r.get("rows_match") and r.get("schema_match") and r.get("hash_match")
+            and not r.get("err")
+            for r in recs
+        )
+    }
+
+
 @pytest.fixture(scope="session")
 def spark():
     from mapreduce_word2vec_spark.session import get_spark

@@ -308,53 +308,46 @@ def test_operator_caches_released_between_catalog_queries(spark):
 
 def test_correctness_window_covers_all_families():
     """The driver hash-checks only the FIRST 50 registered queries, so
-    catalog order is verification budget: the round-6 window must be
-    exactly the priority list, every entry oracle-backed, composed of
-    never-driver-tested names (rounds 1–5 banked 228 distinct green
-    rows elsewhere) plus three known-green sentinels (≤3 per the
-    round-5 verdict while the backlog is deep), and at least one
-    member per §2.B family."""
+    catalog order is verification budget. Composition is checked
+    against the committed driver records (ADVICE r6 — derived, not
+    hardcoded): the window must be exactly the priority list; all but
+    the rows-only names oracle-backed; at most 3 slots spent on
+    already-driver-tested sentinels (and those must be GREEN, from >= 3
+    distinct families); every other slot a never-driver-tested name;
+    and any rows-only name in the window must have a driver-green
+    value-checked contract twin pinning its semantics."""
     from mapreduce_word2vec_spark.plans import catalog
+    from tests.conftest import driver_green, driver_tested
 
     qs = catalog.all_queries()
     names = list(qs)
     assert len(catalog._PRIORITY) == 50
     assert names[:50] == list(catalog._PRIORITY)
-    missing_oracle = [n for n in names[:50] if qs[n].oracle is None]
-    assert not missing_oracle, missing_oracle
-    # Green sentinels (r1–r5 verified) stay in as regression tripwires;
-    # every family keeps a representative inside the window.
-    for probe in (
-        # sentinels, driver-green in an earlier round
-        "doc_wordcount", "dedup_exact", "source_csv_roundtrip",
-        # the six round-5 contract queries lead the window
-        "brp_lsh_recall", "dedup_mllib_minhash_recall",
-        "knn_bruteforce_blas_parity", "w2v_synonyms_contract",
-        "ref_pipeline_contract", "doc_embedding_knn_contract",
-        # family representatives among the never-driver-tested names
-        "agg_trimmed_mean", "stats_chi2_independence",          # relational
-        "orders_otif_fulfillment", "orders_lorenz_curve",       # business KPIs
-        "join_asof_strict",                                     # joins
-        "doc_cdc_chunking", "doc_compression_ratio",            # text
-        "tokenizer_bpe_contract",                               # tokenizer
-        "stream_checkpoint_recovery", "stream_cep_bounded_live",# streaming
-        "events_interval_coalesce", "events_user_entropy",      # events
-        "emb_ood_mahalanobis", "emb_whitening",                 # embedding
-        "source_text_wholetext", "source_csv_multiline",        # sources
-        "graph_walk_pairs", "graph_assortativity",              # graph
-        "dedup_minhash_candidates", "dedup_boundary_overlap",   # dedup
-        "split_group_aware", "sample_weighted_reservoir",       # sampling
-        "sql_session_variable", "sql_scripting_loop",           # SQL surface
-        "scalar_surrogate_uuid", "scalar_ipv4_octets",          # scalar fns
-        "udf_cogrouped_map",                                    # UDF surface
-        "multimodal_scene_cuts",                                # multimodal
-        "ml_feature_hash_buckets",                              # ML-in-SQL
-        "select_quality_quantile",                              # selection
-        "merge_scd2",                                           # merge/upsert
-        "w2v_vocabulary",                                       # word2vec
-        "corpus_kl_divergence",                                 # corpus stats
-    ):
-        assert probe in names[:50], probe
+    window = names[:50]
+
+    tested, green = driver_tested(), driver_green()
+
+    # Sentinel budget: <= 3 already-tested names, each known-green.
+    sentinels = [n for n in window if n in tested]
+    assert 1 <= len(sentinels) <= 3, sentinels
+    assert all(n in green for n in sentinels), sentinels
+    assert len({n.split("_", 1)[0] for n in sentinels}) >= 3, sentinels
+
+    # Every non-sentinel slot buys a new driver row.
+    fresh = [n for n in window if n not in tested]
+    assert len(fresh) == 50 - len(sentinels)
+
+    # Rows-only window names ride on a driver-green contract twin.
+    rows_only = [n for n in window if qs[n].oracle is None]
+    twins = {
+        "tokenizer_bpe_train": "tokenizer_bpe_contract",
+        "tokenizer_bpe_fertility": "tokenizer_bpe_contract",
+    }
+    for n in rows_only:
+        assert n in twins and twins[n] in green, (
+            f"rows-only window name {n!r} lacks a driver-green "
+            "value-checked contract twin"
+        )
 
 
 def test_sample_bucket_overflow_safe(spark):

@@ -338,20 +338,34 @@ def test_compact_and_percentile_rollup_single_exchange(spark):
 
 def test_driver_window_spans_all_families(spark):
     """The driver's CORRECTNESS check covers only the FIRST 50
-    registrations — registration order is verification budget. Every
-    query family with names still awaiting a driver-green row must
-    keep >= 1 representative inside the window (exact composition
-    asserted in test_correctness_window_covers_all_families). udtf_
-    is exempt as of round 6: all three of its names are driver-green and a
-    window slot would cost a never-tested name a 4th sentinel (the
-    round-5 verdict caps sentinels at 3)."""
-    names = list(catalog.all_queries())[:50]
-    for prefix in ("dedup_", "knn_", "stream_", "udf_", "multimodal_",
-                   "source_", "emb_", "events_", "join_", "agg_",
-                   "doc_", "scalar_", "ml_", "graph_", "sql_",
-                   "sample_", "select_", "merge_"):
-        assert any(n.startswith(prefix) for n in names), prefix
-    assert "doc_wordcount" in names  # green sentinel, regression tripwire
+    registrations — registration order is verification budget. The
+    coverage rule is DERIVED from the committed driver records
+    (ADVICE r6: the old hardcoded prefix list + udtf_ exemption would
+    rot silently as families go fully green): any family with ZERO
+    driver-green names must keep >= 1 representative inside the
+    window; families that already banked a green row may yield all
+    their slots to the never-tested backlog. Exact window composition
+    is asserted in test_correctness_window_covers_all_families."""
+    from tests.conftest import driver_green
+
+    qs = catalog.all_queries()
+    window = list(qs)[:50]
+    green = driver_green()
+
+    # Family = the plans module that registered the query (recorded at
+    # registration; name prefixes are too granular — each TPC-H qN
+    # would count as its own family).
+    never_green_modules = {q.module for q in qs.values()} - {
+        qs[n].module for n in qs if n in green
+    }
+    for mod in sorted(never_green_modules):
+        assert any(qs[n].module == mod for n in window), (
+            f"module {mod!r} has no driver-green name yet and no "
+            "representative in the 50-slot window"
+        )
+    # And the budget is actually spent on verification: >= 45 of the
+    # 50 slots go to never-driver-green names.
+    assert sum(1 for n in window if n not in green) >= 45
 
 
 def test_salted_join_no_cartesian_and_bigram_no_self_join(spark):
@@ -559,18 +573,25 @@ def test_dau_wau_has_no_nested_loop(spark):
 def test_priority_window_names_all_registered_and_oracle_backed(spark):
     """all_queries() silently SKIPS unknown _PRIORITY names — a typo
     would shrink the driver's verified window without any failure.
-    Every priority name must resolve to a registered query, and all
-    but the two known no-oracle entries must carry an oracle (a
-    no-oracle query inside the window wastes a verified slot)."""
+    Every priority name must resolve to a registered query. A
+    rows-only (no-oracle) name gets only the driver's weaker
+    rows-check, so it may hold a window slot ONLY while clearing the
+    backlog of rows-only names whose value semantics are already
+    pinned by a driver-green contract twin (the r7 window carries the
+    two tokenizer_bpe_* names on tokenizer_bpe_contract's green row —
+    asserted in test_correctness_window_covers_all_families)."""
     from mapreduce_word2vec_spark.plans.catalog import _PRIORITY
 
     qs = catalog.all_queries()
-    known_no_oracle = set()
+    no_oracle = set()
     for name in _PRIORITY:
         assert name in qs, f"priority name {name!r} not registered"
         if qs[name].oracle is None:
-            known_no_oracle.add(name)
-    assert not known_no_oracle, f"no-oracle queries waste window slots: {known_no_oracle}"
+            no_oracle.add(name)
+    allowed = {"tokenizer_bpe_train", "tokenizer_bpe_fertility"}
+    assert no_oracle <= allowed, (
+        f"no-oracle queries waste window slots: {no_oracle - allowed}"
+    )
 
 
 def test_oracle_backed_schemas_are_driver_canonicalizable(spark):
