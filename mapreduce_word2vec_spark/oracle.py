@@ -73,7 +73,9 @@ def _duckdb_non_scalar_columns(rel) -> list[str]:
     return out
 
 
-def _canon_value(v):
+def _canon_value(v, sig_cutoff: float = None):
+    if sig_cutoff is None:
+        sig_cutoff = _SIG_CUTOFF
     if v is None:
         return None
     # pandas round-trip artifacts: NaT, numpy scalars, ndarray cells.
@@ -105,17 +107,17 @@ def _canon_value(v):
         # ~4e-14 relative summation-order noise the sf10 probe
         # measured. Below the threshold the canon is bit-for-bit the
         # driver's round(x, 6).
-        if abs(f) >= _SIG_CUTOFF:
+        if abs(f) >= sig_cutoff:
             return ("f", float(f"{f:.{SIG_DIGITS}g}"))
         return ("f", round(f, ROUND_DIGITS))
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
     if isinstance(v, np.ndarray):
-        return tuple(_canon_value(x) for x in v.tolist())
+        return tuple(_canon_value(x, sig_cutoff) for x in v.tolist())
     if isinstance(v, list):
-        return tuple(_canon_value(x) for x in v)
+        return tuple(_canon_value(x, sig_cutoff) for x in v)
     if isinstance(v, dict):
-        return tuple(sorted((k, _canon_value(x)) for k, x in v.items()))
+        return tuple(sorted((k, _canon_value(x, sig_cutoff)) for k, x in v.items()))
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if hasattr(v, "isoformat"):
@@ -123,9 +125,25 @@ def _canon_value(v):
     return v
 
 
-def canonicalize(cols: list[str], rows: list[tuple]) -> list[tuple]:
+def canonicalize(
+    cols: list[str], rows: list[tuple], sig_cutoff: float = None
+) -> list[tuple]:
+    """Canonical (column-sorted, row-sorted, float-rounded) form.
+
+    ``sig_cutoff`` overrides the magnitude at which float canon
+    switches from the driver's round(x, 6) to SIG_DIGITS significant
+    digits. Default (None -> _SIG_CUTOFF = 1e9) is DRIVER-STRICT and
+    is what every sf0.01/sf0.1 gate uses. Scale probes at sf >= 1 pass
+    1e7: reduction-order ULP noise on multi-million-row double sums
+    exceeds round(,6)'s 1e-6 quantum for |x| in [1e7, 1e9) (measured:
+    q17 at sf1 differs by exactly one quantum at 1.6e8), while the
+    12-significant-digit canon still resolves >= 1e-3 absolute there —
+    far below any semantic divergence. The driver itself never runs
+    above sf0.01, so the driver-strict guarantee is unaffected."""
+    if sig_cutoff is None:
+        sig_cutoff = _SIG_CUTOFF
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon_value(r[i]) for i in order) for r in rows]
+    out = [tuple(_canon_value(r[i], sig_cutoff) for i in order) for r in rows]
     out.sort(key=lambda r: tuple((x is None, str(x)) for x in r))
     return out
 
@@ -183,6 +201,7 @@ def compare(
     sql: str,
     con: duckdb.DuckDBPyConnection,
     max_report: int = 5,
+    sig_cutoff: float = None,
 ) -> OracleResult:
     mismatches: list[str] = []
     # Driver-parity precondition: its pandas sort_values crashes on
@@ -211,8 +230,8 @@ def compare(
         mismatches.append(f"columns differ: spark={sorted(s_cols)} oracle={sorted(o_cols)}")
         return OracleResult(name, len(s_rows), len(o_rows), False, mismatches)
 
-    sc = canonicalize(s_cols, s_rows)
-    oc = canonicalize(o_cols, o_rows)
+    sc = canonicalize(s_cols, s_rows, sig_cutoff)
+    oc = canonicalize(o_cols, o_rows, sig_cutoff)
     if len(sc) != len(oc):
         mismatches.append(f"row count {len(sc)} vs {len(oc)}")
     for i, (a, b) in enumerate(zip(sc, oc)):

@@ -3442,28 +3442,65 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific but the CONTRACT is oracle-checkable: at accuracy
     10000 the sketch guarantees rank error <= n/10000, so the estimate
     must land within the exact p±1% quantile band — asserted as
-    booleans next to the exact values."""
-    li = rt(spark, sf_dir, "lineitem")
-    agged = li.groupBy("l_returnflag").agg(
+    booleans next to the exact values.
+
+    The EXACT band values are computed scale-safely: Spark's exact
+    ``percentile`` aggregate buffers every value per group in task
+    memory (PercentileBase.update — it OOM'd the round-7 sf10 probe at
+    60M rows) so the exact arm is instead one distributed sort +
+    row_number window + continuous-rank interpolation
+    (v_lo + frac*(v_hi - v_lo) at rank 1 + q*(n-1), the same
+    definition percentile/quantile_cont use). Constant memory,
+    spillable sort — the shape that survives 100 TB. The GK sketch arm
+    is untouched (that one is mergeable by construction)."""
+    li = rt(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+
+    # Arm 1 (single agg pass): mergeable sketches + group counts.
+    sketch = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("exact_p50"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("exact_p99"),
-        F.percentile("l_extendedprice", F.lit(0.49)).alias("lo50"),
-        F.percentile("l_extendedprice", F.lit(0.51)).alias("hi50"),
-        F.percentile("l_extendedprice", F.lit(0.98)).alias("lo99"),
-        F.percentile("l_extendedprice", F.lit(1.0)).alias("hi99"),
+        F.count("*").alias("n"),
     )
-    return agged.select(
-        "l_returnflag",
-        "exact_p50",
-        "exact_p99",
-        ((F.col("a50") >= F.col("lo50")) & (F.col("a50") <= F.col("hi50"))).alias(
-            "p50_within_band"
-        ),
-        ((F.col("a99") >= F.col("lo99")) & (F.col("a99") <= F.col("hi99"))).alias(
-            "p99_within_band"
-        ),
+
+    # Arm 2 (sort pass): exact quantiles from bracketing ranks.
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w)).join(
+        F.broadcast(sketch.select("l_returnflag", "n")), "l_returnflag"
+    )
+    qs = {"q49": 0.49, "q50": 0.50, "q51": 0.51, "q98": 0.98, "q99": 0.99, "q100": 1.0}
+    v, rn = F.col("l_extendedprice"), F.col("rn")
+    aggs = []
+    for name, q in qs.items():
+        r = F.lit(1.0) + F.lit(q) * (F.col("n") - F.lit(1)).cast("double")
+        lo, hi, frac = F.floor(r), F.ceil(r), r - F.floor(r)
+        # v_lo*(1-frac) + v_hi*frac, assembled additively from the two
+        # bracketing rows (algebraically percentile's interpolation;
+        # any ulp-level difference from the a+(b-a)*f spelling is far
+        # inside the round(,6) canon at these ~1e5 magnitudes). When
+        # lo == hi the same row carries both weight terms.
+        aggs.append(
+            F.sum(
+                F.when(rn == lo, v * (F.lit(1.0) - frac))
+                .when(rn == hi, v * frac)
+                .otherwise(F.lit(0.0))
+                + F.when((rn == lo) & (lo == hi), v * frac).otherwise(F.lit(0.0))
+            ).alias(name)
+        )
+    exact = ranked.groupBy("l_returnflag").agg(*aggs)
+
+    return (
+        sketch.join(F.broadcast(exact), "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.round(F.col("q50"), 6).alias("exact_p50"),
+            F.round(F.col("q99"), 6).alias("exact_p99"),
+            ((F.col("a50") >= F.col("q49")) & (F.col("a50") <= F.col("q51"))).alias(
+                "p50_within_band"
+            ),
+            ((F.col("a99") >= F.col("q98")) & (F.col("a99") <= F.col("q100"))).alias(
+                "p99_within_band"
+            ),
+        )
     )
 
 

@@ -117,6 +117,38 @@ def test_detects_2e6_absolute_error_below_cutoff():
 
 
 # ---------------------------------------------------------------------------
+# Probe canon (sig_cutoff=1e7, used by sf >= 1 scale gates)
+# ---------------------------------------------------------------------------
+
+
+def _differs_probe(a_rows, b_rows):
+    return canonicalize(["v"], a_rows, sig_cutoff=1e7) != canonicalize(
+        ["v"], b_rows, sig_cutoff=1e7
+    )
+
+
+def test_probe_canon_tolerates_one_quantum_noise_at_1e8():
+    """The exact sf1 finding that motivated the probe cutoff: q17's
+    6M-row sum differs by ONE round(,6) quantum at 1.6e8 between
+    Spark's and DuckDB's reduction trees. Driver-strict canon must
+    flag it (that precision is real at driver row counts); the probe
+    canon must absorb it."""
+    a, b = 159852175.541428, 159852175.541429
+    assert _differs([(a,)], [(b,)])  # driver-strict: one quantum apart
+    assert not _differs_probe([(a,)], [(b,)])
+
+
+def test_probe_canon_still_detects_cent_errors():
+    """The probe canon's floor in the relaxed [1e7, 1e9) window: 12
+    significant digits resolve <= 1e-3 absolute there — an off-by-one-
+    cent semantic bug still fails everywhere the relaxation applies.
+    (Above 1e9 both canons are identical and the guaranteed floor is
+    the relative one pinned above.)"""
+    for mag in (1.6e7, 1.6e8, 9.9e8):
+        assert _differs_probe([(mag,)], [(mag + 0.01,)]), f"missed cent at {mag:g}"
+
+
+# ---------------------------------------------------------------------------
 # Structural mutations (row/column integrity)
 # ---------------------------------------------------------------------------
 
