@@ -3462,10 +3462,13 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
     )
 
-    # Arm 2 (sort pass): exact quantiles from bracketing ranks.
+    # Arm 2 (sort pass): exact quantiles from bracketing ranks. The
+    # group size n comes from a whole-partition count over the SAME
+    # window partitioning — no join back to arm 1 and no third scan of
+    # lineitem; both window functions share one shuffle + sort.
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = li.withColumn("rn", F.row_number().over(w)).join(
-        F.broadcast(sketch.select("l_returnflag", "n")), "l_returnflag"
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("l_returnflag"))
     )
     qs = {"q49": 0.49, "q50": 0.50, "q51": 0.51, "q98": 0.98, "q99": 0.99, "q100": 1.0}
     v, rn = F.col("l_extendedprice"), F.col("rn")
