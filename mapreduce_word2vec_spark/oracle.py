@@ -188,6 +188,46 @@ class OracleResult:
         return f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows}{extra}"
 
 
+def _float_quantum(m: float, sig_cutoff: float) -> float:
+    """Resolution of the canon at magnitude ``m``: the round(,6)
+    quantum below the cutoff, one unit in the SIG_DIGITS-th digit
+    at/above it."""
+    if m < sig_cutoff:
+        return 10.0 ** -ROUND_DIGITS
+    return 10.0 ** (math.floor(math.log10(m)) - (SIG_DIGITS - 1))
+
+
+def _rows_within_float_tolerance(a: tuple, b: tuple, sig_cutoff: float) -> bool:
+    """True when two canonical rows differ ONLY in float cells, each
+    within 1.5 quanta of its magnitude regime — the knife-edge case
+    where a value sits exactly on a rounding boundary and two correct
+    engines' reduction trees round one quantum apart. Used by probe
+    gates only; a 1.5-quantum band cannot absorb any perturbation the
+    mutation-tested detection floor promises to catch (cents below the
+    cutoff, >= 3 quanta everywhere)."""
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        if (
+            isinstance(x, tuple)
+            and isinstance(y, tuple)
+            and len(x) == 2
+            and len(y) == 2
+            and x[0] == "f"
+            and y[0] == "f"
+        ):
+            fx, fy = x[1], y[1]
+            if isinstance(fx, str) or isinstance(fy, str):  # NaN marker
+                return False
+            m = max(abs(fx), abs(fy))
+            if m > 0 and abs(fx - fy) <= 1.5 * _float_quantum(m, sig_cutoff):
+                continue
+        return False
+    return True
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -234,11 +274,37 @@ def compare(
     oc = canonicalize(o_cols, o_rows, sig_cutoff)
     if len(sc) != len(oc):
         mismatches.append(f"row count {len(sc)} vs {len(oc)}")
+    tolerated = 0
     for i, (a, b) in enumerate(zip(sc, oc)):
         if a != b:
+            # Probe gates only (sig_cutoff explicitly passed): a float
+            # landing EXACTLY on a rounding-quantum boundary makes two
+            # correct engines round one quantum apart (reduction-order
+            # ULP underneath — events_bot_detection at sf1 hit it on
+            # 2/15000 rows at |x|~3e4, i.e. 3e-11 relative). Accept
+            # rows whose only differences are float cells within 1.5
+            # quanta of their regime; everything else — and every
+            # driver-parity gate, which passes no sig_cutoff — stays
+            # exact-canonical.
+            if sig_cutoff is not None and _rows_within_float_tolerance(
+                a, b, sig_cutoff
+            ):
+                tolerated += 1
+                continue
             mismatches.append(f"row {i}: spark={a!r} oracle={b!r}")
             if len(mismatches) >= max_report:
                 break
+    if not mismatches and tolerated:
+        return OracleResult(
+            name,
+            len(s_rows),
+            len(o_rows),
+            True,
+            [
+                f"note: {tolerated} row(s) accepted within 1.5 float quanta "
+                "(probe tolerance, knife-edge rounding)"
+            ],
+        )
     return OracleResult(name, len(s_rows), len(o_rows), not mismatches, mismatches)
 
 

@@ -148,6 +148,31 @@ def test_probe_canon_still_detects_cent_errors():
         assert _differs_probe([(mag,)], [(mag + 0.01,)]), f"missed cent at {mag:g}"
 
 
+def test_probe_row_tolerance_absorbs_knife_edge_only():
+    """Probe gates additionally accept rows whose ONLY differences are
+    float cells within 1.5 canon quanta — the knife-edge case where a
+    value sits exactly on a rounding boundary and two correct engines
+    round one quantum apart (events_bot_detection at sf1: 2/15000 rows,
+    one 1e-6 quantum at |x|~3e4). The band must NOT absorb anything the
+    detection floor promises to catch."""
+    from mapreduce_word2vec_spark.oracle import _rows_within_float_tolerance as tol
+
+    cutoff = 1e7
+    # one-quantum knife-edge below the cutoff: absorbed
+    assert tol((("f", 31194.570962), ("i", 80)), (("f", 31194.570963), ("i", 80)), cutoff)
+    # a cent error: NOT absorbed
+    assert not tol((("f", 31194.57),), (("f", 31194.58),), cutoff)
+    # three quanta: NOT absorbed
+    assert not tol((("f", 31194.570962),), (("f", 31194.570965),), cutoff)
+    # one sig-digit quantum above the cutoff: absorbed
+    assert tol((("f", 2.7e11),), (("f", 2.7e11 + 0.1),), cutoff)
+    # int cells must be exact even when floats are tolerable
+    assert not tol((("f", 1.0), ("i", 80)), (("f", 1.0), ("i", 81)), cutoff)
+    # NULL vs value, type drift: never absorbed
+    assert not tol((None,), (("f", 0.0),), cutoff)
+    assert not tol((("i", 5),), (("f", 5.0),), cutoff)
+
+
 # ---------------------------------------------------------------------------
 # Structural mutations (row/column integrity)
 # ---------------------------------------------------------------------------
