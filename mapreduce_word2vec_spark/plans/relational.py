@@ -1071,19 +1071,27 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    `quantile_cont`; the sketch-based approx variant is
-    agg_approx_distinct's sibling and stays rows-only). The array-form
-    percentile is computed once per group; the output unpacks it to
-    scalar columns (driver-canonicalizable — raw arrays crash the
-    driver's pandas sort)."""
+    """Exact interpolated percentiles (≡ DuckDB `quantile_cont`; the
+    sketch-based approx variant is agg_approx_percentile). Computed by
+    `operators.quantiles.exact_quantiles` — one distributed sort per
+    value column + continuous-rank interpolation — NOT Spark's exact
+    `percentile` aggregate, which buffers every group value in task
+    memory and OOMs on unbounded groups (the round-7 sf10 lesson;
+    l_returnflag has 3 groups, the worst case). Two sorted value
+    columns → two sort passes, joined broadcast (3 rows each)."""
+    from mapreduce_word2vec_spark.operators.quantiles import exact_quantiles
+
     li = rt(spark, sf_dir, "lineitem")
-    q = F.percentile("l_quantity", F.lit([0.25, 0.5, 0.75]))
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.element_at(q, 1), 6).alias("qty_q25"),
-        F.round(F.element_at(q, 2), 6).alias("qty_q50"),
-        F.round(F.element_at(q, 3), 6).alias("qty_q75"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("median_price"),
+    qty = exact_quantiles(
+        li, "l_returnflag", "l_quantity", {"q25": 0.25, "q50": 0.5, "q75": 0.75}
+    )
+    price = exact_quantiles(li, "l_returnflag", "l_extendedprice", {"p50": 0.5})
+    return qty.join(F.broadcast(price), "l_returnflag").select(
+        "l_returnflag",
+        F.round("q25", 6).alias("qty_q25"),
+        F.round("q50", 6).alias("qty_q50"),
+        F.round("q75", 6).alias("qty_q75"),
+        F.round("p50", 6).alias("median_price"),
     )
 
 
@@ -2047,25 +2055,29 @@ def diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median absolute deviation of price per return flag — the
     robust spread statistic outlier filters use where stddev is
-    distorted by the very outliers being hunted. Two aggregation
-    passes (group median, then median of absolute deviations) with
-    the tiny per-group median table broadcast back. Exact
-    `percentile` here to stay oracle-comparable; the 100 TB plan is
-    identical with `approx_percentile` (t-digest sketch, mergeable,
-    no per-group value buffering)."""
+    distorted by the very outliers being hunted. Two passes (group
+    median, then median of absolute deviations) with the tiny
+    per-group median table broadcast back. Both medians are EXACT and
+    scale-safe via `operators.quantiles.exact_quantiles` (sort +
+    rank interpolation) — previously this used Spark's exact
+    `percentile` aggregate, whose per-group value buffering OOMs on
+    unbounded groups (the round-7 sf10 lesson); the sketch variant
+    (`approx_percentile`, mergeable t-digest-style) remains the
+    production default when ±1% rank error is acceptable."""
+    from mapreduce_word2vec_spark.operators.quantiles import exact_quantiles
+
     li = rt(spark, sf_dir, "lineitem")
-    med = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price")
+    med = exact_quantiles(li, "l_returnflag", "l_extendedprice", {"med_price": 0.5})
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "med_price",
+        F.abs(F.col("l_extendedprice") - F.col("med_price")).alias("adev"),
     )
-    return (
-        li.join(F.broadcast(med), "l_returnflag")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.any_value("med_price"), 6).alias("med_price"),
-            F.round(
-                F.expr("percentile(abs(l_extendedprice - med_price), 0.5)"), 6
-            ).alias("mad_price"),
-        )
+    mad = exact_quantiles(dev, "l_returnflag", "adev", {"mad": 0.5})
+    return med.join(F.broadcast(mad), "l_returnflag").select(
+        "l_returnflag",
+        F.round("med_price", 6).alias("med_price"),
+        F.round("mad", 6).alias("mad_price"),
     )
 
 
@@ -3444,52 +3456,31 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     must land within the exact p±1% quantile band — asserted as
     booleans next to the exact values.
 
-    The EXACT band values are computed scale-safely: Spark's exact
+    The EXACT band values are computed scale-safely by
+    ``operators.quantiles.exact_quantiles`` — Spark's exact
     ``percentile`` aggregate buffers every value per group in task
-    memory (PercentileBase.update — it OOM'd the round-7 sf10 probe at
-    60M rows) so the exact arm is instead one distributed sort +
-    row_number window + continuous-rank interpolation
-    (v_lo + frac*(v_hi - v_lo) at rank 1 + q*(n-1), the same
-    definition percentile/quantile_cont use). Constant memory,
+    memory (PercentileBase.update; it OOM'd the round-7 sf10 probe at
+    60M rows), so the exact arm is one distributed sort + row_number
+    + continuous-rank interpolation instead. Constant memory,
     spillable sort — the shape that survives 100 TB. The GK sketch arm
     is untouched (that one is mergeable by construction)."""
+    from mapreduce_word2vec_spark.operators.quantiles import exact_quantiles
+
     li = rt(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
 
-    # Arm 1 (single agg pass): mergeable sketches + group counts.
+    # Arm 1 (single agg pass): mergeable sketches.
     sketch = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("a50"),
         F.percentile_approx("l_extendedprice", F.lit(0.99), F.lit(10000)).alias("a99"),
-        F.count("*").alias("n"),
     )
 
-    # Arm 2 (sort pass): exact quantiles from bracketing ranks. The
-    # group size n comes from a whole-partition count over the SAME
-    # window partitioning — no join back to arm 1 and no third scan of
-    # lineitem; both window functions share one shuffle + sort.
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count("*").over(Window.partitionBy("l_returnflag"))
+    # Arm 2 (sort pass): exact quantiles from bracketing ranks.
+    exact = exact_quantiles(
+        li,
+        "l_returnflag",
+        "l_extendedprice",
+        {"q49": 0.49, "q50": 0.50, "q51": 0.51, "q98": 0.98, "q99": 0.99, "q100": 1.0},
     )
-    qs = {"q49": 0.49, "q50": 0.50, "q51": 0.51, "q98": 0.98, "q99": 0.99, "q100": 1.0}
-    v, rn = F.col("l_extendedprice"), F.col("rn")
-    aggs = []
-    for name, q in qs.items():
-        r = F.lit(1.0) + F.lit(q) * (F.col("n") - F.lit(1)).cast("double")
-        lo, hi, frac = F.floor(r), F.ceil(r), r - F.floor(r)
-        # v_lo*(1-frac) + v_hi*frac, assembled additively from the two
-        # bracketing rows (algebraically percentile's interpolation;
-        # any ulp-level difference from the a+(b-a)*f spelling is far
-        # inside the round(,6) canon at these ~1e5 magnitudes). When
-        # lo == hi the same row carries both weight terms.
-        aggs.append(
-            F.sum(
-                F.when(rn == lo, v * (F.lit(1.0) - frac))
-                .when(rn == hi, v * frac)
-                .otherwise(F.lit(0.0))
-                + F.when((rn == lo) & (lo == hi), v * frac).otherwise(F.lit(0.0))
-            ).alias(name)
-        )
-    exact = ranked.groupBy("l_returnflag").agg(*aggs)
 
     return (
         sketch.join(F.broadcast(exact), "l_returnflag")
@@ -7021,7 +7012,13 @@ def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_otif_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On-time-in-full rate and median order-to-ship cycle days per
-    order priority."""
+    order priority. The exact median comes from
+    `operators.quantiles.exact_quantiles` (sort + rank interpolation)
+    rather than Spark's exact `percentile` aggregate, which buffers
+    every group value in task memory — orders/5 values per group grows
+    unboundedly with the corpus (the round-7 sf10 lesson). per_order is
+    evaluated twice (count pass + sort pass); at cluster scale the
+    derived table would be cached or the sketch used instead."""
     o = rt(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_orderdate"
     )
@@ -7044,15 +7041,22 @@ def orders_otif_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("otif"),
         )
     )
-    return per_order.groupBy("o_orderpriority").agg(
+    from mapreduce_word2vec_spark.operators.quantiles import exact_quantiles
+
+    counts = per_order.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("n_orders"),
         F.count(F.when(F.col("otif"), 1)).cast("bigint").alias("n_otif"),
         F.round(
             F.count(F.when(F.col("otif"), 1)) * F.lit(1.0) / F.count("*"), 6
         ).alias("otif_rate"),
-        F.round(F.percentile("cycle_days", F.lit(0.5)), 6).alias(
-            "median_cycle_days"
-        ),
+    )
+    med = exact_quantiles(per_order, "o_orderpriority", "cycle_days", {"m": 0.5})
+    return counts.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "n_orders",
+        "n_otif",
+        "otif_rate",
+        F.round("m", 6).alias("median_cycle_days"),
     )
 
 

@@ -620,17 +620,28 @@ def incr_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily p50/p95/p99 rollup of `value` per event type — the
     observability/SLO aggregation every telemetry pipeline maintains.
-    Exact interpolated `percentile` here for oracle parity; at 100 TB
-    the drop-in is `approx_percentile` (KLL-style mergeable sketch, no
-    per-group value buffering), same grouping and plan shape."""
-    e = read_testdata(spark, sf_dir, "events")
-    return e.groupBy(
-        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(
-        F.count("*").alias("n"),
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    Exact interpolated quantiles via `operators.quantiles.
+    exact_quantiles` (sort + rank interpolation, bounded task state) —
+    per-group volume is per-day traffic, which grows without bound;
+    Spark's exact `percentile` aggregate buffers it all (the round-7
+    sf10 OOM class). `approx_percentile` (mergeable sketch) remains
+    the drop-in when ±1% rank error is acceptable."""
+    from mapreduce_word2vec_spark.operators.quantiles import exact_quantiles
+
+    e = read_testdata(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    counts = e.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    qv = exact_quantiles(
+        e, ["event_type", "day"], "value", {"q50": 0.5, "q95": 0.95, "q99": 0.99}
+    )
+    return counts.join(F.broadcast(qv), ["event_type", "day"]).select(
+        "event_type",
+        "day",
+        "n",
+        F.round("q50", 6).alias("p50"),
+        F.round("q95", 6).alias("p95"),
+        F.round("q99", 6).alias("p99"),
     )
 
 
@@ -779,11 +790,22 @@ def events_gap_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)) / 1_000_000.0
         ).alias("gap_s"),
     )
-    return g.groupBy("event_type").agg(
+    # Exact gap quantiles via the sort-based operator (5 groups, each
+    # scaling with total traffic — Spark's exact `percentile` buffers
+    # the whole group per task, the round-7 sf10 OOM class).
+    from mapreduce_word2vec_spark.operators.quantiles import exact_quantiles
+
+    counts = g.groupBy("event_type").agg(
         F.count("gap_s").cast("bigint").alias("n_gaps"),
         F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
-        F.round(F.percentile("gap_s", F.lit(0.5)), 6).alias("p50_gap_s"),
-        F.round(F.percentile("gap_s", F.lit(0.95)), 6).alias("p95_gap_s"),
+    )
+    qv = exact_quantiles(g, "event_type", "gap_s", {"q50": 0.5, "q95": 0.95})
+    return counts.join(F.broadcast(qv), "event_type").select(
+        "event_type",
+        "n_gaps",
+        "mean_gap_s",
+        F.round("q50", 6).alias("p50_gap_s"),
+        F.round("q95", 6).alias("p95_gap_s"),
     )
 
 
@@ -1061,11 +1083,25 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = per.where(F.col("t_purchase") >= F.col("t_click")).select(
         ttc.alias("ttc_s")
     )
-    return conv.agg(
+    # GLOBAL exact quantiles: the worst case for Spark's exact
+    # `percentile` (one group = the whole converted-user table in one
+    # task's buffer, the round-7 sf10 OOM class) — and the grouped
+    # sort operator can't help either (no partition key = single-task
+    # sort). `exact_quantiles_global` does the two-phase selection:
+    # sketch-bounded value brackets, then an exact rank walk over the
+    # brackets' collapsed (value, count) pairs.
+    from mapreduce_word2vec_spark.operators.quantiles import exact_quantiles_global
+
+    counts = conv.agg(
         F.count("*").cast("bigint").alias("n_converted"),
-        F.round(F.percentile("ttc_s", F.lit(0.5)), 6).alias("p50_s"),
-        F.round(F.percentile("ttc_s", F.lit(0.9)), 6).alias("p90_s"),
         F.round(F.avg("ttc_s"), 6).alias("mean_s"),
+    )
+    qv = exact_quantiles_global(conv, "ttc_s", {"q50": 0.5, "q90": 0.9})
+    return counts.crossJoin(F.broadcast(qv)).select(
+        "n_converted",
+        F.round("q50", 6).alias("p50_s"),
+        F.round("q90", 6).alias("p90_s"),
+        "mean_s",
     )
 
 

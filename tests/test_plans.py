@@ -327,13 +327,19 @@ def test_q21_single_lineitem_scan_shared_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_compact_and_percentile_rollup_single_exchange(spark):
-    """CDC compaction and the SLO percentile rollup each hash their
-    input exactly once (window rank / partial+final percentile)."""
+def test_compact_and_percentile_rollup_plan_shapes(spark):
+    """CDC compaction hashes its input exactly once (window rank).
+    The SLO percentile rollup's exact quantiles come from the
+    sort-based operator (round 7: Spark's exact `percentile` aggregate
+    buffers every group value in task memory and OOM'd the sf10 probe)
+    — two hash exchanges (count agg + quantile sort), a broadcast join
+    stitching them, and NO exact Percentile aggregate anywhere."""
     assert _plan(spark, "events_compact_last").count("Exchange hashpartitioning") == 1
     plan = _plan(spark, "events_latency_percentiles")
-    assert plan.count("Exchange hashpartitioning") == 1
-    assert "partial_percentile" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_percentile" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_driver_window_spans_all_families(spark):
@@ -612,6 +618,45 @@ def test_oracle_backed_schemas_are_driver_canonicalizable(spark):
         if cols:
             bad[name] = cols
     assert not bad, f"non-scalar outputs would fail the driver: {bad}"
+
+
+def test_no_unbounded_exact_percentile_aggregates(spark):
+    """Spark's exact `percentile` aggregate keeps EVERY value of a
+    group in task memory (PercentileBase.update) — it OOM'd the
+    round-7 sf10 probe at a 60M-row group and is fatal on any
+    unbounded group at 100 TB. Catalog rule: exact quantiles on
+    unbounded groups go through operators/quantiles.py (sort + rank
+    interpolation, or the two-phase global selection); the sketch
+    (`percentile_approx`) is the mergeable default. The ONLY allowed
+    exact-percentile call sites are bounded-frame window uses, where
+    state is the frame, not the group."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "mapreduce_word2vec_spark"
+    allowed = {
+        # rolling 7-row frame: state bounded by the frame
+        ("plans/relational.py", "window_moving_median"),
+    }
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        text = py.read_text()
+        for m in re.finditer(
+            r"F\.percentile\(|F\.expr\(\s*[\"'][^\"']*\bpercentile\(", text
+        ):
+            # attribute the hit to the enclosing def for the allow-list
+            defs = [
+                (d.start(), d.group(1))
+                for d in re.finditer(r"def (\w+)\(", text[: m.start()])
+            ]
+            fn = defs[-1][1] if defs else "<module>"
+            if (rel, fn) not in allowed:
+                offenders.append((rel, fn))
+    assert not offenders, (
+        f"exact percentile aggregate on a potentially unbounded group: "
+        f"{offenders} — use operators.quantiles or percentile_approx"
+    )
 
 
 def test_lateral_topn_decorrelates_to_window(spark):
