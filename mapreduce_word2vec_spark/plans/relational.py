@@ -2610,22 +2610,34 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_distinct_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct-user count per event type (audience-reach
-    curve). Spark windows reject DISTINCT aggregates; the standard
-    rewrite is size(collect_set()) over the frame — order-insensitive
-    (set semantics), so no tie-break fragility. Scale note: the set
-    state grows with cardinality; the 100 TB variant swaps in an HLL
-    sketch column (agg_hll_sketch's path) at the same plan shape."""
-
+    curve). Spark windows reject DISTINCT aggregates; the naive
+    rewrite, size(collect_set() OVER frame), keeps an O(distinct
+    users) set in the window operator's state — the same
+    unbounded-state class as the round-7 exact-percentile OOM. The
+    EXACT O(1)-state formulation used here: a user contributes to the
+    cumulative distinct count from their FIRST event onward, so mark
+    each row that is the first occurrence of its (event_type, user_id)
+    and take a running SUM of the 0/1 flag. Two window passes (one
+    per-user ranking, one running sum) instead of one, constant state,
+    bit-identical to count(DISTINCT) cumulative — no HLL approximation
+    needed even at 100 TB."""
     ev = rt(spark, sf_dir, "events")
-    w = (
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    w_cum = (
         Window.partitionBy("event_type")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return ev.select(
+    flagged = ev.select(
         "event_id",
         "event_type",
-        F.size(F.collect_set("user_id").over(w)).cast("bigint").alias("distinct_users"),
+        "ts",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias("is_first"),
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        F.sum("is_first").over(w_cum).cast("bigint").alias("distinct_users"),
     )
 
 
