@@ -107,9 +107,16 @@ def _canon_value(v, sig_cutoff: float = None):
         # ~4e-14 relative summation-order noise the sf10 probe
         # measured. Below the threshold the canon is bit-for-bit the
         # driver's round(x, 6).
+        # Negative zero: round(-1e-9, 6) is -0.0, which is == 0.0 for
+        # row EQUALITY but str()-sorts to a different position in the
+        # canonical row SORT — an internal inconsistency that misaligns
+        # equal multisets and cascades into bogus mismatches (caught at
+        # sf1: emb_normalize, one engine's tiny negative rounding to
+        # -0.0 against the other's +0.0). Adding 0.0 maps -0.0 -> +0.0
+        # (IEEE) and is a no-op for every other value.
         if abs(f) >= sig_cutoff:
-            return ("f", float(f"{f:.{SIG_DIGITS}g}"))
-        return ("f", round(f, ROUND_DIGITS))
+            return ("f", float(f"{f:.{SIG_DIGITS}g}") + 0.0)
+        return ("f", round(f, ROUND_DIGITS) + 0.0)
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
     if isinstance(v, np.ndarray):

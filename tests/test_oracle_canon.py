@@ -211,6 +211,23 @@ def test_null_vs_zero_and_nan_semantics():
     assert _differs([(float("nan"),)], [(0.0,)])
 
 
+def test_negative_zero_is_normalized():
+    """-0.0 == 0.0 for equality but str()-sorts differently — without
+    normalization, equal multisets containing a -0.0 (one engine's
+    tiny negative rounding down, the other's +0.0) misalign in the
+    canonical row sort and cascade into bogus mismatches (the sf1
+    emb_normalize finding). The canon must map both to +0.0,
+    including tiny values that ROUND to -0.0."""
+    assert not _differs([(-0.0,)], [(0.0,)])
+    assert not _differs([(-1e-9,)], [(0.0,)])  # rounds to -0.0 pre-fix
+    # ...and multisets mixing signs of zero with nearby values align:
+    a = [(-1e-9,), (-0.0001,)]
+    b = [(0.0,), (-0.0001,)]
+    assert not _differs(a, b)
+    canon = canonicalize(["v"], [(-1e-9,)])
+    assert str(canon[0][0]) == "('f', 0.0)"
+
+
 # ---------------------------------------------------------------------------
 # Cutoff placement invariants
 # ---------------------------------------------------------------------------
