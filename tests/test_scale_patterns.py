@@ -334,3 +334,60 @@ def test_aqe_skew_join_splits_hot_partition(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_per_user_fold_family_under_extreme_skew(spark):
+    """The per-user ordered-fold queries (CEP symbol strings, token-
+    bucket replay, last-state compaction, session windows) carry their
+    state as one array/aggregate per user — the uniform generators
+    give ~7 events/user at smoke scale, so skew never gets exercised.
+    Rebuild the events table with ONE user holding 50% of all rows
+    (the 100 TB hot-key shape) and re-run the full Spark-vs-DuckDB
+    value compare for the family: plans must neither wrong-answer nor
+    depend on per-key uniformity. (Memory boundedness at volume is
+    covered by the sf1/sf10 gate probes; this pins value correctness
+    under the skew those probes' uniform generators cannot produce.)
+    """
+    import os
+
+    from mapreduce_word2vec_spark.oracle import compare, duckdb_connection
+    from mapreduce_word2vec_spark.plans import catalog
+    from mapreduce_word2vec_spark.sources.readers import TESTDATA_TABLES
+
+    d = tempfile.mkdtemp(prefix="skew_events_")
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        # Every other row lands on user 1 → a single user owns half
+        # the corpus; remaining rows keep their original users.
+        con.execute(
+            f"""
+            COPY (
+              SELECT event_id, ts,
+                     CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END
+                       AS user_id,
+                     event_type, value, props
+              FROM '{SF_SMOKE}/events.parquet'
+            ) TO '{d}/events.parquet' (FORMAT PARQUET)
+            """
+        )
+        con.close()
+        for t in TESTDATA_TABLES:
+            if t != "events":
+                os.symlink(f"{SF_SMOKE}/{t}.parquet", f"{d}/{t}.parquet")
+
+        oracle_con = duckdb_connection(d)
+        qs = catalog.all_queries()
+        for name in (
+            "events_cep_pattern",
+            "events_rate_limit_audit",
+            "events_compact_last",
+            "stream_session_live",
+            "stream_session_dynamic_gap",
+        ):
+            q = qs[name]
+            res = compare(name, q.fn(spark, d), q.oracle, oracle_con)
+            assert res.match, f"{name} under skew: {res}"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
