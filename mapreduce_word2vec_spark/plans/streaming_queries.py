@@ -1503,13 +1503,14 @@ def stream_session_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- complex-event-processing pattern match ---------------------------
-# MATCH_RECOGNIZE-lite: per-user event streams compiled to a compact
-# symbol string (one char per event, (ts, event_id)-ordered), then a
-# regex counts pattern occurrences. Lazy quantifiers keep matching
-# non-overlapping-leftmost in BOTH engines (java.util.regex and RE2
-# agree on leftmost-first semantics). At 100 TB the per-user sequence
-# build is one hash exchange; sequences are session-sized, the regex
-# is row-local.
+# MATCH_RECOGNIZE-lite: per-user event streams scanned in
+# (ts, event_id) order by the pattern's 3-state DFA. Lazy quantifiers
+# keep matching non-overlapping-leftmost in BOTH engines (the DuckDB
+# oracle still counts via the regex over the aggregated symbol
+# string; java.util.regex and RE2 agree on leftmost-first semantics).
+# At 100 TB the engine side is one hash exchange + a spillable sort +
+# an O(1)-state streamed fold (operators/ordered_fold.py) — no
+# per-user sequence cell anywhere.
 #
 # The pattern and symbol alphabet are imported from streaming.windows
 # (the stateful CEP operator) so the batch queries, both oracles, and
@@ -1562,27 +1563,65 @@ def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CEP pattern counting (MATCH_RECOGNIZE-lite): conversions per
     user = non-overlapping 'view then click then purchase with no
     intervening error' matches over the (ts, event_id)-ordered
-    per-user symbol string."""
+    per-user symbol stream.
+
+    The lazy-leftmost regex ``v[^e]*?c[^e]*?p`` over the symbol string
+    is exactly a 3-state DFA scan (lazy quantifiers end each match at
+    the FIRST p after the FIRST c after a v; 'e' resets; counting
+    resumes after each match end — the non-overlapping semantics both
+    regex engines implement), so instead of buffering each user's
+    whole symbol string in one aggregate cell (hot-key OOM at 100 TB)
+    the count folds over the sorted stream with O(1) state via
+    ``per_key_ordered_fold`` — memory is bounded by the Arrow batch,
+    the sort spills, and values are bit-identical to the regex
+    formulation (equivalence fuzz-pinned in tests/test_streaming_edges
+    and by this query's standing DuckDB regex oracle)."""
+    from mapreduce_word2vec_spark.operators.ordered_fold import (
+        per_key_ordered_fold,
+    )
+
     ev = read_testdata(spark, sf_dir, "events")
     sym = ev.select("user_id", "ts", "event_id", _cep_symbol_col().alias("ch"))
-    seq = sym.groupBy("user_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("ts", "event_id", "ch"))
-                ),
-                lambda s: s["ch"],
-            ),
-            "",
-        ).alias("s")
+
+    return per_key_ordered_fold(
+        sym,
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        val_cols=("ch",),
+        out_schema="user_id bigint, seq_len bigint, n_conversions bigint",
+        out_cols=("user_id", "seq_len", "n_conversions"),
+        init=_cep_init,
+        step=_cep_step,
+        emit=_cep_emit,
     )
-    return seq.select(
-        "user_id",
-        F.length("s").cast("bigint").alias("seq_len"),
-        F.regexp_count(F.col("s"), F.lit(_CEP_PATTERN)).cast("bigint").alias(
-            "n_conversions"
-        ),
-    )
+
+
+def _cep_init() -> tuple:
+    # (dfa_state: 0 idle / 1 seen-v / 2 seen-v..c, n_events, n_matches)
+    return (0, 0, 0)
+
+
+def _cep_step(st: tuple, ch: str) -> tuple:
+    s, n, c = st
+    if s == 0:
+        if ch == "v":
+            s = 1
+    elif s == 1:
+        if ch == "e":
+            s = 0
+        elif ch == "c":
+            s = 2
+    else:
+        if ch == "e":
+            s = 0
+        elif ch == "p":
+            s = 0
+            c += 1
+    return (s, n + 1, c)
+
+
+def _cep_emit(key, st: tuple) -> tuple:
+    return (int(key), st[1], st[2])
 
 
 # --- time-bounded window funnel (ClickHouse windowFunnel parity) ------
@@ -2224,10 +2263,11 @@ def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- token-bucket rate-limit audit ----------------------------------------
 # "How many of these requests WOULD a 10-per-minute token bucket have
 # rejected?" — the capacity-planning replay every gateway team runs.
-# The bucket is inherently sequential per user, so the per-user event
-# times pack into an array (session-bounded) and the bucket runs as a
-# deterministic list fold with a [last_ts, tokens, n_rejected] state
-# vector — the same aggregate-then-fold shape as the CUSUM detector.
+# The bucket is inherently sequential per user, with a constant
+# [last_ts, tokens, n_rejected] state vector — so it streams over the
+# (ts, event_id)-sorted per-user rows via per_key_ordered_fold
+# (O(arrow-batch) memory; the DuckDB oracle keeps the list_reduce
+# fold, which is fine oracle-side where corpora are gate-sized).
 
 _RL_CAP = 10.0
 _RL_RATE_PER_US = 10.0 / 60e6  # 10 tokens per minute
@@ -2269,45 +2309,67 @@ _RL_RATE_PER_US = 10.0 / 60e6  # 10 tokens per minute
 )
 def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Replay a 10/minute token bucket over each user's event stream:
-    rejected-request count and final token level, as a list fold over
-    the (ts, event_id)-ordered packed times."""
+    rejected-request count and final token level.
+
+    The bucket is a non-associative O(1)-state recurrence (last_ts,
+    tokens, n_rejected), so it folds over the (ts, event_id)-sorted
+    per-user stream via ``per_key_ordered_fold`` instead of packing
+    each user's full history into one aggregate cell (hot-key OOM at
+    100 TB). Python doubles are IEEE-754 with the identical operation
+    order (min(cap, tok + Δus·rate)), so the values are bit-identical
+    to the previous F.aggregate HOF fold; the DuckDB list_reduce
+    oracle is unchanged."""
+    from mapreduce_word2vec_spark.operators.ordered_fold import (
+        per_key_ordered_fold,
+    )
+
     ev = read_testdata(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("us"), "event_id"
     )
-    packed = ev.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("us", "event_id"))),
-            lambda s: F.array(s["us"].cast("double"), F.lit(0.0), F.lit(0.0)),
-        ).alias("evs")
+    return per_key_ordered_fold(
+        ev,
+        key_col="user_id",
+        order_cols=("us", "event_id"),
+        val_cols=("us",),
+        out_schema=(
+            "user_id bigint, n_events bigint, n_rejected bigint, "
+            "tokens_left double"
+        ),
+        out_cols=("user_id", "n_events", "n_rejected", "tokens_left"),
+        init=_rl_init,
+        step=_rl_step,
+        emit=_rl_emit,
     )
-    cap = F.lit(_RL_CAP)
-    rate = F.lit(_RL_RATE_PER_US)
-    first = F.element_at("evs", 1)
-    init = F.array(F.element_at(first, 1), cap - 1.0, F.lit(0.0))
 
-    def step(acc, x):
-        refill = F.least(cap, F.element_at(acc, 2) + (F.element_at(x, 1) - F.element_at(acc, 1)) * rate)
-        allowed = refill >= 1.0
-        return F.array(
-            F.element_at(x, 1),
-            F.when(allowed, refill - 1.0).otherwise(refill),
-            F.element_at(acc, 3) + F.when(allowed, 0.0).otherwise(1.0),
-        )
 
-    st = F.aggregate(
-        F.slice("evs", 2, F.size("evs") - 1), init, step
+def _rl_init():
+    # None until the first event; then (last_us, tokens, n_rej, n).
+    return None
+
+
+def _rl_step(st, us) -> tuple:
+    usf = float(us)
+    if st is None:
+        # First request always admits: bucket starts full.
+        return (usf, _RL_CAP - 1.0, 0, 1)
+    last, tok, rej, n = st
+    refill = min(_RL_CAP, tok + (usf - last) * _RL_RATE_PER_US)
+    if refill >= 1.0:
+        return (usf, refill - 1.0, rej, n + 1)
+    return (usf, refill, rej + 1, n + 1)
+
+
+def _rl_emit(key, st: tuple) -> tuple:
+    # Spark's F.round is BigDecimal(double).setScale(6, HALF_UP) on the
+    # EXACT binary value; Python's round() is half-even. Decimal(float)
+    # reproduces Spark bit-for-bit (a dyadic double like 2^-7 IS an
+    # exact .xxxxxx5 halfway case, where the two rules differ).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    tokens = float(
+        Decimal(st[1]).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
     )
-    folded = packed.select(
-        "user_id",
-        F.size("evs").cast("bigint").alias("n_events"),
-        st.alias("st"),
-    )
-    return folded.select(
-        "user_id",
-        "n_events",
-        F.element_at("st", 3).cast("bigint").alias("n_rejected"),
-        F.round(F.element_at("st", 2), 6).alias("tokens_left"),
-    )
+    return (int(key), st[3], st[2], tokens)
 
 
 # --- feature-store rolling features -----------------------------------------
@@ -3722,18 +3784,16 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The alert debounce every on-call rotation demands: the alarm ARMS
 # only after 3 consecutive errors and DISARMS only after 2
 # consecutive successes — single successes inside an incident do not
-# flap it closed. The per-user event sequence run-length-encodes into
-# a (is_error, run_len) list (one window exchange), and the state
-# machine is a SEQUENTIAL ARRAY FOLD over the runs — the batch twin
-# of the streaming CEP DFA, deterministic by construction. Spark runs
-# it as an F.aggregate HOF fold with a 3-int accumulator
-# [armed, episodes, events_in_alarm]; the oracle replays it as a
-# depth-bounded RECURSIVE walk over indexed runs, because DuckDB
-# 1.0's list_reduce mis-folds multi-row batches whose accumulator
-# width differs from the element width (repro pinned in SCALE.md) —
-# single-row folds were correct, which made it a silent wrong-answer
-# bug, caught only by this value oracle. State per user is O(runs),
-# never the raw sequence.
+# flap it closed. The state machine consumes runs of consecutive
+# equal symbols; Spark streams it over the sorted per-user rows with
+# per_key_ordered_fold carrying [armed, episodes, events_in_alarm]
+# plus the open run's (symbol, length) — O(1) state, no per-user
+# list cell. The oracle replays the SAME run transitions as a
+# depth-bounded RECURSIVE walk over window-RLE-indexed runs, because
+# DuckDB 1.0's list_reduce mis-folds multi-row batches whose
+# accumulator width differs from the element width (repro pinned in
+# SCALE.md) — single-row folds were correct, which made it a silent
+# wrong-answer bug, caught only by this value oracle.
 
 
 @register(
@@ -3791,9 +3851,21 @@ def events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flap-suppressed alerting per user: arm after 3 consecutive
-    errors, disarm after 2 consecutive successes — run-length encode,
-    then one deterministic array fold."""
-    from pyspark.sql import Window
+    errors, disarm after 2 consecutive successes.
+
+    The state machine consumes RUNS of consecutive equal symbols, so
+    the fold tracks (armed, episodes, events_in_alarm) plus the
+    current run's (symbol, length) — still O(1) — and applies the run
+    transition at each symbol change, folding directly over the
+    (ts, event_id)-sorted event stream via ``per_key_ordered_fold``.
+    The previous shape (window RLE → collect_list per user →
+    F.aggregate) buffered O(runs-per-user) in one aggregate cell —
+    unbounded on a hot flapping key at 100 TB. Integer arithmetic;
+    values bit-identical. The DuckDB recursive-walk oracle is
+    unchanged (list_reduce itself mis-folds there — SCALE.md)."""
+    from mapreduce_word2vec_spark.operators.ordered_fold import (
+        per_key_ordered_fold,
+    )
 
     ev = read_testdata(spark, sf_dir, "events").select(
         "user_id",
@@ -3801,57 +3873,52 @@ def events_alert_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
     )
-    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_typ = Window.partitionBy("user_id", "is_err").orderBy("ts", "event_id")
-    runs = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "is_err",
-        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    return per_key_ordered_fold(
+        ev,
+        key_col="user_id",
+        order_cols=("ts", "event_id"),
+        val_cols=("is_err",),
+        out_schema=(
+            "user_id bigint, n_episodes bigint, events_in_alarm bigint, "
+            "still_armed boolean"
+        ),
+        out_cols=("user_id", "n_episodes", "events_in_alarm", "still_armed"),
+        init=_hyst_init,
+        step=_hyst_step,
+        emit=_hyst_emit,
     )
-    rle = runs.groupBy("user_id", "is_err", "grp").agg(
-        F.min(F.struct("ts", "event_id")).alias("ord"),
-        F.count("*").cast("bigint").alias("len"),
-    )
-    seq = rle.groupBy("user_id").agg(
-        F.transform(
-            F.array_sort(
-                F.collect_list(F.struct("ord", F.col("is_err").cast("bigint").alias("ie"), "len"))
-            ),
-            lambda s: F.array(s.getField("ie"), s.getField("len")),
-        ).alias("rl")
-    )
-    def step(acc, x):
-        ie, ln = F.element_at(x, 1), F.element_at(x, 2)
-        armed, eps, ev_ = (
-            F.element_at(acc, 1),
-            F.element_at(acc, 2),
-            F.element_at(acc, 3),
-        )
-        arm_new = (ie == 1) & (armed == 0) & (ln >= 3)
-        stay = (ie == 1) & (armed == 1)
-        disarm = (ie == 0) & (armed == 1) & (ln >= 2)
-        gap = (ie == 0) & (armed == 1) & (ln < 2)
-        return (
-            F.when(arm_new, F.array(F.lit(1).cast("bigint"), eps + 1, ev_ + ln - 2))
-            .when(stay, F.array(F.lit(1).cast("bigint"), eps, ev_ + ln))
-            .when(disarm, F.array(F.lit(0).cast("bigint"), eps, ev_ + 1))
-            .when(gap, F.array(F.lit(1).cast("bigint"), eps, ev_ + 1))
-            .otherwise(acc)
-        )
 
-    folded = seq.select(
-        "user_id",
-        F.aggregate(
-            "rl",
-            F.array(F.lit(0), F.lit(0), F.lit(0)).cast("array<bigint>"),
-            step,
-        ).alias("st"),
-    )
-    return folded.select(
-        "user_id",
-        F.element_at("st", 2).alias("n_episodes"),
-        F.element_at("st", 3).alias("events_in_alarm"),
-        (F.element_at("st", 1) == 1).alias("still_armed"),
-    )
+
+def _hyst_init() -> tuple:
+    # (armed, episodes, events_in_alarm, current_run_symbol, run_len);
+    # symbol -1 = no run open yet.
+    return (0, 0, 0, -1, 0)
+
+
+def _hyst_run_end(armed: int, eps: int, ev: int, ie: int, ln: int) -> tuple:
+    if ie == 1 and armed == 0 and ln >= 3:
+        return (1, eps + 1, ev + ln - 2)
+    if ie == 1 and armed == 1:
+        return (1, eps, ev + ln)
+    if ie == 0 and armed == 1 and ln >= 2:
+        return (0, eps, ev + 1)
+    if ie == 0 and armed == 1:
+        return (1, eps, ev + 1)
+    return (armed, eps, ev)
+
+
+def _hyst_step(st: tuple, is_err) -> tuple:
+    armed, eps, ev, cie, cln = st
+    ie = int(is_err)
+    if ie == cie:
+        return (armed, eps, ev, cie, cln + 1)
+    if cln:
+        armed, eps, ev = _hyst_run_end(armed, eps, ev, cie, cln)
+    return (armed, eps, ev, ie, 1)
+
+
+def _hyst_emit(key, st: tuple) -> tuple:
+    armed, eps, ev, cie, cln = st
+    if cln:
+        armed, eps, ev = _hyst_run_end(armed, eps, ev, cie, cln)
+    return (int(key), eps, ev, armed == 1)

@@ -828,10 +828,13 @@ def test_kneser_ney_reuses_cached_counts_and_takeordered(spark):
 
 
 def test_cep_pattern_single_user_exchange(spark):
-    """CEP = one hash exchange (per-user sequence agg); the regex is
-    row-local; no window, no join."""
+    """CEP = one hash exchange + spillable sort + O(1)-state streamed
+    DFA fold (MapInPandas); no per-user sequence aggregate, no join."""
     plan = _plan(spark, "events_cep_pattern")
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+    assert "Sort " in plan
+    assert "collect_list" not in plan
     assert "Join" not in plan
 
 
@@ -1081,10 +1084,24 @@ def test_daily_peaks_window_on_day_aggregate(spark):
 
 
 def test_rate_limit_fold_single_user_exchange(spark):
-    """Bucket replay = one user-keyed exchange (the pack aggregate);
-    the fold itself is row-local."""
+    """Bucket replay = one user-keyed exchange + spillable sort +
+    O(1)-state streamed fold; no per-user packed-array aggregate."""
     plan = _plan(spark, "events_rate_limit_audit")
     assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+    assert "collect_list" not in plan
+    assert "Join" not in plan
+
+
+def test_hysteresis_fold_no_per_user_buffering(spark):
+    """The flap-suppression replay must stream (ordered_fold), never
+    re-grow a per-user RLE list cell: one user-keyed exchange, a
+    MapInPandas fold, and no collect_list / window RLE stages."""
+    plan = _plan(spark, "events_alert_hysteresis")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in plan
+    assert "collect_list" not in plan
+    assert "row_number" not in plan
     assert "Join" not in plan
 
 

@@ -152,3 +152,54 @@ def test_multimodal_degenerate_payloads(tmp_path, spark):
         "multimodal_frames",
     ):
         _run(spark, sf, name)
+
+
+def test_cep_dfa_equals_lazy_regex_on_fuzzed_symbol_strings():
+    """The batch CEP rewrite replaced regexp_count over the per-user
+    symbol string with an O(1)-state DFA scan (operators/ordered_fold
+    carries it over the sorted stream). Pin the equivalence the
+    rewrite's correctness rests on: for ANY symbol string, the DFA's
+    match count equals non-overlapping leftmost matching of the lazy
+    pattern v[^e]*?c[^e]*?p — the semantics regexp_count (engine) and
+    regexp_extract_all (oracle) both implement. 20k fuzzed strings
+    plus the adversarial greedy-vs-lazy shapes."""
+    import random
+    import re
+
+    from mapreduce_word2vec_spark.plans.streaming_queries import (
+        _cep_init,
+        _cep_step,
+    )
+    from mapreduce_word2vec_spark.streaming.windows import CEP_PATTERN
+
+    rx = re.compile(CEP_PATTERN)
+
+    def dfa_count(s: str) -> int:
+        st = _cep_init()
+        for ch in s:
+            st = _cep_step(st, ch)
+        assert st[1] == len(s)
+        return st[2]
+
+    cases = [
+        "",
+        "p",
+        "vcp",
+        "vcpcp",      # lazy: 1 match, suffix has no v
+        "vcpvcp",     # lazy: 2; greedy would glue them into 1
+        "vcvep",      # e between the 2nd v's c-path: 0
+        "vvecp",      # e before any c: 0
+        "vscp",       # s is consumed by [^e]*?: 1
+        "vcpp",       # second p unmatched: 1
+        "vvcpcpp",    # leftmost v anchors; then cpp has no v: 1
+        "vcecp",      # e kills the open match; no v after: 0
+        "vcevcp",     # reset then full match: 1
+    ]
+    rng = random.Random(0xCE9)
+    for n in (1, 2, 3, 5, 8, 13, 40):
+        for _ in range(20_000 // (7 * n) + 50):
+            cases.append(
+                "".join(rng.choice("vcspe") for _ in range(n))
+            )
+    for s in cases:
+        assert dfa_count(s) == len(rx.findall(s)), s
