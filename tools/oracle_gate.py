@@ -45,6 +45,16 @@ def main() -> int:
         },
     )
     con = duckdb_connection(sf_dir)
+    # Two concurrent gate sessions each let DuckDB claim ~80% of RAM
+    # by default; the loser's oracle dies with a spurious
+    # OutOfMemoryException (observed when the sf10 sweep overlapped
+    # the sf1 recall-contract run). Cap it when sweeps are stacked.
+    import os
+
+    memlimit = os.environ.get("ORACLE_GATE_DUCKDB_MEM")
+    if memlimit:
+        con.execute(f"SET memory_limit='{memlimit}'")
+        print(f"# duckdb memory_limit={memlimit}")
     # Scale probes (sf >= 1) use the noise-aware canon cutoff: at
     # multi-million-row sums, reduction-order ULP noise in the
     # [1e7, 1e9) magnitude window exceeds round(,6)'s quantum (see
