@@ -53,8 +53,16 @@ def main() -> int:
 
     memlimit = os.environ.get("ORACLE_GATE_DUCKDB_MEM")
     if memlimit:
+        # An in-memory duckdb connection has NO temp_directory, so a
+        # memory_limit alone is a hard ceiling with spilling disabled —
+        # heavy oracles (10M-row window/list aggregates at sf10) then
+        # die at the cap instead of going out-of-core. Give it one.
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="duckdb_gate_spill_")
         con.execute(f"SET memory_limit='{memlimit}'")
-        print(f"# duckdb memory_limit={memlimit}")
+        con.execute(f"SET temp_directory='{tmp}'")
+        print(f"# duckdb memory_limit={memlimit} temp_directory={tmp}")
     # Scale probes (sf >= 1) use the noise-aware canon cutoff: at
     # multi-million-row sums, reduction-order ULP noise in the
     # [1e7, 1e9) magnitude window exceeds round(,6)'s quantum (see
