@@ -61,6 +61,16 @@ def per_key_ordered_fold(
     of ``out_cols`` values. All three run inside the Arrow worker;
     they must be pure and pickle-able (top-level or closure over
     constants only).
+
+    NULL keys: Spark's ``repartition`` hashes all NULLs to one
+    partition and the ascending sort puts them first, but
+    Spark→pandas renders a nullable integer key as float64 NaN — and
+    NaN != NaN would open a fresh group per null row (ADVICE r7).
+    Null-like keys (None/NaN/NaT) are therefore normalized to one
+    group, matching ``groupBy``'s NULL-as-a-single-group semantics;
+    ``emit`` receives ``None`` as that group's key, so an ``emit``
+    that casts the key (``int(key)``) must either tolerate ``None``
+    or the caller must pre-filter ``key_col IS NOT NULL``.
     """
     keep: list[str] = []
     for c in (key_col, *order_cols, *val_cols):
@@ -83,6 +93,10 @@ def per_key_ordered_fold(
             arrs = [pdf[c].to_numpy() for c in cols]
             for i in range(len(keys)):
                 k = keys[i]
+                # Null-like (None/NaN/NaT) keys form ONE group; NaN's
+                # self-inequality would otherwise split them per-row.
+                if k is None or k != k:
+                    k = None
                 if not have_key or k != cur:
                     if have_key:
                         out.append(emit(cur, state))

@@ -51,104 +51,91 @@ _loaded = False
 
 # The driver's CORRECTNESS check covers only the FIRST 50
 # registrations, so registration order is verification budget. Rounds
-# 1-6 verified 275 distinct queries driver-green (r6 window: 50/50,
-# fourth consecutive all-green window). This round-7 window executes
-# the rotation plan recorded in round 6: every r6-green name yields
+# 1-7 verified 323 distinct queries driver-green (r7 window: 50/50,
+# fifth consecutive all-green window). This round-8 window executes
+# the rotation plan recorded in round 7: every r7-green name yields
 # its slot; the window is the next 47 never-driver-tested names in
-# the planned order (45 oracle-backed + the 2 rows-only tokenizer
-# names, whose value semantics are pinned by the driver-green
-# ``tokenizer_bpe_contract`` twin) plus three green sentinels,
-# rotated this round onto different families (relational, similarity,
-# streaming) so sentinel coverage itself sweeps the catalog.
-# Queries verified in an earlier round stay registered (and pytest-
-# gated) but yield their slot.
+# the planned order (all oracle-backed — the 6 remaining rows-only
+# names sit later in the plan) plus three green sentinels, rotated
+# this round onto the three families not yet sentinel'd (embedding,
+# multimodal, udf; r6 used text/dedup/source, r7 used relational/
+# similarity/streaming) so sentinel coverage itself sweeps the
+# catalog. Queries verified in an earlier round stay registered (and
+# pytest-gated) but yield their slot.
 _PRIORITY = (
     # --- next never-driver-tested names, planned order (47) ---
-    "events_did_estimate",
-    "events_ab_srm_check",
-    "events_cohort_retention_matrix",
-    "events_peak_concurrency",
-    "events_error_pchart",
-    "events_log_histogram",
-    "orders_abc_classification",
-    "doc_boilerplate_fraction",
-    "scalar_base64_hex",
-    "dedup_url_canonical",
-    "dedup_paragraphs",
-    "doc_quality_classifier",
-    "corpus_kneser_ney_bigram",
-    "tokenizer_bpe_train",
-    "tokenizer_bpe_fertility",
-    "events_cep_pattern",
-    "doc_lang_id_trigram",
-    "events_window_funnel",
-    "events_survival_km",
-    "orders_id_gaps",
-    "sample_poisson_bootstrap",
-    "emb_ivf_balance",
-    "layout_compaction_plan",
-    "scd2_asof_read",
-    "corpus_burstiness",
-    "join_asof_nearest",
-    "emb_residual_energy",
-    "sample_stratified_neyman",
-    "stream_cep_live",
-    "stream_sliding_live",
-    "sample_class_balanced",
-    "source_nested_pruning",
-    "events_bot_detection",
-    "doc_chat_template",
-    "doc_span_corruption",
-    "graph_link_prediction",
-    "doc_fim_transform",
-    "agg_weighted_median",
-    "multimodal_tar_index",
-    "table_log_replay",
-    "events_changepoint_cusum",
-    "scalar_bround",
-    "doc_filter_ensemble",
-    "incr_variance_merge",
-    "emb_drift_psi",
-    "agg_higher_moments",
-    "events_daily_peaks",
+    "events_rate_limit_audit",
+    "orders_benford",
+    "source_compression_roundtrip",
+    "events_rolling_features",
+    "orders_seasonal_decompose",
+    "w2v_cooccurrence",
+    "multimodal_vad_segments",
+    "dedup_prefix_hash",
+    "table_vacuum_plan",
+    "agg_bool_aggregates",
+    "agg_wilson_ci",
+    "doc_keyphrase_rake",
+    "events_session_abandonment",
+    "orders_dormancy_winback",
+    "events_timeout_alerts",
+    "multimodal_vit_patches",
+    "layout_zorder",
+    "layout_epoch_shuffle",
+    "knn_ivf_recall",
+    "scalar_variant",
+    "scalar_regex",
+    "scalar_try_functions",
+    "source_python_datasource",
+    "join_lateral_topn",
+    "table_stats_profile",
+    "table_quality_checks",
+    "agg_approx_percentile",
+    "agg_decimal_exact",
+    "source_bucketed_join",
+    "join_anti_customers",
+    "set_except_nonempty",
+    "events_resample_interpolate",
+    "source_json_nested",
+    "source_csv_dialect",
+    "emb_hard_negatives",
+    "doc_top_terms_per_source",
+    "corpus_report",
+    "doc_bigram_logprob",
+    "doc_unigram_logprob",
+    "doc_perplexity_bucket",
+    "sample_source_cap",
+    "sample_mixture_epochs",
+    "doc_pmi_collocations",
+    "corpus_zipf_slope",
+    "doc_keywords_topk",
+    "doc_length_histogram",
+    "corpus_vocab_stats",
     # --- green sentinels (regression tripwires, rotated each round so
     # sentinel coverage itself sweeps families: r6 used doc_wordcount/
-    # dedup_exact/source_csv_roundtrip) ---
-    "q1_pricing_summary",
-    "knn_bruteforce",
-    "stream_tumbling",
+    # dedup_exact/source_csv_roundtrip, r7 used q1_pricing_summary/
+    # knn_bruteforce/stream_tumbling) ---
+    "emb_drift_psi",
+    "multimodal_tar_index",
+    "udtf_split_priority",
 )
 
-# Round-8 rotation plan: once CORRECTNESS_r07 lands green, swap the
+# Round-9 rotation plan: once CORRECTNESS_r08 lands green, swap the
 # verified names out and promote the next 47 never-driver-tested
-# names (109 remain after r7: 103 oracle-backed + 6 rows-only, each
+# names (62 remain after r8: 56 oracle-backed + 6 rows-only, each
 # rows-only name pinned by a driver-green value-checked contract
-# twin), continuing in this order (verified this round to be exactly
-# the catalog minus every CORRECTNESS_r01-r06 key minus the r7
-# window):
-# events_rate_limit_audit, orders_benford,
-# source_compression_roundtrip, events_rolling_features,
-# orders_seasonal_decompose, w2v_cooccurrence,
-# multimodal_vad_segments, dedup_prefix_hash, table_vacuum_plan,
-# agg_bool_aggregates, agg_wilson_ci, doc_keyphrase_rake,
-# events_session_abandonment, orders_dormancy_winback,
-# events_timeout_alerts, multimodal_vit_patches, layout_zorder,
-# layout_epoch_shuffle, knn_ivf_recall, scalar_variant, scalar_regex,
-# scalar_try_functions, source_python_datasource, join_lateral_topn,
-# table_stats_profile, table_quality_checks, agg_approx_percentile,
-# agg_decimal_exact, source_bucketed_join,
-# join_anti_customers, set_except_nonempty,
-# events_resample_interpolate, source_json_nested,
-# source_csv_dialect, emb_hard_negatives, doc_top_terms_per_source,
-# corpus_report, doc_bigram_logprob, doc_unigram_logprob,
-# doc_perplexity_bucket, sample_source_cap, sample_mixture_epochs,
-# doc_pmi_collocations, corpus_zipf_slope, doc_keywords_topk,
-# doc_length_histogram, corpus_vocab_stats, agg_approx_topk_words,
-# fuzzy_name_pairs, unpivot_lineitem, subquery_scalar,
-# skew_salted_agg, skew_salted_join, merge_delete_apply,
-# diff_snapshots, agg_mode, window_distinct_cumulative,
-# window_moving_median, basket_part_lift, customer_rfm_segments,
-# orders_cohort_ltv, supplier_concentration_hhi, orders_backlog_curve,
+# twin: ref_pipeline_documents/w2v_synonyms → ref_pipeline_contract +
+# w2v_synonyms_contract; doc_embedding_knn/knn_bruteforce_blas →
+# knn recall/parity contracts; brp_lsh_pairs → brp_lsh_recall_contract;
+# dedup_mllib_minhash → dedup_minhash_recall_contract), continuing in
+# this order (verified in round 8 to be exactly the catalog minus
+# every CORRECTNESS_r01-r07 key minus the r8 window):
+# agg_approx_topk_words, fuzzy_name_pairs, unpivot_lineitem,
+# subquery_scalar, skew_salted_agg, skew_salted_join,
+# merge_delete_apply, diff_snapshots, agg_mode,
+# window_distinct_cumulative, window_moving_median, basket_part_lift,
+# customer_rfm_segments, orders_cohort_ltv,
+# supplier_concentration_hhi, orders_backlog_curve,
 # customer_order_streaks, customer_pareto_deciles, orders_mom_growth,
 # emb_norm_stats, emb_dim_variance, emb_power_iteration,
 # emb_anisotropy, emb_kmeans_iter, dedup_lsh_eval, doc_ngram_novelty,
@@ -159,6 +146,7 @@ _PRIORITY = (
 # events_time_to_convert, multimodal_audio_windows, multimodal_resize,
 # multimodal_shard_layout, q7_volume_shipping, q8_market_share,
 # q13_customer_distribution, q15_top_supplier, q17_small_qty_revenue,
+# then round-10 finishes the backlog with the final 15:
 # q22_prospect_customers, agg_mad, q12_priority_delay,
 # q21_late_suppliers, ref_pipeline_documents, w2v_synonyms,
 # doc_embedding_knn, emb_pairwise_cos_histogram, knn_bruteforce_blas,

@@ -2360,14 +2360,19 @@ def _rl_step(st, us) -> tuple:
 
 
 def _rl_emit(key, st: tuple) -> tuple:
-    # Spark's F.round is BigDecimal(double).setScale(6, HALF_UP) on the
-    # EXACT binary value; Python's round() is half-even. Decimal(float)
-    # reproduces Spark bit-for-bit (a dyadic double like 2^-7 IS an
-    # exact .xxxxxx5 halfway case, where the two rules differ).
+    # Spark's F.round on DoubleType is BigDecimal.valueOf(d).setScale(6,
+    # HALF_UP) — i.e. HALF_UP over the SHORTEST round-trip decimal repr
+    # (Java Double.toString), not over the exact binary expansion.
+    # Python's repr() is the same shortest round-trip decimal, so
+    # Decimal(repr(x)) reproduces Spark bit-for-bit; Decimal(x) (exact
+    # binary) diverges on values whose shortest repr ends in ...5 at
+    # the 7th decimal (e.g. 4.0000005 = binary 4.00000049999..., which
+    # exact-binary HALF_UP sends to 4.000000 but Spark to 4.000001) —
+    # verified empirically vs F.round (ADVICE r7; tests/test_fuzz_parity).
     from decimal import ROUND_HALF_UP, Decimal
 
     tokens = float(
-        Decimal(st[1]).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        Decimal(repr(st[1])).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
     )
     return (int(key), st[3], st[2], tokens)
 

@@ -34,6 +34,42 @@ def driver_tested() -> set[str]:
     return set(driver_records())
 
 
+def window_banked(window: list[str]) -> bool:
+    """True iff the HIGHEST-numbered committed CORRECTNESS_r*.json
+    covers exactly the current 50-name window with every row green
+    (or rows-only names ran without a real error). In that state the
+    driver has already banked this window's verification and the
+    rotation-freshness asserts would demand next round's rotation
+    early — the designed post-round interregnum (VERDICT r7 "What's
+    wrong #1" / "Next round #7"). Rotation discipline re-arms the
+    moment a new round's record lands with a different window."""
+    import json
+    import re
+
+    paths = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    if not paths:
+        return False
+    latest = json.loads(paths[-1].read_text())
+    if set(latest) != set(window):
+        return False
+    for rec in latest.values():
+        ok_green = (
+            rec.get("rows_match")
+            and rec.get("schema_match")
+            and rec.get("hash_match")
+            and not rec.get("err")
+        )
+        ok_rows_only = rec.get("err") == "no_oracle" and (
+            rec.get("spark_rows") or 0
+        ) >= 0 and rec.get("spark_rows") is not None
+        if not (ok_green or ok_rows_only):
+            return False
+    return True
+
+
 def driver_green() -> set[str]:
     """Names with at least one fully value-green driver record
     (rows + schema + hash all matched, no error)."""

@@ -218,3 +218,38 @@ def test_graph_recurrences_fuzz_match_python(spark):
             r["node"]: r["degree"] for r in kcore(df, k=2, rounds=3).collect()
         }
         assert got_core == _py_kcore(edges, 2, 3), (trial, edges)
+
+
+def test_round6_emulation_matches_spark_on_halfway_values(spark):
+    """The ordered-fold replays emit F.round(x,6)-compatible doubles
+    via Decimal(repr(x)) HALF_UP — Spark's Round on DoubleType rounds
+    BigDecimal.valueOf(d) (the SHORTEST round-trip decimal, Java
+    Double.toString ≡ Python repr), not the exact binary expansion
+    (ADVICE r7: Decimal(float) diverges on ...5-at-7th-decimal reprs
+    like 4.0000005 = binary 4.0000004999...). Fuzz the emulation
+    against real F.round over adversarial halfway shapes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rng = random.Random(1234)
+    vals: list[float] = []
+    # ...0000005-shaped shortest reprs: k + j*1e-6 + 5e-7.
+    for _ in range(60):
+        k = rng.randint(0, 2_000_000)
+        j = rng.randint(0, 999_999)
+        vals.append(float(Decimal(k) + Decimal(j) * Decimal("0.000001") + Decimal("0.0000005")))
+    # Dyadic doubles (exact binary halfway cases like 2^-7).
+    vals += [2.0**-e for e in range(1, 22)]
+    # Plain uniforms and tiny magnitudes.
+    vals += [rng.uniform(0, 1e7) for _ in range(40)]
+    vals += [rng.uniform(0, 1e-5) for _ in range(20)]
+    vals += [0.0, 5e-07, 1.5e-06, 4.0000005, 7.1234565]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = {
+        r["x"]: r["r"]
+        for r in df.select("x", F.round("x", 6).alias("r")).collect()
+    }
+    q = Decimal("0.000001")
+    for v in vals:
+        emu = float(Decimal(repr(v)).quantize(q, rounding=ROUND_HALF_UP))
+        assert emu == got[v], (v, emu, got[v])

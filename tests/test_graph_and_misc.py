@@ -306,6 +306,37 @@ def test_operator_caches_released_between_catalog_queries(spark):
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
 
 
+def test_window_banked_recognizes_prior_round_record():
+    """The interregnum rule (VERDICT r7 #7) must recognize a window
+    the driver has fully banked: the committed CORRECTNESS_r07 record
+    covers the r7 window all-green (incl. its 2 rows-only tokenizer
+    names), so window_banked(r7 window) is True IF r7 is still the
+    latest record — while the rotated r8 window (different names) is
+    never 'banked' by r7's record, so rotation discipline re-arms."""
+    import json
+    import re
+
+    from tests.conftest import REPO, window_banked
+
+    paths = sorted(
+        REPO.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    latest = json.loads(paths[-1].read_text())
+    latest_round = int(re.search(r"r(\d+)", paths[-1].stem).group(1))
+    r7_window = list(json.loads((REPO / "CORRECTNESS_r07.json").read_text()))
+    if latest_round == 7:
+        assert window_banked(r7_window)
+    else:
+        # A later record exists: r7's window is no longer the latest
+        # and must not read as banked unless it IS that later window.
+        assert window_banked(r7_window) == (set(latest) == set(r7_window))
+    # A window with one name swapped out is never banked.
+    mutated = list(r7_window)
+    mutated[0] = "q1_pricing_summary" if mutated[0] != "q1_pricing_summary" else "q6_forecast_revenue"
+    assert not window_banked(mutated)
+
+
 def test_correctness_window_covers_all_families():
     """The driver hash-checks only the FIRST 50 registered queries, so
     catalog order is verification budget. Composition is checked
@@ -315,15 +346,23 @@ def test_correctness_window_covers_all_families():
     already-driver-tested sentinels (and those must be GREEN, from >= 3
     distinct families); every other slot a never-driver-tested name;
     and any rows-only name in the window must have a driver-green
-    value-checked contract twin pinning its semantics."""
+    value-checked contract twin pinning its semantics.
+
+    Interregnum rule (VERDICT r7 #7): when the latest committed
+    CORRECTNESS record covers exactly this window with all rows
+    green, the driver has already banked it — the freshness asserts
+    stand down until the next round's record re-arms them."""
     from mapreduce_word2vec_spark.plans import catalog
-    from tests.conftest import driver_green, driver_tested
+    from tests.conftest import driver_green, driver_tested, window_banked
 
     qs = catalog.all_queries()
     names = list(qs)
     assert len(catalog._PRIORITY) == 50
     assert names[:50] == list(catalog._PRIORITY)
     window = names[:50]
+
+    if window_banked(window):
+        return
 
     tested, green = driver_tested(), driver_green()
 

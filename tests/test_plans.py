@@ -351,12 +351,17 @@ def test_driver_window_spans_all_families(spark):
     driver-green names must keep >= 1 representative inside the
     window; families that already banked a green row may yield all
     their slots to the never-tested backlog. Exact window composition
-    is asserted in test_correctness_window_covers_all_families."""
-    from tests.conftest import driver_green
+    is asserted in test_correctness_window_covers_all_families.
+    Interregnum rule (VERDICT r7 #7): a window the driver already
+    banked all-green this round passes as-is."""
+    from tests.conftest import driver_green, window_banked
 
     qs = catalog.all_queries()
     window = list(qs)[:50]
     green = driver_green()
+
+    if window_banked(window):
+        return
 
     # Family = the plans module that registered the query (recorded at
     # registration; name prefixes are too granular — each TPC-H qN

@@ -382,6 +382,7 @@ def test_per_user_fold_family_under_extreme_skew(spark):
         for name in (
             "events_cep_pattern",
             "events_rate_limit_audit",
+            "events_alert_hysteresis",
             "events_compact_last",
             "stream_session_live",
             "stream_session_dynamic_gap",

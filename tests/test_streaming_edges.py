@@ -203,3 +203,41 @@ def test_cep_dfa_equals_lazy_regex_on_fuzzed_symbol_strings():
             )
     for s in cases:
         assert dfa_count(s) == len(rx.findall(s)), s
+
+
+def test_ordered_fold_null_keys_form_one_group(spark):
+    """NULL keys must fold as ONE group (groupBy semantics), not one
+    group per row: Spark→pandas renders a nullable bigint key as
+    float64 NaN, and NaN != NaN would otherwise re-open the group on
+    every null row (ADVICE r7). The fold normalizes null-likes and
+    hands ``emit`` a None key."""
+    from mapreduce_word2vec_spark.operators.ordered_fold import (
+        per_key_ordered_fold,
+    )
+
+    # Defined in-test so cloudpickle ships them by value (the tests
+    # package is not importable on executor Python workers).
+    def _nf_init():
+        return 0
+
+    def _nf_step(st, v):
+        return st + int(v)
+
+    def _nf_emit(key, st):
+        return (None if key is None else int(key), st)
+
+    rows = [(1, 10, 1), (None, 20, 1), (1, 30, 1), (None, 40, 1), (2, 50, 1), (None, 60, 1)]
+    df = spark.createDataFrame(rows, "user_id bigint, us bigint, v bigint")
+    out = per_key_ordered_fold(
+        df,
+        key_col="user_id",
+        order_cols=("us",),
+        val_cols=("v",),
+        out_schema="user_id bigint, n bigint",
+        out_cols=("user_id", "n"),
+        init=_nf_init,
+        step=_nf_step,
+        emit=_nf_emit,
+    )
+    got = {r["user_id"]: r["n"] for r in out.collect()}
+    assert got == {1: 2, 2: 1, None: 3}, got

@@ -57,9 +57,15 @@ def main() -> int:
         # memory_limit alone is a hard ceiling with spilling disabled —
         # heavy oracles (10M-row window/list aggregates at sf10) then
         # die at the cap instead of going out-of-core. Give it one.
+        import atexit
+        import shutil
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="duckdb_gate_spill_")
+        # Spill files can reach tens of GB at sf10; reclaim the dir
+        # even on abnormal exits (ADVICE r7: mkdtemp leaked one dir
+        # per capped gate run).
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
         con.execute(f"SET memory_limit='{memlimit}'")
         con.execute(f"SET temp_directory='{tmp}'")
         print(f"# duckdb memory_limit={memlimit} temp_directory={tmp}")
