@@ -664,6 +664,66 @@ def test_no_unbounded_exact_percentile_aggregates(spark):
     )
 
 
+def test_collect_aggregates_have_documented_bounds():
+    """Sibling of the exact-percentile rule (VERDICT r7 #3): every
+    ``collect_list``/``collect_set``/``listagg`` call site buffers a
+    whole group's values in ONE aggregate cell of task heap — the
+    unbounded-state class that OOM'd the r7 sf10 probe. Catalog rule:
+    each site must be bounded by construction (pre-aggregation top-k
+    rank cap, closed key domain, fixed dimension count, row-local
+    payload, or output-is-the-object contract) and carry that bound
+    in its docstring/comment. This test pins the exhaustive audited
+    allow-list (SCALE.md "Collect-aggregate audit"); a NEW site fails
+    until classified here, and a REMOVED site fails until delisted —
+    the list cannot rot in either direction."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "mapreduce_word2vec_spark"
+    # (file, enclosing def) -> bound category. Audited round 8; the
+    # rationale for each lives in SCALE.md §"Collect-aggregate audit".
+    allowed = {
+        ("operators/dedup.py", "_bucket_pairs"): "lsh-bucket-bounded",
+        ("operators/dedup.py", "simhash_pairs"): "per-signature-ids, output-is-the-object",
+        ("operators/similarity.py", "label_centroids"): "fixed-dim (64)",
+        ("operators/word2vec.py", "sum_counts_and_mean_vectors"): "fixed-dim",
+        ("plans/dedup_queries.py", "dedup_paragraphs"): "row-local (one doc's paragraphs)",
+        ("plans/embedding_queries.py", "emb_ood_mahalanobis"): "fixed-dim (64)",
+        ("plans/multimodal_queries.py", "multimodal_dedup_phash"): "rank-capped (rn<=20)",
+        ("plans/multimodal_queries.py", "multimodal_payload_hash_dedup"): "rank-capped (rn<=20)",
+        ("plans/relational.py", "array_functions"): "closed key range (l_orderkey<100)",
+        ("plans/relational.py", "map_functions"): "closed domain (linestatus)",
+        ("plans/relational.py", "bucket"): "fixed bloom lanes (M/64)",
+        ("plans/relational.py", "agg_listagg"): "LISTAGG contract: output-is-the-object",
+        ("plans/similarity_queries.py", "emb_pq_quantize"): "fixed subspaces (8)",
+        ("plans/source_queries.py", "source_json_nested"): "rank-capped (rn<=5)",
+        ("plans/source_queries.py", "source_text_wholetext"): "file-sized by contract (wholetext)",
+        ("plans/streaming_queries.py", "events_changepoint_cusum"): "closed domain (days)",
+        ("plans/text_queries.py", "doc_inverted_index"): "rank-capped (rn<=20)",
+        ("plans/text_queries.py", "doc_keyphrase_rake"): "row-local (one phrase's words)",
+    }
+    found = set()
+    for py in sorted(pkg.rglob("*.py")):
+        rel = str(py.relative_to(pkg))
+        text = py.read_text()
+        for m in re.finditer(r"F\.collect_(?:list|set)\(|\blistagg\(", text):
+            defs = [
+                (d.start(), d.group(1))
+                for d in re.finditer(r"def (\w+)\(", text[: m.start()])
+            ]
+            fn = defs[-1][1] if defs else "<module>"
+            found.add((rel, fn))
+    new = found - set(allowed)
+    stale = set(allowed) - found
+    assert not new, (
+        f"unaudited collect/listagg aggregate site(s) {sorted(new)} — "
+        "bound the group state (rank cap / closed domain / fixed dim / "
+        "ordered_fold / sketch), then classify in this allow-list AND "
+        "in SCALE.md's collect-aggregate audit"
+    )
+    assert not stale, f"stale allow-list entries: {sorted(stale)}"
+
+
 def test_lateral_topn_decorrelates_to_window(spark):
     """The LATERAL + LIMIT top-N-per-group must decorrelate into a
     rank window with WindowGroupLimit (partial top-2 per group
