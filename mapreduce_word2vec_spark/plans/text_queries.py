@@ -4154,16 +4154,24 @@ def doc_ngram_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, words, syllables, sentences,
            round(206.835 - 1.015 * (words / sentences)
-                         - 84.6 * (syllables / words), 4) AS fre,
+                         - 84.6 * (syllables / words), 6) AS fre,
            round(0.39 * (words / sentences)
-                 + 11.8 * (syllables / words) - 15.59, 4) AS fk_grade
+                 + 11.8 * (syllables / words) - 15.59, 6) AS fk_grade
     FROM c
     WHERE words > 0
     """,
 )
 def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease + Flesch-Kincaid grade from vowel-group
-    syllable counts — row-local regexp counting, no shuffle."""
+    syllable counts — row-local regexp counting, no shuffle.
+
+    Rounds to 6 decimals (the catalog-wide convention) rather than 4:
+    the pre-round doubles are bit-identical across engines (identical
+    row-local float64 op order), but round-to-4 put one doc in 500k at
+    sf10 on a ...5 knife-edge where Spark (HALF_UP over the shortest
+    decimal repr) and DuckDB (binary multiply-round) disagree by one
+    4th-decimal quantum; at 6 decimals such flips sit inside the probe
+    canon's knife-edge tolerance like every other float column."""
     docs = read_testdata(spark, sf_dir, "documents")
     c = docs.select(
         "doc_id",
@@ -4182,11 +4190,11 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "words",
         "syllables",
         "sentences",
-        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6).alias(
             "fre"
         ),
         F.round(
-            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
         ).alias("fk_grade"),
     )
 

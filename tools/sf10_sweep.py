@@ -46,9 +46,11 @@ EXCLUDED = {
     "dedup_ngram_jaccard": "quadratic output contract (sf1 checksum-gated)",
 }
 
-BATCH_CAP_S = 1800
-SOLO_CAP_S = 900
-BATCH = 6
+import os
+
+BATCH_CAP_S = int(os.environ.get("SF10_SWEEP_BATCH_CAP", "1800"))
+SOLO_CAP_S = int(os.environ.get("SF10_SWEEP_SOLO_CAP", "900"))
+BATCH = int(os.environ.get("SF10_SWEEP_BATCH", "6"))
 
 
 def main() -> int:
