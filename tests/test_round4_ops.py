@@ -855,8 +855,8 @@ def test_readability_formula_recompute(spark):
         syl = len(re.findall(r"[aeiouy]+", t.lower()))
         sent = 1 + len(re.findall(r"[.!?]+", t))
         assert (r["words"], r["syllables"], r["sentences"]) == (words, syl, sent)
-        assert abs(r["fre"] - round(206.835 - 1.015 * (words / sent) - 84.6 * (syl / words), 4)) < 1e-9
-        assert abs(r["fk_grade"] - round(0.39 * (words / sent) + 11.8 * (syl / words) - 15.59, 4)) < 1e-9
+        assert abs(r["fre"] - round(206.835 - 1.015 * (words / sent) - 84.6 * (syl / words), 6)) < 1e-9
+        assert abs(r["fk_grade"] - round(0.39 * (words / sent) + 11.8 * (syl / words) - 15.59, 6)) < 1e-9
 
 
 def test_badwords_flag_consistent_and_nonvacuous(spark):
