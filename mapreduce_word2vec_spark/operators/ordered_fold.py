@@ -71,7 +71,24 @@ def per_key_ordered_fold(
     ``emit`` receives ``None`` as that group's key, so an ``emit``
     that casts the key (``int(key)``) must either tolerate ``None``
     or the caller must pre-filter ``key_col IS NOT NULL``.
+
+    Float/double ``key_col`` is rejected: a genuine NaN KEY VALUE is
+    indistinguishable from pandas' NaN rendering of NULL, and Spark
+    treats NULL and NaN as separate groups sorted to opposite ends
+    (NULLS FIRST, NaN LAST) — both-present data would emit two
+    non-contiguous None-keyed groups (ADVICE r8). The normalization
+    above is strictly for nullable-int→float64 rendering.
     """
+    from pyspark.sql.types import DoubleType, FloatType
+
+    key_type = df.schema[key_col].dataType
+    if isinstance(key_type, (FloatType, DoubleType)):
+        raise TypeError(
+            f"per_key_ordered_fold: key_col {key_col!r} is {key_type}; "
+            "float/double keys are forbidden (NaN keys would collide "
+            "with the NULL normalization) — cast to a decimal/string "
+            "key or discretize first"
+        )
     keep: list[str] = []
     for c in (key_col, *order_cols, *val_cols):
         if c not in keep:

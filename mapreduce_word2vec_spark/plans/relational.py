@@ -2611,7 +2611,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_distinct_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative distinct-user count per event type (audience-reach
     curve). Spark windows reject DISTINCT aggregates; the naive
-    rewrite, size(collect_set() OVER frame), keeps an O(distinct
+    rewrite — size of a collect_set over the frame — keeps an O(distinct
     users) set in the window operator's state — the same
     unbounded-state class as the round-7 exact-percentile OOM. The
     EXACT O(1)-state formulation used here: a user contributes to the

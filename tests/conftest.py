@@ -35,7 +35,7 @@ def driver_tested() -> set[str]:
 
 
 def window_banked(window: list[str]) -> bool:
-    """True iff the HIGHEST-numbered committed CORRECTNESS_r*.json
+    """True iff the highest-numbered ON-DISK CORRECTNESS_r*.json
     covers exactly the current 50-name window with every row green
     (or rows-only names ran without a real error). In that state the
     driver has already banked this window's verification and the

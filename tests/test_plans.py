@@ -706,7 +706,9 @@ def test_collect_aggregates_have_documented_bounds():
     for py in sorted(pkg.rglob("*.py")):
         rel = str(py.relative_to(pkg))
         text = py.read_text()
-        for m in re.finditer(r"F\.collect_(?:list|set)\(|\blistagg\(", text):
+        # Prefix-free so SQL-string sites (F.expr / oracle / plan SQL
+        # embedding collect_list(...)) can't evade the audit (ADVICE r8).
+        for m in re.finditer(r"\bcollect_(?:list|set)\(|\blistagg\(", text):
             defs = [
                 (d.start(), d.group(1))
                 for d in re.finditer(r"def (\w+)\(", text[: m.start()])

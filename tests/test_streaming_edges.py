@@ -241,3 +241,32 @@ def test_ordered_fold_null_keys_form_one_group(spark):
     )
     got = {r["user_id"]: r["n"] for r in out.collect()}
     assert got == {1: 2, 2: 1, None: 3}, got
+
+
+def test_ordered_fold_rejects_float_keys(spark):
+    """Float/double key_col must be rejected at call time: a genuine
+    NaN KEY would be conflated with the NULL normalization, and Spark
+    sorts NULL (first) and NaN (last) to opposite ends, so both
+    present would emit two non-contiguous None-keyed groups
+    (ADVICE r8). Integer/string/date keys stay accepted."""
+    import pytest
+
+    from mapreduce_word2vec_spark.operators.ordered_fold import (
+        per_key_ordered_fold,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 10, 1)], "k double, us bigint, v bigint"
+    )
+    with pytest.raises(TypeError, match="float/double keys are forbidden"):
+        per_key_ordered_fold(
+            df,
+            key_col="k",
+            order_cols=("us",),
+            val_cols=("v",),
+            out_schema="k double, n bigint",
+            out_cols=("k", "n"),
+            init=lambda: 0,
+            step=lambda st, v: st + 1,
+            emit=lambda key, st: (key, st),
+        )

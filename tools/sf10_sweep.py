@@ -74,10 +74,18 @@ def main() -> int:
             f"({time.time() - t0:.0f}s elapsed)",
             flush=True,
         )
+    # A capped batch may still have [OK]'d names before the timeout;
+    # re-running those solo under the SMALLER cap can log a spurious
+    # SOLO-FAIL for a name that already passed (ADVICE r8) — skip them.
+    already_ok = passed_names(log)
+    skipped = [n for n in retry if n in already_ok]
+    if skipped:
+        with log.open("a") as fh:
+            fh.write(f"# [SOLO-SKIP already-OK in capped batch] {' '.join(skipped)}\n")
     solo_failed: list[str] = []
     for n in retry:
-        # a failed batch may still have [OK]'d some names before the
-        # failure; re-running them individually is harmless (idempotent)
+        if n in already_ok:
+            continue
         rc = run_gate([n], SOLO_CAP_S, log)
         if rc != 0:
             solo_failed.append(n)
@@ -90,7 +98,19 @@ def main() -> int:
             f"{len(solo_failed)} unresolved after solo retry: {solo_failed}\n"
         )
     print(f"[sweep] DONE unresolved={solo_failed}")
-    return 0
+    # Non-zero when anything is left unresolved so automation can gate
+    # on the sweep's exit code (ADVICE r8).
+    return 1 if solo_failed else 0
+
+
+def passed_names(log: Path) -> set[str]:
+    """Names with an ``[OK] name: ...`` line already in the gate log."""
+    out: set[str] = set()
+    if log.exists():
+        for line in log.read_text().splitlines():
+            if line.startswith("[OK] "):
+                out.add(line[5:].split(":", 1)[0].strip())
+    return out
 
 
 def run_gate(names: list[str], cap: int, log: Path) -> int:
