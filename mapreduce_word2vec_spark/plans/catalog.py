@@ -51,107 +51,90 @@ _loaded = False
 
 # The driver's CORRECTNESS check covers only the FIRST 50
 # registrations, so registration order is verification budget. Rounds
-# 1-7 verified 323 distinct queries driver-green (r7 window: 50/50,
-# fifth consecutive all-green window). This round-8 window executes
-# the rotation plan recorded in round 7: every r7-green name yields
+# 1-8 verified 367 distinct queries driver-green (r8 window: 50/50,
+# sixth consecutive all-green window). This round-9 window executes
+# the rotation plan recorded in round 8: every r8-green name yields
 # its slot; the window is the next 47 never-driver-tested names in
 # the planned order (all oracle-backed — the 6 remaining rows-only
-# names sit later in the plan) plus three green sentinels, rotated
-# this round onto the three families not yet sentinel'd (embedding,
-# multimodal, udf; r6 used text/dedup/source, r7 used relational/
-# similarity/streaming) so sentinel coverage itself sweeps the
-# catalog. Queries verified in an earlier round stay registered (and
-# pytest-gated) but yield their slot.
+# names sit in the round-10 close-out) plus three green sentinels,
+# rotated this round onto the three families with no row among the
+# 47 (similarity, sources, udf; r6 used text/dedup/source, r7 used
+# relational/similarity/streaming, r8 used embedding/multimodal/udf)
+# so sentinel coverage itself keeps sweeping the catalog. Queries
+# verified in an earlier round stay registered (and pytest-gated) but
+# yield their slot.
 _PRIORITY = (
     # --- next never-driver-tested names, planned order (47) ---
-    "events_rate_limit_audit",
-    "orders_benford",
-    "source_compression_roundtrip",
-    "events_rolling_features",
-    "orders_seasonal_decompose",
-    "w2v_cooccurrence",
-    "multimodal_vad_segments",
-    "dedup_prefix_hash",
-    "table_vacuum_plan",
-    "agg_bool_aggregates",
-    "agg_wilson_ci",
-    "doc_keyphrase_rake",
-    "events_session_abandonment",
-    "orders_dormancy_winback",
-    "events_timeout_alerts",
-    "multimodal_vit_patches",
-    "layout_zorder",
-    "layout_epoch_shuffle",
-    "knn_ivf_recall",
-    "scalar_variant",
-    "scalar_regex",
-    "scalar_try_functions",
-    "source_python_datasource",
-    "join_lateral_topn",
-    "table_stats_profile",
-    "table_quality_checks",
-    "agg_approx_percentile",
-    "agg_decimal_exact",
-    "source_bucketed_join",
-    "join_anti_customers",
-    "set_except_nonempty",
-    "events_resample_interpolate",
-    "source_json_nested",
-    "source_csv_dialect",
-    "emb_hard_negatives",
-    "doc_top_terms_per_source",
-    "corpus_report",
-    "doc_bigram_logprob",
-    "doc_unigram_logprob",
-    "doc_perplexity_bucket",
-    "sample_source_cap",
-    "sample_mixture_epochs",
-    "doc_pmi_collocations",
-    "corpus_zipf_slope",
-    "doc_keywords_topk",
-    "doc_length_histogram",
-    "corpus_vocab_stats",
+    "agg_approx_topk_words",
+    "fuzzy_name_pairs",
+    "unpivot_lineitem",
+    "subquery_scalar",
+    "skew_salted_agg",
+    "skew_salted_join",
+    "merge_delete_apply",
+    "diff_snapshots",
+    "agg_mode",
+    "window_distinct_cumulative",
+    "window_moving_median",
+    "basket_part_lift",
+    "customer_rfm_segments",
+    "orders_cohort_ltv",
+    "supplier_concentration_hhi",
+    "orders_backlog_curve",
+    "customer_order_streaks",
+    "customer_pareto_deciles",
+    "orders_mom_growth",
+    "emb_norm_stats",
+    "emb_dim_variance",
+    "emb_power_iteration",
+    "emb_anisotropy",
+    "emb_kmeans_iter",
+    "dedup_lsh_eval",
+    "doc_ngram_novelty",
+    "dedup_cluster_sizes",
+    "events_resample_ffill",
+    "events_compact_last",
+    "events_anomaly_zscore",
+    "incr_agg_merge",
+    "events_latency_percentiles",
+    "events_session_funnel",
+    "events_gap_distribution",
+    "events_json_key_agg",
+    "events_disorder",
+    "events_markov_transitions",
+    "events_error_bursts",
+    "events_time_to_convert",
+    "multimodal_audio_windows",
+    "multimodal_resize",
+    "multimodal_shard_layout",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
     # --- green sentinels (regression tripwires, rotated each round so
     # sentinel coverage itself sweeps families: r6 used doc_wordcount/
     # dedup_exact/source_csv_roundtrip, r7 used q1_pricing_summary/
-    # knn_bruteforce/stream_tumbling) ---
-    "emb_drift_psi",
-    "multimodal_tar_index",
-    "udtf_split_priority",
+    # knn_bruteforce/stream_tumbling, r8 used emb_drift_psi/
+    # multimodal_tar_index/udtf_split_priority) ---
+    "knn_bruteforce",
+    "source_csv_roundtrip",
+    "udf_scalar_pandas",
 )
 
-# Round-9 rotation plan: once CORRECTNESS_r08 lands green, swap the
-# verified names out and promote the next 47 never-driver-tested
-# names (62 remain after r8: 56 oracle-backed + 6 rows-only, each
-# rows-only name pinned by a driver-green value-checked contract
-# twin: ref_pipeline_documents/w2v_synonyms → ref_pipeline_contract +
-# w2v_synonyms_contract; doc_embedding_knn/knn_bruteforce_blas →
-# knn recall/parity contracts; brp_lsh_pairs → brp_lsh_recall_contract;
-# dedup_mllib_minhash → dedup_minhash_recall_contract), continuing in
-# this order (verified in round 8 to be exactly the catalog minus
-# every CORRECTNESS_r01-r07 key minus the r8 window):
-# agg_approx_topk_words, fuzzy_name_pairs, unpivot_lineitem,
-# subquery_scalar, skew_salted_agg, skew_salted_join,
-# merge_delete_apply, diff_snapshots, agg_mode,
-# window_distinct_cumulative, window_moving_median, basket_part_lift,
-# customer_rfm_segments, orders_cohort_ltv,
-# supplier_concentration_hhi, orders_backlog_curve,
-# customer_order_streaks, customer_pareto_deciles, orders_mom_growth,
-# emb_norm_stats, emb_dim_variance, emb_power_iteration,
-# emb_anisotropy, emb_kmeans_iter, dedup_lsh_eval, doc_ngram_novelty,
-# dedup_cluster_sizes, events_resample_ffill, events_compact_last,
-# events_anomaly_zscore, incr_agg_merge, events_latency_percentiles,
-# events_session_funnel, events_gap_distribution, events_json_key_agg,
-# events_disorder, events_markov_transitions, events_error_bursts,
-# events_time_to_convert, multimodal_audio_windows, multimodal_resize,
-# multimodal_shard_layout, q7_volume_shipping, q8_market_share,
-# q13_customer_distribution, q15_top_supplier, q17_small_qty_revenue,
-# then round-10 finishes the backlog with the final 15:
+# Round-10 rotation plan: once CORRECTNESS_r09 lands green, swap the
+# verified names out and promote the FINAL 15 backlog names (the only
+# catalog names never driver-tested after r9: 9 oracle-backed + 6
+# rows-only; see ROWS_ONLY.md for each rows-only name's driver-green
+# value-checked contract twin):
 # q22_prospect_customers, agg_mad, q12_priority_delay,
 # q21_late_suppliers, ref_pipeline_documents, w2v_synonyms,
 # doc_embedding_knn, emb_pairwise_cos_histogram, knn_bruteforce_blas,
 # brp_lsh_pairs, dedup_mllib_minhash, events_ohlc_bars,
 # events_time_weighted_avg, events_heatmap_dow_hour, multimodal_frames
+# — that leaves 35 window slots: fill with green sentinels sweeping
+# every family (the full catalog will then be driver-green, and from
+# r11 the window becomes a pure rotating regression tripwire).
 # Keep one green sentinel per family in the window so regressions in
 # already-verified families still surface.
 
