@@ -136,6 +136,34 @@ def doc_shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     )
 
 
+def doc_shingles_sized(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle, n_sh) exploded — like :func:`doc_shingles` but
+    with the document's DISTINCT-shingle count alongside every row.
+
+    n_sh is ``size()`` of the shingle array computed row-locally
+    BEFORE the explode (r9): the count of exploded rows per doc is by
+    construction the array length, so the former
+    ``count(*) OVER (PARTITION BY id)`` — a full Exchange + Sort +
+    Window over the exploded table — is a constant-per-row expression
+    instead. Bit-identical (explode drops empty arrays in both
+    formulations)."""
+    base = df.select(F.col(id_col), tokens_expr(text_col).alias("_ws"))
+    arr = base.select(
+        F.col(id_col),
+        F.array_distinct(ngrams_expr(F.col("_ws"), n)).alias("_sh"),
+    )
+    # n_sh is computed BELOW the explode: a ``size(_sh)`` alongside the
+    # explode would force Generate to retain the whole shingle array on
+    # every exploded row (measured 2.4× slower); here the Generate
+    # carries only (id, n_sh) and drops the array after generating.
+    sized = arr.select(F.col(id_col), "_sh", F.size("_sh").alias("n_sh"))
+    return sized.select(
+        F.col(id_col), F.explode("_sh").alias("shingle"), "n_sh"
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float,
@@ -146,21 +174,15 @@ def ngram_jaccard_pairs(
     """Exact Jaccard near-dup pairs: |A∩B| via shingle self-join,
     |A∪B| = |A|+|B|-|A∩B|.
 
-    Set sizes ride along as a window count over the exploded shingles
-    and through the pair aggregation — the sizes-aggregate-plus-two-
-    joins formulation evaluates the (expensive) shingle subtree three
-    times; this one evaluates it once, and the self-join's two sides
-    are identical so AQE reuses the shingle exchange."""
-    # Persisted for the same reason as minhash_signatures: the window
-    # output feeds both sides of the self-join.
-    sh = doc_shingles(df, id_col, text_col, n)
-    sh = tracked_persist(
-        sh.select(
-            F.col(id_col),
-            "shingle",
-            F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
-        )
-    )
+    Set sizes ride along row-locally (size of the pre-explode shingle
+    array — see :func:`doc_shingles_sized`) and through the pair
+    aggregation — the sizes-aggregate-plus-two-joins formulation
+    evaluates the (expensive) shingle subtree three times; this one
+    evaluates it once with zero extra exchanges, and the self-join's
+    two sides are identical so AQE reuses the shingle exchange."""
+    # Persisted for the same reason as minhash_signatures: the sized
+    # shingle table feeds both sides of the self-join.
+    sh = tracked_persist(doc_shingles_sized(df, id_col, text_col, n))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b"))
     shared = (
@@ -483,18 +505,12 @@ def ngram_containment_pairs(
     Jaccard under-scores a short document embedded verbatim in a much
     longer one (the union is dominated by the long side); containment
     flags exactly that quote/subset duplication. Same single-pass
-    shingle shape as ngram_jaccard_pairs: sizes ride a window over the
-    exploded shingles, the persisted table feeds both self-join sides,
-    candidate pairs are bounded by shared shingles (never all-pairs).
+    shingle shape as ngram_jaccard_pairs: sizes ride along row-locally
+    (:func:`doc_shingles_sized`), the persisted table feeds both
+    self-join sides, candidate pairs are bounded by shared shingles
+    (never all-pairs).
     """
-    sh = doc_shingles(df, id_col, text_col, n)
-    sh = tracked_persist(
-        sh.select(
-            F.col(id_col),
-            "shingle",
-            F.count("*").over(Window.partitionBy(id_col)).alias("n_sh"),
-        )
-    )
+    sh = tracked_persist(doc_shingles_sized(df, id_col, text_col, n))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle", F.col("n_sh").alias("n_a"))
     b = sh.select(F.col(id_col).alias("id_b"), "shingle", F.col("n_sh").alias("n_b"))
     shared = (

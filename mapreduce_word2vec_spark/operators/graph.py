@@ -211,13 +211,19 @@ def pagerank(
     # 5 iterations save 5 joins; rank/deg division is unchanged, so
     # the result stays bit-identical to the unrolled SQL oracle.
     sym_deg = tracked_persist(sym.join(deg, "s"))
-    n_nodes = deg.select(F.count("*").alias("n"))
-    # rank vector init 1/N: the 1-row count rides along broadcast, the
-    # node set is never collected.
-    ranks = deg.crossJoin(F.broadcast(n_nodes)).select(
-        F.col("s").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
+    # N collected ONCE as a scalar (r9): the former 1-row n_nodes
+    # aggregate rode a crossJoin(broadcast(...)) into the init AND
+    # every iteration, costing one BroadcastExchange + BNLJ stage per
+    # power iteration (the broadcast subplan is not reused across the
+    # checkpoint job boundary). A single bounded driver count off the
+    # already-persisted degree table replaces all of them with
+    # literals; the division stays in the JVM on the same operand
+    # types, so ranks are bit-identical.
+    n_val = deg.count()
+    ranks = deg.select(
+        F.col("s").alias("node"), (F.lit(1.0) / F.lit(n_val)).alias("rank")
     )
-    base = F.lit(1.0 - damping) / F.col("n")
+    base = F.lit(1.0 - damping) / F.lit(n_val)
     prev_ckpt: DataFrame | None = None
     for i in range(iterations):
         contribs = (
@@ -227,7 +233,6 @@ def pagerank(
         ranks = (
             contribs.groupBy(F.col("node2").alias("node"))
             .agg(F.sum("c").alias("in_sum"))
-            .crossJoin(F.broadcast(n_nodes))
             .select("node", (base + F.lit(damping) * F.col("in_sum")).alias("rank"))
         )
         if (i + 1) % checkpoint_every == 0:

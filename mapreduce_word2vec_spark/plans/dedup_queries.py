@@ -113,7 +113,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram-shingle Jaccard ≥ 0.6 — ground-truth near-dups."""
     from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     return ngram_jaccard_pairs(docs, threshold=0.6)
 
 
@@ -163,7 +163,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing a full band, estimated Jaccard ≥ 0.5."""
     from mapreduce_word2vec_spark.operators.dedup import minhash_lsh_pairs
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     return minhash_lsh_pairs(docs, threshold=0.5)
 
 
@@ -243,7 +243,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs broadcast form survives only as the test oracle)."""
     from mapreduce_word2vec_spark.operators.similarity import cosine_pairs_blocked
 
-    emb = read_testdata(spark, sf_dir, "embeddings")
+    emb = read_testdata(spark, sf_dir, "embeddings", parallelize=True)
     pairs = cosine_pairs_blocked(emb, threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
@@ -391,7 +391,7 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     majority — die map-side."""
     from mapreduce_word2vec_spark.functions.text import ngrams_expr, tokens_expr
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     base = docs.select("doc_id", tokens_expr("text").alias("_ws"))
     grams = base.select(
         "doc_id",
@@ -532,7 +532,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
     from mapreduce_word2vec_spark.operators.graph import pagerank
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.6)
     out = pagerank(pairs, iterations=_PR_ITERS, damping=_PR_DAMPING)
     return out.select("node", F.round("rank", 6).alias("rank"))
@@ -579,7 +579,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
     from mapreduce_word2vec_spark.operators.graph import kcore
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.6)
     return kcore(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
@@ -626,7 +626,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
     from mapreduce_word2vec_spark.operators.graph import label_propagation
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     pairs = ngram_jaccard_pairs(docs, threshold=0.6)
     return label_propagation(pairs, iterations=_LPA_ITERS)
 
@@ -685,7 +685,7 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_word2vec_spark.runtime import tracked_persist
 
-    emb = read_testdata(spark, sf_dir, "embeddings")
+    emb = read_testdata(spark, sf_dir, "embeddings", parallelize=True)
     dbl = F.col("embedding").cast("array<double>")
     cent = emb.where(F.col("vec_id") < _SEM_K).select(
         F.col("vec_id").alias("cid"), dbl.alias("ce")
@@ -695,20 +695,31 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda a, v: a + v,
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("sqd"), F.asc("cid"))
     # Persist the assignment: both sides of the pair self-join consume
     # it, and without the cache Catalyst recomputes the K-fanout
-    # cross join + argmin window TWICE (two scans of the corpus).
+    # cross join + argmin TWICE (two scans of the corpus).
+    # r9: the argmin is a min_by aggregation, not a row_number window —
+    # the K centroid candidates of each vector are co-located (broadcast
+    # cross join), so partial aggregation collapses K→1 map-side and the
+    # exchange carries ONE row per vector (with its embedding) instead
+    # of K, with no sort. min_by(cid, struct(sqd, cid)) ≡ ORDER BY sqd,
+    # cid LIMIT 1 — bit-identical tie-breaks; v/nrm are constant per
+    # vec_id so first(v) is value-deterministic.
     asg = tracked_persist(
         emb.crossJoin(F.broadcast(cent))
-        .withColumn("sqd", sqd)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .select("vec_id", "cid", sqd.alias("sqd"), dbl.alias("v"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct("sqd", "cid")).alias("cid"),
+            F.first("v").alias("v"),
+        )
         .select(
             "vec_id",
             F.col("cid").cast("bigint").alias("cluster_id"),
-            dbl.alias("v"),
-            F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x)).alias("nrm"),
+            "v",
+            F.sqrt(
+                F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)
+            ).alias("nrm"),
         )
     )
     a = asg.select(
@@ -773,7 +784,7 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_word2vec_spark.operators.dedup import ngram_jaccard_pairs
     from mapreduce_word2vec_spark.runtime import tracked_persist
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     # Persist: three self-join references to the same candidate-pair
     # subtree (tokenize + shingle join) — without the cache the edge
     # derivation runs three times.
@@ -970,7 +981,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join — same 100 TB shape as dedup_ngram_jaccard."""
     from mapreduce_word2vec_spark.operators.dedup import ngram_containment_pairs
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     return ngram_containment_pairs(docs, threshold=0.5)
 
 

@@ -47,7 +47,7 @@ def knn_bruteforce_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors vec_id < 10."""
     from mapreduce_word2vec_spark.operators.similarity import knn_bruteforce
 
-    emb = read_testdata(spark, sf_dir, "embeddings")
+    emb = read_testdata(spark, sf_dir, "embeddings", parallelize=True)
     out = knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
     return out.withColumn("cos", F.round("cos", 6))
 
@@ -95,7 +95,7 @@ def knn_bruteforce_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order differs, so no hash oracle)."""
     from mapreduce_word2vec_spark.operators.similarity import knn_bruteforce_numpy
 
-    emb = read_testdata(spark, sf_dir, "embeddings")
+    emb = read_testdata(spark, sf_dir, "embeddings", parallelize=True)
     out = knn_bruteforce_numpy(emb, emb.where(F.col("vec_id") < 10), k=5)
     return out.withColumn("cos", F.round("cos", 6))
 
@@ -526,40 +526,16 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_word2vec_spark.functions.text import tokens_expr
 
-    docs = read_testdata(spark, sf_dir, "documents")
-    emb = read_testdata(spark, sf_dir, "embeddings")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
+    emb = read_testdata(spark, sf_dir, "embeddings", parallelize=True)
 
-    # --- BM25 branch (same formulation as doc_bm25_search: one
-    # tokenize pass, window dl/df, broadcast corpus stats) ---
-    tf_all = (
-        docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-    )
-    with_dl = tf_all.select(
-        "doc_id", "word", "tf",
-        F.sum("tf").over(Window.partitionBy("doc_id")).alias("dl"),
-    )
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens_expr("text"))).alias("avgdl"),
-    )
-    matched = with_dl.where(F.col("word").isin(*_RRF_TERMS)).select(
-        "doc_id", "word", "tf", "dl",
-        F.count("*").over(Window.partitionBy("word")).alias("df"),
-    )
+    # --- BM25 branch (shared one-pass persisted formulation — see
+    # functions.text.bm25_doc_scores; k1=1.2, b=0.75 exactly as the
+    # oracle's 2.2 / (0.25 + 0.75·dl/avgdl) constants) ---
+    from mapreduce_word2vec_spark.functions.text import bm25_doc_scores
+
     bm = (
-        matched.crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            (
-                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-                * F.col("tf") * 2.2
-                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
-            ).alias("s"),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        bm25_doc_scores(docs, _RRF_TERMS, 1.2, 0.75)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_RRF_TOPN)
     )
@@ -689,14 +665,20 @@ def _pq_distances(spark: SparkSession, emb: DataFrame) -> DataFrame:
 
 def _pq_codes(d: DataFrame) -> DataFrame:
     """Per-(vector, subspace) argmin codebook entry over
-    :func:`_pq_distances` output (deterministic (sqd, cid) tie-break)."""
-    from pyspark.sql import Window
+    :func:`_pq_distances` output (deterministic (sqd, cid) tie-break).
+
+    r9: ``min_by`` aggregation instead of a row_number window — the
+    argmin is a lexicographic struct-min, so partial aggregation
+    collapses the per-(vector, subspace) codebook candidates MAP-SIDE
+    (they are co-located by construction: the codebook fans out via a
+    broadcast cross join), shuffling one row per (vector, subspace)
+    instead of one per candidate, with no sort. min(struct(sqd, cid))
+    ≡ ORDER BY sqd, cid LIMIT 1 — bit-identical tie-breaks."""
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("sqd"), F.asc("cid"))
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        d.groupBy("vec_id", "s")
+        .agg(F.min_by("cid", F.struct("sqd", "cid")).alias("cid"))
         .select("vec_id", "s", "cid")
     )
 

@@ -108,7 +108,7 @@ def doc_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram counts via higher-order functions (no UDF, one shuffle)."""
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     grams = docs.select(F.explode(ngrams_expr(tokens_expr("text"), 2)).alias("gram"))
     return grams.groupBy("gram").agg(F.count("*").alias("n"))
 
@@ -232,7 +232,7 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash fingerprint per document."""
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     return docs.select(
         "doc_id", fingerprint_expr(tokens_expr("text")).alias("fingerprint")
     )
@@ -354,7 +354,7 @@ def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword extraction."""
     from pyspark.sql import Window
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     words = docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     # n_docs rides along as a broadcast 1-row aggregate instead of a
@@ -415,52 +415,13 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 documents. Exact relational formulation: per-(doc, term)
     partial scores summed per doc; document-frequency and length
     statistics broadcast."""
-    from pyspark.sql import Window
+    from mapreduce_word2vec_spark.functions.text import bm25_doc_scores
 
-    docs = read_testdata(spark, sf_dir, "documents")
-    # One tokenize pass for scoring: the full (doc, word, tf) table is
-    # vocabulary-sized (persistable even at corpus scale); document
-    # length = window sum over it BEFORE the term filter, document
-    # frequency = window count AFTER — no self-joins, no re-scan of
-    # the text for scoring.
-    tf_all = (
-        docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count("*").alias("tf"))
-    )
-    with_dl = tf_all.select(
-        "doc_id", "word", "tf",
-        F.sum("tf").over(Window.partitionBy("doc_id")).alias("dl"),
-    )
-    # Corpus stats (n_docs, avgdl) must cover ALL documents — a doc
-    # that tokenizes to empty (all digits/punctuation) still counts
-    # toward n_docs and pulls avgdl down, exactly as the oracle's dl
-    # CTE does. Deriving them from tf_all would silently drop such
-    # docs. Computed as a broadcast 1-row aggregate instead of a
-    # driver-side .collect(): one Spark job, no extra action.
-    stats = docs.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.size(tokens_expr("text"))).alias("avgdl"),
-    )
-    matched = with_dl.where(F.col("word").isin(*_BM25_TERMS)).select(
-        "doc_id", "word", "tf", "dl",
-        F.count("*").over(Window.partitionBy("word")).alias("df"),
-    )
-    scored = matched.crossJoin(F.broadcast(stats)).select(
-        "doc_id",
-        (
-            F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
-            * F.col("tf") * (_BM25_K1 + 1.0)
-            / (
-                F.col("tf")
-                + _BM25_K1
-                * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-            )
-        ).alias("s"),
-    )
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
+    # One tokenize pass, persisted (doc_id, dl, matched-terms) rows —
+    # see bm25_doc_scores for the r9 restructure rationale.
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+        bm25_doc_scores(docs, _BM25_TERMS, _BM25_K1, _BM25_B)
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(10)
     )
@@ -626,7 +587,7 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality) tuples, never the text."""
     from pyspark.sql import Window
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     base = docs.select("doc_id", "lang", tokens_expr("text").alias("_ws"),
                        quality_score_expr(F.col("text")).alias("quality"))
     scored = base.where(F.col("quality") >= 0.5).select(
@@ -1745,41 +1706,64 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
-    n_words = F.size(ws)
-    mean_len = F.aggregate(
-        F.transform(ws, F.length), F.lit(0).cast("long"), lambda a, x: a + x
-    ).cast("double") / n_words
-    n_raw = F.size(raw)
-    alpha_frac = F.size(F.filter(raw, lambda t: F.lower(t).rlike("[a-z]"))).cast(
-        "double"
-    ) / n_raw
     stop_lit = F.array(*[F.lit(s) for s in _GOPHER_STOP])
-    # LET-BOUND token array in the stop-list lambda (see
-    # doc_gopher_filter): a bare `ws` there re-tokenizes per stop word.
-    n_stop = F.get(
+
+    # BOTH arrays are let-bound once for the WHOLE rule predicate (r9):
+    # the previous shape bound ws only for the stop-list term, leaving
+    # ~6 bare `ws` references (3× n_words, 2× mean_len) and 3 bare
+    # `raw` references, each re-running its regex pass per reference —
+    # filter predicates get no codegen CSE, and pinning via a
+    # projection alias doesn't survive PushPredicateThroughNonJoin
+    # (the pushdown substitutes aliases back in). Same arithmetic,
+    # value-identical.
+    def keep_of(s: F.Column) -> F.Column:
+        ws_b, raw_b = s["w"], s["r"]
+        n_words = F.size(ws_b)
+        mean_len = F.aggregate(
+            F.transform(ws_b, F.length), F.lit(0).cast("long"), lambda a, x: a + x
+        ).cast("double") / n_words
+        n_raw = F.size(raw_b)
+        alpha_frac = F.size(
+            F.filter(raw_b, lambda t: F.lower(t).rlike("[a-z]"))
+        ).cast("double") / n_raw
+        n_stop = F.size(F.filter(stop_lit, lambda st: F.array_contains(ws_b, st)))
+        return (
+            n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+            & (n_words > 0)
+            & mean_len.between(_GOPHER_MIN_MEANLEN, _GOPHER_MAX_MEANLEN)
+            & (n_raw > 0)
+            & (alpha_frac >= _GOPHER_MIN_ALPHA)
+            & (n_stop >= _GOPHER_MIN_STOP)
+        )
+
+    keep = F.get(
+        F.transform(F.array(F.struct(ws.alias("w"), raw.alias("r"))), keep_of), 0
+    )
+    from mapreduce_word2vec_spark.functions.text import fingerprint_expr
+
+    # n_tokens and fp are emitted from ONE let-bound tokenize as a
+    # struct, unpacked in a second projection (a bare pair of ws
+    # references would tokenize twice; struct-field reads of a pinned
+    # alias are free).
+    tf_struct = F.get(
         F.transform(
             F.array(ws),
-            lambda ws_b: F.size(
-                F.filter(stop_lit, lambda s: F.array_contains(ws_b, s))
+            lambda ws_b: F.struct(
+                F.size(ws_b).cast("bigint").alias("n_tokens"),
+                fingerprint_expr(ws_b).alias("fp"),
             ),
         ),
         0,
     )
-    keep = (
-        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
-        & (n_words > 0)
-        & mean_len.between(_GOPHER_MIN_MEANLEN, _GOPHER_MAX_MEANLEN)
-        & (n_raw > 0)
-        & (alpha_frac >= _GOPHER_MIN_ALPHA)
-        & (n_stop >= _GOPHER_MIN_STOP)
-    )
-    from mapreduce_word2vec_spark.functions.text import fingerprint_expr
-
-    filtered = docs.where(keep).select(
-        "doc_id",
-        "lang",
-        F.size(ws).cast("bigint").alias("n_tokens"),
-        fingerprint_expr(ws).alias("fp"),
+    filtered = (
+        docs.where(keep)
+        .select("doc_id", "lang", tf_struct.alias("_tf"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("_tf.n_tokens").alias("n_tokens"),
+            F.col("_tf.fp").alias("fp"),
+        )
     )
     rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
     # The survivor table feeds TWO consumers (language counts + the
@@ -2300,7 +2284,7 @@ def w2v_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vocab² bounded) partial counts, never the 4x-exploded token
     stream. ``get()`` not ``element_at()``: 0-based and total (null
     out of bounds, no index-0 error)."""
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     # Tokenize in its OWN projection and reference the column: the
     # pair expression reads the array 5x per token (transform input +
     # four get()s), and inlining tokens_expr there would re-run the
@@ -2452,7 +2436,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured ~10x at sf0.1. Zero exchanges, plan-asserted."""
     from mapreduce_word2vec_spark.functions.text import winnow_fingerprints_expr
 
-    docs = read_testdata(spark, sf_dir, "documents")
+    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     toks = docs.select("doc_id", tokens_expr("text").alias("ws")).where(
         F.size("ws") >= 6
     )

@@ -71,6 +71,21 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # InferFiltersFromGenerate synthesizes a size(e)>0 AND
+        # isnotnull(e) filter below every explode. When the exploded
+        # array is an ALIASED expensive expression (a tokenize+shingle
+        # pipeline), PushDownPredicate then substitutes the alias and
+        # the whole pipeline is re-evaluated TWICE inside a Filter at
+        # the scan — measured 2.4x on the shingle dedup family (r9).
+        # The inferred filter is redundant (explode already drops
+        # empty/null arrays), so excluding the rule is semantics-
+        # preserving; the only thing lost is early row pruning when
+        # exploding a STORED array column, which none of the catalog's
+        # scans benefit from (no all-null/empty array columns).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

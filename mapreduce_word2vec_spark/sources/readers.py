@@ -80,7 +80,46 @@ def read_json(
     return reader.json(path)
 
 
-def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+# (path -> scan partition count) probe cache for parallelize_scan:
+# getNumPartitions costs one driver-side planning pass, paid once per
+# table per process.
+_SCAN_PARTS: dict[str, int] = {}
+
+
+def parallelize_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+    """Scale-adaptive compute distribution for CPU-heavy narrow
+    pipelines (optimization guide §2.5 "repartition immediately after
+    the read" / §6 input splits).
+
+    A small corpus arrives as ONE parquet file with ONE row group, so
+    the scan is a single task and every per-row regex/HOF pass downstream
+    of it runs on one core no matter the cluster size. When the scan
+    yields fewer partitions than half the session's parallelism,
+    round-robin repartition to ``defaultParallelism`` so the expensive
+    map work fans out. Round-robin (not hash) keeps the plan's
+    ``Exchange hashpartitioning`` count — the shape the 100 TB plan
+    contracts assert — unchanged, and column pruning still pushes
+    through a keyless repartition.
+
+    At production scale the condition is false by construction (a
+    100 TB table scans as thousands of partitions) and this is an
+    identity: no shuffle is ever added where the scan already
+    parallelizes. Opt-IN per call site: only pipelines whose per-row
+    compute dominates their scan cost ask for it; model-training
+    inputs (Word2Vec gradient order) never do."""
+    target = spark.sparkContext.defaultParallelism
+    parts = _SCAN_PARTS.get(path)
+    if parts is None:
+        parts = df.rdd.getNumPartitions()
+        _SCAN_PARTS[path] = parts
+    if parts * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
+def read_testdata(
+    spark: SparkSession, sf_dir: str, table: str, parallelize: bool = False
+) -> DataFrame:
     """Load one of the driver's synthetic tables (TESTDATA.md).
 
     ``events.ts`` has shipped in two physical encodings across driver
@@ -114,8 +153,13 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
             # shifting values — and the DuckDB oracle's naive
             # timestamps keep comparing equal.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if parallelize:
+            df = parallelize_scan(df, spark, f"{sf_dir}/{table}.parquet")
         return df
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if parallelize:
+        df = parallelize_scan(df, spark, f"{sf_dir}/{table}.parquet")
+    return df
 
 
 def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
