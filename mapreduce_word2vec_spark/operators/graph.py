@@ -37,14 +37,24 @@ def _symmetrize(edges: DataFrame, src: str, dst: str) -> DataFrame:
     list joins into EVERY iteration; without it each round re-evaluates
     the whole upstream pair-generation subtree (for near-dup edges:
     tokenize + shingle self-join — measured as one full re-scan per
-    iteration in the physical plan)."""
+    iteration in the physical plan).
+
+    Both directions are emitted by ONE map-side explode (r9), not a
+    union of two selects: each union branch re-evaluated the entire
+    upstream pair-generation subtree (the near-dup case pays the
+    shingle self-join + pair aggregation twice). Same rows — explode
+    of [(s,d),(d,s)] ≡ UNION ALL of the two orientations — and the
+    same trailing distinct."""
+    both = F.explode(
+        F.array(
+            F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+            F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+        )
+    )
     return tracked_persist(
         edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
-        .select(F.col(src).alias("s"), F.col(dst).alias("d"))
-        .union(
-            edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull())
-            .select(F.col(dst).alias("s"), F.col(src).alias("d"))
-        )
+        .select(both.alias("e"))
+        .select("e.s", "e.d")
         .distinct()
     )
 
