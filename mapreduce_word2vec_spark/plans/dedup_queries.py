@@ -685,7 +685,7 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_word2vec_spark.runtime import tracked_persist
 
-    emb = read_testdata(spark, sf_dir, "embeddings", parallelize=True)
+    emb = read_testdata(spark, sf_dir, "embeddings")
     dbl = F.col("embedding").cast("array<double>")
     cent = emb.where(F.col("vec_id") < _SEM_K).select(
         F.col("vec_id").alias("cid"), dbl.alias("ce")

@@ -95,7 +95,7 @@ def knn_bruteforce_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation order differs, so no hash oracle)."""
     from mapreduce_word2vec_spark.operators.similarity import knn_bruteforce_numpy
 
-    emb = read_testdata(spark, sf_dir, "embeddings", parallelize=True)
+    emb = read_testdata(spark, sf_dir, "embeddings")
     out = knn_bruteforce_numpy(emb, emb.where(F.col("vec_id") < 10), k=5)
     return out.withColumn("cos", F.round("cos", 6))
 
@@ -526,8 +526,8 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from mapreduce_word2vec_spark.functions.text import tokens_expr
 
-    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
-    emb = read_testdata(spark, sf_dir, "embeddings", parallelize=True)
+    docs = read_testdata(spark, sf_dir, "documents")
+    emb = read_testdata(spark, sf_dir, "embeddings")
 
     # --- BM25 branch (shared one-pass persisted formulation — see
     # functions.text.bm25_doc_scores; k1=1.2, b=0.75 exactly as the

@@ -354,7 +354,7 @@ def doc_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyword extraction."""
     from pyspark.sql import Window
 
-    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
+    docs = read_testdata(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(tokens_expr("text")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     # n_docs rides along as a broadcast 1-row aggregate instead of a
@@ -417,9 +417,12 @@ def doc_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics broadcast."""
     from mapreduce_word2vec_spark.functions.text import bm25_doc_scores
 
-    docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
+    docs = read_testdata(spark, sf_dir, "documents")
     # One tokenize pass, persisted (doc_id, dl, matched-terms) rows —
-    # see bm25_doc_scores for the r9 restructure rationale.
+    # see bm25_doc_scores for the r9 restructure rationale. (Scan
+    # distribute adjudicated OFF: with a single tokenize pass the
+    # exchange costs more than the 1-task map saves — r9 interleaved
+    # A/B 0.82 s OFF vs 1.15 s ON.)
     return (
         bm25_doc_scores(docs, _BM25_TERMS, _BM25_K1, _BM25_B)
         .orderBy(F.desc("bm25"), "doc_id")

@@ -86,7 +86,9 @@ def read_json(
 _SCAN_PARTS: dict[str, int] = {}
 
 
-def parallelize_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame:
+def parallelize_scan(
+    df: DataFrame, spark: SparkSession, path: str, key: str | None = None
+) -> DataFrame:
     """Scale-adaptive compute distribution for CPU-heavy narrow
     pipelines (optimization guide §2.5 "repartition immediately after
     the read" / §6 input splits).
@@ -113,12 +115,20 @@ def parallelize_scan(df: DataFrame, spark: SparkSession, path: str) -> DataFrame
         parts = df.rdd.getNumPartitions()
         _SCAN_PARTS[path] = parts
     if parts * 2 <= target:
+        # key given → hash distribute (no pre-repartition local sort;
+        # the key must be a column the query reads anyway or pruning
+        # widens). keyless → round-robin, fully pruning-transparent.
+        if key is not None:
+            return df.repartition(target, F.col(key))
         return df.repartition(target)
     return df
 
 
 def read_testdata(
-    spark: SparkSession, sf_dir: str, table: str, parallelize: bool = False
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    parallelize: bool | str = False,
 ) -> DataFrame:
     """Load one of the driver's synthetic tables (TESTDATA.md).
 
@@ -154,11 +164,13 @@ def read_testdata(
             # timestamps keep comparing equal.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         if parallelize:
-            df = parallelize_scan(df, spark, f"{sf_dir}/{table}.parquet")
+            key = parallelize if isinstance(parallelize, str) else None
+            df = parallelize_scan(df, spark, f"{sf_dir}/{table}.parquet", key=key)
         return df
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if parallelize:
-        df = parallelize_scan(df, spark, f"{sf_dir}/{table}.parquet")
+        key = parallelize if isinstance(parallelize, str) else None
+        df = parallelize_scan(df, spark, f"{sf_dir}/{table}.parquet", key=key)
     return df
 
 
