@@ -82,7 +82,11 @@ def read_json(
 
 # (path -> scan partition count) probe cache for parallelize_scan:
 # getNumPartitions costs one driver-side planning pass, paid once per
-# table per process.
+# table per process. NOTE (r9 advice): keyed by path only — if the file
+# at a path were rewritten at a different file count mid-process the
+# stale probe would mis-decide. Unreachable in the driver/bench
+# harnesses (testdata is read-only); long-lived sessions that rewrite
+# tables should clear this dict alongside release_tracked().
 _SCAN_PARTS: dict[str, int] = {}
 
 
@@ -124,6 +128,25 @@ def parallelize_scan(
     return df
 
 
+# Scan PLAN reuse (r10, optimization guide §5 "the driver should do
+# almost no data work" / §6 file-listing reuse): ``spark.read.parquet``
+# costs ~0.15-0.35 s of serial driver work PER CALL on the bench rig
+# (DataSource resolution, file listing, parquet footer/schema read —
+# all py4j round trips), and every catalog query pays it once per table
+# it reads, inside the timed region. The DataFrame it returns is an
+# immutable logical plan, so one plan per (session, path, variant) can
+# be shared by every consumer — exactly what a production app does by
+# resolving a catalog table once. This caches ONLY the unexecuted plan
+# object: no rows, no results — every action still scans the parquet
+# files, and a release_tracked()/unpersist cycle never touches it.
+# Keyed WEAKLY on the session so a restarted session rebuilds plans.
+from weakref import WeakKeyDictionary
+
+_SCAN_PLANS: "WeakKeyDictionary[SparkSession, dict[tuple, DataFrame]]" = (
+    WeakKeyDictionary()
+)
+
+
 def read_testdata(
     spark: SparkSession,
     sf_dir: str,
@@ -145,6 +168,11 @@ def read_testdata(
     """
     if table not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {table!r}; expected one of {TESTDATA_TABLES}")
+    cache = _SCAN_PLANS.setdefault(spark, {})
+    cache_key = (sf_dir, table, parallelize)
+    cached = cache.get(cache_key)
+    if cached is not None:
+        return cached
     if table == "events":
         # DELIBERATELY session-sticky (no restore): DataFrames are
         # lazy, so the conf must still hold when the plan EXECUTES —
@@ -166,11 +194,13 @@ def read_testdata(
         if parallelize:
             key = parallelize if isinstance(parallelize, str) else None
             df = parallelize_scan(df, spark, f"{sf_dir}/{table}.parquet", key=key)
+        cache[cache_key] = df
         return df
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     if parallelize:
         key = parallelize if isinstance(parallelize, str) else None
         df = parallelize_scan(df, spark, f"{sf_dir}/{table}.parquet", key=key)
+    cache[cache_key] = df
     return df
 
 
