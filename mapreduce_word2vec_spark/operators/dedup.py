@@ -216,25 +216,24 @@ def minhash_signatures(
     min over shingles of ``(a*h(s)+b) mod p`` per hash function; all
     arithmetic stays < 2^62 so int64 folds are exact everywhere.
 
-    Physical shape: explode shingles → hash each DISTINCT shingle
-    once (corpus-level dedup, broadcast back) → one hash aggregation
-    with 16 ``min`` columns. Two deliberate choices: (a) permutations
-    as aggregate expressions, not array HOFs — HOFs run interpreted
-    and project-collapsing re-evaluates the per-shingle hash per
-    permutation (measured 40× slower at sf0.1); (b) the char-fold
-    hash runs once per distinct string, not per occurrence — natural
-    corpora repeat shingles heavily."""
-    # Persisted because the exploded shingles feed two consumers (the
-    # distinct-hash dim and the probe side) and recomputing means
-    # re-tokenizing and re-shingling the corpus — measured 2× at sf0.1.
-    # MEMORY_AND_DISK: at corpus scale this spills rather than OOMs,
-    # and a disk read still beats the regex+HOF recompute.
-    sh = tracked_persist(
-        doc_shingles(df, id_col, text_col, n)
-        .select(F.col(id_col).alias("doc_id"), F.col("shingle").alias("s"))
+    Physical shape (r10): explode shingles → char-fold hash each
+    shingle IN PLACE → ONE hash aggregation with 16 ``min`` columns —
+    a single pass, a single exchange (the per-doc aggregation, which
+    partial aggregation collapses map-side). The r5-r9 shape hashed
+    only DISTINCT shingles and broadcast the dim back, but per-doc
+    shingles are already distinct (``doc_shingles`` dedups per doc)
+    so corpus-level repetition is just the near-dup rate; the dim
+    cost a distinct exchange + a serial driver collect/broadcast +
+    a persisted two-consumer shingle table. Interleaved A/B at sf0.1:
+    1.89 → 1.26 s on dedup_minhash_lsh, value-identical, and the
+    8→32-core scaling bottleneck (the serial broadcast build) is
+    gone. Permutations stay aggregate expressions, not array HOFs —
+    HOFs run interpreted and project-collapsing re-evaluates the
+    per-shingle hash per permutation (measured 40× slower at sf0.1)."""
+    sh = doc_shingles(df, id_col, text_col, n).select(
+        F.col(id_col).alias("doc_id"),
+        string_hash_expr(F.col("shingle")).alias("h"),
     )
-    dim = sh.select("s").distinct().select("s", string_hash_expr(F.col("s")).alias("h"))
-    hashed = sh.join(F.broadcast(dim), "s").select("doc_id", "h")
     # Permutation mins ship as one parsed expr() each (the
     # simhash_signatures lesson: Column trees looped in Python pay a
     # py4j round trip per node of driver-side plan construction).
@@ -245,7 +244,7 @@ def minhash_signatures(
     sig = F.expr(
         "array(" + ", ".join(f"m{i}" for i in range(len(MINHASH_COEFFS))) + ")"
     )
-    return hashed.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
+    return sh.groupBy("doc_id").agg(*mins).select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5, **kw) -> DataFrame:
