@@ -179,23 +179,33 @@ def quality_score_expr(text_col: Column) -> Column:
     interpreted HOF subtrees get no codegen CSE. Measured 0.775 →
     0.587 s on doc_quality at sf0.1, value-identical (r9 A/B).
     """
+    score = F.get(
+        F.transform(
+            F.array(tokens_expr(text_col)),
+            lambda ws_b: quality_score_of(ws_b, text_col),
+        ),
+        0,
+    )
+    return F.round(score, 6)
+
+
+def quality_score_of(words: Column, text_col: Column) -> Column:
+    """The quality score over an ALREADY-BOUND token array (the core of
+    :func:`quality_score_expr`, exposed so pipelines that let-bind the
+    tokens once for several outputs — pipeline_curation's quality +
+    fingerprint — reuse the identical arithmetic). Unrounded."""
     n_chars = F.length(text_col)
     punct = F.length(F.regexp_replace(text_col, r"[a-zA-Z0-9\s]", ""))
     punct_ratio = F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(1.0))
-
-    def score_of(words: Column) -> Column:
-        n_words = F.size(words)
-        n_stop = F.size(remove_stopwords(words))
-        stop_ratio = F.when(n_words > 0, (n_words - n_stop) / n_words).otherwise(
-            F.lit(0.0)
-        )
-        length_term = F.least(n_words / F.lit(20.0), F.lit(1.0))
-        return 0.4 * length_term + 0.3 * (1.0 - punct_ratio) + 0.3 * F.least(
-            stop_ratio * 4.0, F.lit(1.0)
-        )
-
-    score = F.get(F.transform(F.array(tokens_expr(text_col)), score_of), 0)
-    return F.round(score, 6)
+    n_words = F.size(words)
+    n_stop = F.size(remove_stopwords(words))
+    stop_ratio = F.when(n_words > 0, (n_words - n_stop) / n_words).otherwise(
+        F.lit(0.0)
+    )
+    length_term = F.least(n_words / F.lit(20.0), F.lit(1.0))
+    return 0.4 * length_term + 0.3 * (1.0 - punct_ratio) + 0.3 * F.least(
+        stop_ratio * 4.0, F.lit(1.0)
+    )
 
 
 def lang_id_expr(text_col: Column) -> Column:

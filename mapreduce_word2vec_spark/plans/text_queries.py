@@ -590,11 +590,32 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality) tuples, never the text."""
     from pyspark.sql import Window
 
+    from mapreduce_word2vec_spark.functions.text import quality_score_of
+
     docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
-    base = docs.select("doc_id", "lang", tokens_expr("text").alias("_ws"),
-                       quality_score_expr(F.col("text")).alias("quality"))
-    scored = base.where(F.col("quality") >= 0.5).select(
-        "doc_id", "lang", "quality", fingerprint_expr(F.col("_ws")).alias("fingerprint")
+
+    # Quality filter + fingerprint emitted through ONE conditional-array
+    # explode (r10): the former where(quality >= 0.5) pushed the whole
+    # quality expression (tokenize + regex) below the projection that
+    # ALSO computed quality and the fingerprint's tokenize — three
+    # tokenize passes per doc. Here keep-predicate and payload come
+    # from one let-bound token array inside the Generate's generator
+    # (evaluated once per row, no Filter node to push); explode of the
+    # NULL non-keep case drops the row exactly like the filter did.
+    # Interleaved A/B at sf0.1: 2.15 → 1.36 s (min), value-identical.
+    def emit_of(ws_b: F.Column) -> F.Column:
+        quality = F.round(quality_score_of(ws_b, F.col("text")), 6)
+        payload = F.struct(
+            quality.alias("quality"), fingerprint_expr(ws_b).alias("fingerprint")
+        )
+        return F.when(quality >= 0.5, F.array(payload))
+
+    arr = F.get(F.transform(F.array(tokens_expr("text")), emit_of), 0)
+    scored = docs.select("doc_id", "lang", F.explode(arr).alias("_q")).select(
+        "doc_id",
+        "lang",
+        F.col("_q.quality").alias("quality"),
+        F.col("_q.fingerprint").alias("fingerprint"),
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     surv = (
@@ -1711,15 +1732,19 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stop_lit = F.array(*[F.lit(s) for s in _GOPHER_STOP])
 
-    # BOTH arrays are let-bound once for the WHOLE rule predicate (r9):
-    # the previous shape bound ws only for the stop-list term, leaving
-    # ~6 bare `ws` references (3× n_words, 2× mean_len) and 3 bare
-    # `raw` references, each re-running its regex pass per reference —
-    # filter predicates get no codegen CSE, and pinning via a
-    # projection alias doesn't survive PushPredicateThroughNonJoin
-    # (the pushdown substitutes aliases back in). Same arithmetic,
+    from mapreduce_word2vec_spark.functions.text import fingerprint_expr
+
+    # The WHOLE Gopher rule AND the (n_tokens, fp) payload are emitted
+    # from ONE let-bound (ws, raw) binding through a conditional-array
+    # explode (r10). The r9 shape bound the arrays once for the rule
+    # filter and once for the payload projection — but Filter + Project
+    # are separate operators, so every surviving doc still tokenized
+    # TWICE (and the rule's raw-split once more). Inside a Generate's
+    # generator there is no Filter to push (explode of the NULL
+    # non-keep case drops the row), so the binding is evaluated exactly
+    # once per row. Interleaved A/B at sf0.1: 3.20 → 2.55 s (min),
     # value-identical.
-    def keep_of(s: F.Column) -> F.Column:
+    def emit_of(s: F.Column) -> F.Column:
         ws_b, raw_b = s["w"], s["r"]
         n_words = F.size(ws_b)
         mean_len = F.aggregate(
@@ -1730,7 +1755,7 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(raw_b, lambda t: F.lower(t).rlike("[a-z]"))
         ).cast("double") / n_raw
         n_stop = F.size(F.filter(stop_lit, lambda st: F.array_contains(ws_b, st)))
-        return (
+        keep = (
             n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
             & (n_words > 0)
             & mean_len.between(_GOPHER_MIN_MEANLEN, _GOPHER_MAX_MEANLEN)
@@ -1738,35 +1763,20 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (alpha_frac >= _GOPHER_MIN_ALPHA)
             & (n_stop >= _GOPHER_MIN_STOP)
         )
-
-    keep = F.get(
-        F.transform(F.array(F.struct(ws.alias("w"), raw.alias("r"))), keep_of), 0
-    )
-    from mapreduce_word2vec_spark.functions.text import fingerprint_expr
-
-    # n_tokens and fp are emitted from ONE let-bound tokenize as a
-    # struct, unpacked in a second projection (a bare pair of ws
-    # references would tokenize twice; struct-field reads of a pinned
-    # alias are free).
-    tf_struct = F.get(
-        F.transform(
-            F.array(ws),
-            lambda ws_b: F.struct(
-                F.size(ws_b).cast("bigint").alias("n_tokens"),
-                fingerprint_expr(ws_b).alias("fp"),
-            ),
-        ),
-        0,
-    )
-    filtered = (
-        docs.where(keep)
-        .select("doc_id", "lang", tf_struct.alias("_tf"))
-        .select(
-            "doc_id",
-            "lang",
-            F.col("_tf.n_tokens").alias("n_tokens"),
-            F.col("_tf.fp").alias("fp"),
+        payload = F.struct(
+            F.size(ws_b).cast("bigint").alias("n_tokens"),
+            fingerprint_expr(ws_b).alias("fp"),
         )
+        return F.when(keep, F.array(payload))
+
+    arr = F.get(
+        F.transform(F.array(F.struct(ws.alias("w"), raw.alias("r"))), emit_of), 0
+    )
+    filtered = docs.select("doc_id", "lang", F.explode(arr).alias("_tf")).select(
+        "doc_id",
+        "lang",
+        F.col("_tf.n_tokens").alias("n_tokens"),
+        F.col("_tf.fp").alias("fp"),
     )
     rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
     # The survivor table feeds TWO consumers (language counts + the
