@@ -295,6 +295,64 @@ WINNOW_GRAM = 3
 WINNOW_WINDOW = 4
 
 
+# --- SQL-text twins (r10) -------------------------------------------
+#
+# py4j round trips cost ~1-2 ms EACH on the bench rig, so constructors
+# that loop F.transform/F.zip_with/F.slice Column calls spend hundreds
+# of ms of serial DRIVER time building plans (the r5 simhash lesson,
+# where ~0.9 s of Column-tree chatter dominated the query). These
+# helpers build the IDENTICAL expression as SQL text in Python (free)
+# so call sites pay ONE parsed F.expr() round trip. Each twin mirrors
+# its Column sibling operator-for-operator; value identity is pinned
+# by tests/test_round10_opt.py and the oracle gates.
+
+def tokens_sql(col: str) -> str:
+    """SQL text of :func:`tokens_expr` over column/expression ``col``."""
+    return (
+        "array_remove(split(regexp_replace(lower(" + col + "), "
+        "'[a-z0-9_]*[0-9_][a-z0-9_]*', ' '), '[^a-z]+'), '')"
+    )
+
+
+def ngrams_sql(arr: str, n: int = 2, sep: str = " ") -> str:
+    """SQL text of :func:`ngrams_expr` over array expression ``arr``.
+
+    ``arr`` is referenced multiple times — pass a cheap reference (a
+    column name or lambda variable), never an expensive expression."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if n == 1:
+        return arr
+    out = arr
+    for k in range(1, n):
+        shifted = f"slice({arr}, {k + 1}, greatest(size({arr}) - {k}, 0))"
+        out = f"zip_with({out}, {shifted}, (ng_a, ng_b) -> concat(ng_a, '{sep}', ng_b))"
+    return f"filter({out}, ng_g -> ng_g IS NOT NULL)"
+
+
+def string_hash_sql(s: str) -> str:
+    """SQL text of :func:`string_hash_expr` over string expression ``s``."""
+    return (
+        f"aggregate(transform(split({s}, ''), sh_c -> ascii(sh_c)), "
+        f"CAST(0 AS BIGINT), (sh_acc, sh_c) -> "
+        f"(sh_acc * {FINGERPRINT_BASE} + sh_c) % {FINGERPRINT_MOD})"
+    )
+
+
+def winnow_fingerprints_sql(ws: str) -> str:
+    """SQL text of :func:`winnow_fingerprints_expr` over token-array
+    expression ``ws`` (referenced once)."""
+    grams = ngrams_sql("wn_ws", WINNOW_GRAM)
+    hashes = f"transform({grams}, wn_g -> {string_hash_sql('wn_g')})"
+    over_hashes = (
+        f"array_distinct(transform("
+        f"sequence(1, size(wn_hs) - {WINNOW_WINDOW - 1}), "
+        f"wn_j -> array_min(slice(wn_hs, wn_j, {WINNOW_WINDOW}))))"
+    )
+    over_tokens = f"get(transform(array({hashes}), wn_hs -> {over_hashes}), 0)"
+    return f"get(transform(array({ws}), wn_ws -> {over_tokens}), 0)"
+
+
 def winnow_fingerprints_expr(ws: Column) -> Column:
     """Winnowing fingerprint SET (distinct window-mins of 3-gram
     hashes, 4-hash windows) for a token-array column — the selection

@@ -2447,7 +2447,7 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once, and the output references the winnow expression
     exactly once (n_windows derives from the token count alone) —
     measured ~10x at sf0.1. Zero exchanges, plan-asserted."""
-    from mapreduce_word2vec_spark.functions.text import winnow_fingerprints_expr
+    from mapreduce_word2vec_spark.functions.text import winnow_fingerprints_sql
 
     docs = read_testdata(spark, sf_dir, "documents", parallelize=True)
     toks = docs.select("doc_id", tokens_expr("text").alias("ws")).where(
@@ -2458,7 +2458,10 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (a struct output read twice would duplicate the whole pipeline).
     return toks.select(
         "doc_id",
-        F.size(winnow_fingerprints_expr(F.col("ws"))).cast("bigint").alias("n_fps"),
+        # SQL twin (r10): the Column form of this expression costs
+        # ~0.5 s of serial py4j plan construction per call; the parsed
+        # text is the identical tree (test-pinned).
+        F.expr(f"CAST(size({winnow_fingerprints_sql('ws')}) AS BIGINT)").alias("n_fps"),
         (F.size("ws") - 5).cast("bigint").alias("n_windows"),
     )
 
