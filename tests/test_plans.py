@@ -386,9 +386,19 @@ def test_driver_window_spans_all_families(spark):
             f"module {mod!r} has no driver-green name yet and no "
             "representative in the 50-slot window"
         )
-    # And the budget is actually spent on verification: >= 45 of the
-    # 50 slots go to never-driver-green names.
-    assert sum(1 for n in window if n not in green) >= 45
+    # And the budget is actually spent on verification: every
+    # never-driver-TESTED name must sit inside the window until the
+    # backlog is cleared (close-out phase: fewer than 50 remain and
+    # the spare slots become green sentinels — the r9-recorded plan;
+    # composition asserted in
+    # test_correctness_window_covers_all_families).
+    from tests.conftest import driver_tested
+
+    tested = driver_tested()
+    missing = [n for n in qs if n not in tested and n not in window]
+    assert not missing, (
+        f"never-driver-tested names outside the window: {missing}"
+    )
 
 
 def test_salted_join_no_cartesian_and_bigram_no_self_join(spark):
@@ -611,7 +621,19 @@ def test_priority_window_names_all_registered_and_oracle_backed(spark):
         assert name in qs, f"priority name {name!r} not registered"
         if qs[name].oracle is None:
             no_oracle.add(name)
-    allowed = {"tokenizer_bpe_train", "tokenizer_bpe_fertility"}
+    # Twin-pinned rows-only names per ROWS_ONLY.md (each contract twin
+    # is driver-green; test_correctness_window_covers_all_families
+    # asserts the pairing against the committed records).
+    allowed = {
+        "tokenizer_bpe_train",
+        "tokenizer_bpe_fertility",
+        "ref_pipeline_documents",
+        "w2v_synonyms",
+        "doc_embedding_knn",
+        "knn_bruteforce_blas",
+        "brp_lsh_pairs",
+        "dedup_mllib_minhash",
+    }
     assert no_oracle <= allowed, (
         f"no-oracle queries waste window slots: {no_oracle - allowed}"
     )
