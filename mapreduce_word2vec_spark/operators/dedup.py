@@ -292,11 +292,17 @@ def simhash_signatures(
     term frequency: bit_j(doc) = 1 iff Σ_tokens (±1 per token's bit j)
     > 0.
 
-    Physical shape mirrors :func:`minhash_signatures`: per-(doc, word)
-    term frequencies, the char-fold hash computed once per DISTINCT
-    word and broadcast back, then ONE hash aggregation (codegen'd) —
-    not per-bit array folds, which would recompute every token hash
-    32× in the interpreted HOF path.
+    Physical shape mirrors :func:`minhash_signatures` (r10 one-pass
+    form): per-(doc, word) term frequencies, the char-fold hash
+    computed IN PLACE on each tf row, then ONE hash aggregation
+    (codegen'd) — not per-bit array folds, which would recompute every
+    token hash 32× in the interpreted HOF path. Hashing per (doc,
+    word) instead of per distinct word re-hashes words that recur
+    across documents, but drops the vocabulary distinct (an extra
+    exchange) and its broadcast join — a serial driver
+    collect/re-broadcast barrier that at 100 TB would broadcast the
+    whole vocabulary. A/B at sf0.1: 1.40 → 1.12 s median on the
+    signature stage, bit-identical output.
 
     The 32 per-bit counters are PACKED two to an int64 lane-sum:
     each lane accumulates Σ(bit_j ? tf : 0) — non-negative, so lanes
@@ -309,8 +315,7 @@ def simhash_signatures(
         F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("w")
     )
     tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dim = tf.select("w").distinct().select("w", string_hash_expr(F.col("w")).alias("h"))
-    hashed = tf.join(F.broadcast(dim), "w").select("doc_id", "tf", "h")
+    hashed = tf.select("doc_id", "tf", string_hash_expr(F.col("w")).alias("h"))
     # The lane sums and the 32-branch bit reconstruction are built as
     # SQL strings parsed in ONE expr() call each, not as Column trees:
     # looping F.when/.bitwiseAND pays a Python→JVM round trip per
