@@ -230,6 +230,19 @@ def pagerank(
     # literals; the division stays in the JVM on the same operand
     # types, so ranks are bit-identical.
     n_val = deg.count()
+    # Iteration shuffle width derived from the measured node count
+    # (guide §2: scale-adaptive partitioning, not a constant): the rank
+    # vector is exactly n_val rows, so ~1M rows/partition sizes its
+    # aggregation exchange to the data instead of to
+    # spark.sql.shuffle.partitions. On the 477-node near-dup graph that
+    # is ONE task per iteration instead of 32 near-empty ones (5
+    # iterations of 2-row-per-task staging overhead was ~0.25 s of the
+    # query); on a billion-node graph it is ~1000 real partitions. The
+    # explicit repartition is absorbed by the groupBy (same key, same
+    # width — no second exchange). A broadcast-ranks variant measured
+    # SLOWER (3.70 vs 3.27 s median): one serial broadcast build per
+    # iteration beats the coalesced shuffle only on paper.
+    p_iter = max(1, min(n_val // 1_000_000, 100_000))
     ranks = deg.select(
         F.col("s").alias("node"), (F.lit(1.0) / F.lit(n_val)).alias("rank")
     )
@@ -239,6 +252,7 @@ def pagerank(
         contribs = (
             sym_deg.join(ranks, F.col("s") == F.col("node"))
             .select(F.col("d").alias("node2"), (F.col("rank") / F.col("deg")).alias("c"))
+            .repartition(p_iter, "node2")
         )
         ranks = (
             contribs.groupBy(F.col("node2").alias("node"))

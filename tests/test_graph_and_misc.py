@@ -298,7 +298,10 @@ def test_operator_caches_released_between_catalog_queries(spark):
     from tests.conftest import SF_SMOKE
 
     qs = catalog.all_queries()
-    qs["dedup_minhash_lsh"].fn(spark, SF_SMOKE).collect()
+    # dedup_ngram_jaccard persists its sized-shingle table (the r10
+    # one-pass MinHash/SimHash rewrites removed THEIR persists, so
+    # dedup_minhash_lsh no longer caches anything).
+    qs["dedup_ngram_jaccard"].fn(spark, SF_SMOKE).collect()
     assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
     # dedup_exact itself persists nothing, so after it starts the
     # previous query's caches must be gone.
