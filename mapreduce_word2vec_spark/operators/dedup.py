@@ -292,21 +292,25 @@ def simhash_signatures(
     term frequency: bit_j(doc) = 1 iff Σ_tokens (±1 per token's bit j)
     > 0.
 
-    Physical shape mirrors :func:`minhash_signatures` (r10 one-pass
-    form): per-(doc, word) term frequencies, the char-fold hash
-    computed IN PLACE on each tf row, then ONE hash aggregation
-    (codegen'd) — not per-bit array folds, which would recompute every
-    token hash 32× in the interpreted HOF path. Hashing per (doc,
-    word) instead of per distinct word re-hashes words that recur
-    across documents, but drops the vocabulary distinct (an extra
-    exchange) and its broadcast join — a serial driver
-    collect/re-broadcast barrier that at 100 TB would broadcast the
-    whole vocabulary. A/B at sf0.1: 1.40 → 1.12 s median on the
-    signature stage, bit-identical output.
+    Physical shape (r10): explode tokens → char-fold hash each token
+    OCCURRENCE in place → ONE hash aggregation straight onto doc_id.
+    The historical per-(doc, word) tf aggregation existed only to
+    feed the distinct-vocabulary broadcast join; with the hash inline
+    it was a pure extra exchange, because the tf weighting is
+    algebraically absorbed by the occurrence sum —
+    Σ_w tf_w·[bit_j(h_w)] ≡ Σ_occurrences [bit_j(h)] and
+    Σ tf ≡ count(*). One exchange (the per-doc aggregation, collapsed
+    map-side by partial aggregation) instead of two. Re-hashing
+    repeated words costs ~2.3 char-folds per distinct word at sf0.1 —
+    noise next to the removed shuffle. A/B at sf0.1: 1.40 → 1.30 →
+    1.01 s median on the signature stage across the r10 steps,
+    bit-identical output at sf0.01 and sf0.1. Not per-bit array
+    folds, which would recompute every token hash 32× in the
+    interpreted HOF path.
 
     The 32 per-bit counters are PACKED two to an int64 lane-sum:
-    each lane accumulates Σ(bit_j ? tf : 0) — non-negative, so lanes
-    never borrow — and bit_j recovers as 2·lane_j − Σtf > 0. This
+    each lane accumulates Σ(bit_j ? 1 : 0) — non-negative, so lanes
+    never borrow — and bit_j recovers as 2·lane_j − tot > 0. This
     halves the aggregation buffer (16 packed sums + 1 total vs 32
     conditional sums; measured ~20% faster at sf0.1, bit-identical
     output). Lane overflow needs a single document of ≥ 2^31 tokens —
@@ -314,8 +318,7 @@ def simhash_signatures(
     toks = df.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_expr(text_col)).alias("w")
     )
-    tf = toks.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    hashed = tf.select("doc_id", "tf", string_hash_expr(F.col("w")).alias("h"))
+    hashed = toks.select("doc_id", string_hash_expr(F.col("w")).alias("h"))
     # The lane sums and the 32-branch bit reconstruction are built as
     # SQL strings parsed in ONE expr() call each, not as Column trees:
     # looping F.when/.bitwiseAND pays a Python→JVM round trip per
@@ -324,13 +327,13 @@ def simhash_signatures(
     # Identical arithmetic, bit-identical output.
     sums = [
         F.expr(
-            f"sum(CASE WHEN (h & {1 << (2 * g)}) > 0 THEN tf ELSE 0L END + "
-            f"CASE WHEN (h & {1 << (2 * g + 1)}) > 0 THEN tf ELSE 0L END"
+            f"sum(CASE WHEN (h & {1 << (2 * g)}) > 0 THEN 1L ELSE 0L END + "
+            f"CASE WHEN (h & {1 << (2 * g + 1)}) > 0 THEN 1L ELSE 0L END"
             f" * {1 << 32}L) AS p{g}"
         )
         for g in range(SIMHASH_BITS // 2)
     ]
-    sums.append(F.sum("tf").alias("tot"))
+    sums.append(F.count("*").alias("tot"))
     agg = hashed.groupBy("doc_id").agg(*sums)
     terms = []
     for j in range(SIMHASH_BITS):
